@@ -1,0 +1,447 @@
+"""The declared query registry.
+
+Each entry re-expresses a capability from the reference repo
+(``112598028/BigDataMining_graduate``, see SURVEY.md §2 row ids cited per
+query) as an idiomatic Catalyst plan over the fixture tables, paired with
+a DuckDB oracle built from the SAME constants/SQL-fragment generators so
+the two can never drift.
+
+Conventions (driver contract):
+  - every computed column aliased identically in Spark and oracle SQL
+  - money/quantity aggregates go through ``plans.numerics`` exact decimals
+  - outputs avoid raw timestamp columns (epoch bigints instead) and
+    decimal columns (cast to double) so cross-engine hashing is stable
+  - every sort used for a LIMIT imposes a total order (tiebreak keys)
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions import text as TX
+from ..sources.catalog import load_table
+from . import numerics as N
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLE: dict[str, str] = {}
+
+
+def register(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLE[name] = oracle
+        return fn
+
+    return deco
+
+
+# --------------------------------------------------------------------------
+# Relational core (SURVEY.md §2.2-2.7; replaces hw0 RDD stats + hw4 joins)
+# --------------------------------------------------------------------------
+
+_Q01_CUTOFF = "2000-12-31 00:00:00"
+
+@register(
+    "q01_pricing_summary",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {N.exact_sum_sql('l_quantity')}                               AS sum_qty,
+           {N.exact_sum_sql('l_extendedprice')}                          AS sum_base_price,
+           cast(sum({N.revenue_sql('l_extendedprice', 'l_discount')}) as double)  AS sum_disc_price,
+           cast(sum({N.charge_sql('l_extendedprice', 'l_discount', 'l_tax')}) as double) AS sum_charge,
+           {N.exact_avg_sql('l_quantity')}                               AS avg_qty,
+           {N.exact_avg_sql('l_extendedprice')}                          AS avg_price,
+           {N.exact_avg_sql('l_discount')}                               AS avg_disc,
+           count(*)                                                      AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '{_Q01_CUTOFF}'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q1-style pricing summary: the hw0 per-column statistics
+    pipeline (``hw0/hw0_1.py:10-32``, 3 RDD jobs) and hw2's groupBy
+    sum/avg (``hw2/BDM_hw2_final.py:203-206``, 2 jobs + pandas merge)
+    re-expressed as ONE partial+final hash aggregate (A1-A5, A7-A9).
+
+    Scale: filter is pushed to the parquet scan; single shuffle on the
+    2-value group key; decimal sums are Tungsten-native.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit(_Q01_CUTOFF).cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            N.exact_sum(F.col("l_quantity")).alias("sum_qty"),
+            N.exact_sum(F.col("l_extendedprice")).alias("sum_base_price"),
+            F.sum(N.revenue(F.col("l_extendedprice"), F.col("l_discount")))
+            .cast("double")
+            .alias("sum_disc_price"),
+            F.sum(N.charge(F.col("l_extendedprice"), F.col("l_discount"), F.col("l_tax")))
+            .cast("double")
+            .alias("sum_charge"),
+            N.exact_avg(F.col("l_quantity")).alias("avg_qty"),
+            N.exact_avg(F.col("l_extendedprice")).alias("avg_price"),
+            N.exact_avg(F.col("l_discount")).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@register(
+    "q02_column_stats",
+    oracle=f"""
+    SELECT min(l_quantity)                  AS min_qty,
+           max(l_quantity)                  AS max_qty,
+           {N.exact_avg_sql('l_quantity')}  AS mean_qty,
+           round(stddev_pop(l_quantity), 6) AS stddev_qty,
+           min(l_extendedprice)             AS min_price,
+           max(l_extendedprice)             AS max_price,
+           {N.exact_avg_sql('l_extendedprice')} AS mean_price,
+           round(stddev_pop(l_extendedprice), 6) AS stddev_price,
+           count(*)                         AS row_count
+    FROM lineitem
+    """,
+)
+def q02_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """hw0 column statistics (min/max/count/mean/stdev) in ONE job.
+
+    The reference runs separate RDD jobs per statistic per column
+    (``hw0/hw0_1.py:30-32`` = 3 jobs, ``hw0/hw0_2.py:42-62`` +
+    ``hw0/hw0_3.py:30-40`` = 8 jobs). A single ``agg`` computes all of
+    them in one scan (A1-A5). ``stddev_pop`` matches RDD ``stdev()``
+    population semantics — SQL ``stddev`` would be the sample stddev
+    (SURVEY.md §7.4 risk 1).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    q, p = F.col("l_quantity"), F.col("l_extendedprice")
+    return li.agg(
+        F.min(q).alias("min_qty"),
+        F.max(q).alias("max_qty"),
+        N.exact_avg(q).alias("mean_qty"),
+        F.round(F.stddev_pop(q), 6).alias("stddev_qty"),
+        F.min(p).alias("min_price"),
+        F.max(p).alias("max_price"),
+        N.exact_avg(p).alias("mean_price"),
+        F.round(F.stddev_pop(p), 6).alias("stddev_price"),
+        F.count("*").alias("row_count"),
+    )
+
+
+@register(
+    "q03_minmax_normalize",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           (l_quantity - min(l_quantity) OVER ())
+             / (max(l_quantity) OVER () - min(l_quantity) OVER ())      AS qty_norm,
+           (l_extendedprice - min(l_extendedprice) OVER ())
+             / (max(l_extendedprice) OVER () - min(l_extendedprice) OVER ()) AS price_norm
+    FROM lineitem
+    """,
+)
+def q03_minmax_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """hw0_3 min-max normalization (``hw0/hw0_3.py:30-49``: 8 RDD jobs to
+    find min/max then a map) as one tiny agg + broadcast join (F8, P15).
+
+    Scale: the 1-row bounds aggregate is broadcast to every task — no
+    global window, no second shuffle of the fact table.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    bounds = li.agg(
+        F.min("l_quantity").alias("qmin"),
+        F.max("l_quantity").alias("qmax"),
+        F.min("l_extendedprice").alias("pmin"),
+        F.max("l_extendedprice").alias("pmax"),
+    )
+    return (
+        li.crossJoin(F.broadcast(bounds))
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            ((F.col("l_quantity") - F.col("qmin")) / (F.col("qmax") - F.col("qmin"))).alias("qty_norm"),
+            ((F.col("l_extendedprice") - F.col("pmin")) / (F.col("pmax") - F.col("pmin"))).alias("price_norm"),
+        )
+    )
+
+
+@register(
+    "q04_null_profile",
+    oracle="""
+    SELECT count(*) - count(ts)         AS ts_nulls,
+           count(*) - count(user_id)    AS user_id_nulls,
+           count(*) - count(event_type) AS event_type_nulls,
+           count(*) - count(value)      AS value_nulls,
+           count(*) - count(props)      AS props_nulls,
+           count(*)                     AS row_count
+    FROM events
+    """,
+)
+def q04_null_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Missing-value profiling in ONE pass (A15): the reference counts
+    nulls with one filter+count job per column (``hw2/BDM_hw2_final.py:40-41``)."""
+    ev = load_table(spark, sf_dir, "events")
+    aggs = [
+        (F.count("*") - F.count(c)).alias(f"{c}_nulls")
+        for c in ["ts", "user_id", "event_type", "value", "props"]
+    ]
+    return ev.agg(*aggs, F.count("*").alias("row_count"))
+
+
+@register(
+    "q05_top_orders",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 30
+    """,
+)
+def q05_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global sort + bounded fetch (O3/O4): `orderBy(desc).show(30)` in the
+    reference (``FinalProject/BDM_Final.py:223-226``). Catalyst compiles
+    sort+limit to TakeOrderedAndProject — per-partition top-30 then a
+    driver merge of 30*numPartitions rows, never a full global sort.
+    Total order via the o_orderkey tiebreak (SURVEY.md §7.4 risk 3).
+    """
+    return (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(30)
+    )
+
+
+@register(
+    "q06_revenue_by_nation",
+    oracle=f"""
+    SELECT n_name,
+           cast(sum({N.revenue_sql('l_extendedprice', 'l_discount')}) as double) AS revenue,
+           count(*) AS line_count
+    FROM customer
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN orders   ON o_custkey = c_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    GROUP BY n_name
+    """,
+)
+def q06_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-way star join + aggregate (J1): the hw4 ratings⋈users⋈movies
+    join-then-aggregate pattern (``hw4/hw4.py:43-48,74-84``) on the
+    fixture star schema.
+
+    Scale: `nation` (25 rows) is explicitly broadcast; `customer` stays
+    under the 64m auto-broadcast threshold at bench SF so the plan is
+    fact-table-shuffle-only on the orders⋈lineitem edge; AQE picks
+    broadcast automatically when sizes allow.
+    """
+    cu = load_table(spark, sf_dir, "customer")
+    na = load_table(spark, sf_dir, "nation")
+    od = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.join(od, li.l_orderkey == od.o_orderkey)
+        .join(cu, od.o_custkey == cu.c_custkey)
+        .join(F.broadcast(na), cu.c_nationkey == na.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.sum(N.revenue(F.col("l_extendedprice"), F.col("l_discount")))
+            .cast("double")
+            .alias("revenue"),
+            F.count("*").alias("line_count"),
+        )
+    )
+
+
+@register(
+    "q07_customers_without_orders",
+    oracle="""
+    SELECT c_custkey, c_name, c_acctbal
+    FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+)
+def q07_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join (J6/U3): the FinalProject sentiment-row removal
+    (``FinalProject/BDM_Final.py:613``)."""
+    cu = load_table(spark, sf_dir, "customer")
+    od = load_table(spark, sf_dir, "orders")
+    return cu.join(od, cu.c_custkey == od.o_custkey, "left_anti").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+
+
+@register(
+    "q08_segment_activity",
+    oracle="""
+    SELECT c_mktsegment,
+           count(*) AS active_customers
+    FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    GROUP BY c_mktsegment
+    """,
+)
+def q08_segment_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join + group count — the semi-join the reference never
+    had (it only uses anti, SURVEY.md §2.3 note), completing the set-op
+    surface."""
+    cu = load_table(spark, sf_dir, "customer")
+    od = load_table(spark, sf_dir, "orders")
+    return (
+        cu.join(od, cu.c_custkey == od.o_custkey, "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("active_customers"))
+    )
+
+
+@register(
+    "q09_distinct_status",
+    oracle="""
+    SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders
+    """,
+)
+def q09_distinct_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTINCT over a projection (A11): ``select('sentiment').distinct()``
+    (``FinalProject/BDM_Final.py:581``)."""
+    return load_table(spark, sf_dir, "orders").select("o_orderstatus", "o_orderpriority").distinct()
+
+
+@register(
+    "q10_dedup_first_order",
+    oracle="""
+    SELECT o_custkey, o_orderstatus, min(o_orderkey) AS first_orderkey
+    FROM orders
+    GROUP BY o_custkey, o_orderstatus
+    """,
+)
+def q10_dedup_first_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic dropDuplicates (A12): ``dropDuplicates()`` keeps an
+    ARBITRARY row per key (``hw3/hw3.py:34``) — irreproducible. The
+    engine's dedup keeps min(key) so results are stable across runs and
+    engines (SURVEY.md §7.4 risk 3)."""
+    return (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey", "o_orderstatus")
+        .agg(F.min("o_orderkey").alias("first_orderkey"))
+    )
+
+
+@register(
+    "q11_value_buckets",
+    oracle="""
+    SELECT CASE WHEN value IS NULL THEN 'missing'
+                WHEN value < 50    THEN 'low'
+                WHEN value < 200   THEN 'mid'
+                ELSE 'high' END AS bucket,
+           count(*)            AS n,
+           cast(sum(cast(value as decimal(20,2))) as double) AS total_value
+    FROM events
+    GROUP BY 1
+    """,
+)
+def q11_value_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional mapping (P14): the when/when/otherwise threshold-label
+    chain (``FinalProject/BDM_Final.py:616-621``)."""
+    ev = load_table(spark, sf_dir, "events")
+    bucket = (
+        F.when(F.col("value").isNull(), "missing")
+        .when(F.col("value") < 50, "low")
+        .when(F.col("value") < 200, "mid")
+        .otherwise("high")
+    )
+    return ev.groupBy(bucket.alias("bucket")).agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("value").cast("decimal(20,2)")).cast("double").alias("total_value"),
+    )
+
+
+@register(
+    "q12_union_by_name",
+    oracle="""
+    WITH rich AS (
+      SELECT c_custkey, c_nationkey, 'rich' AS tier FROM customer WHERE c_acctbal >= 5000
+    ), rest AS (
+      SELECT c_nationkey, c_custkey, 'rest' AS tier FROM customer WHERE c_acctbal < 5000 OR c_acctbal IS NULL
+    )
+    SELECT tier, c_nationkey, count(*) AS n
+    FROM (SELECT c_custkey, c_nationkey, tier FROM rich
+          UNION ALL BY NAME
+          SELECT c_nationkey, c_custkey, tier FROM rest)
+    GROUP BY tier, c_nationkey
+    """,
+)
+def q12_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """unionByName over differently-ordered projections (U1/U2:
+    ``FinalProject/BDM_Final.py:624``) — positional union would silently
+    scramble columns here; by-name is the engine default."""
+    cu = load_table(spark, sf_dir, "customer")
+    rich = cu.filter(F.col("c_acctbal") >= 5000).select(
+        "c_custkey", "c_nationkey", F.lit("rich").alias("tier")
+    )
+    rest = cu.filter((F.col("c_acctbal") < 5000) | F.col("c_acctbal").isNull()).select(
+        "c_nationkey", "c_custkey", F.lit("rest").alias("tier")
+    )
+    return rich.unionByName(rest).groupBy("tier", "c_nationkey").agg(F.count("*").alias("n"))
+
+
+@register(
+    "q13_type_hour_matrix",
+    oracle="""
+    SELECT event_type, hour(ts) AS hour_of_day, count(*) AS n
+    FROM events
+    GROUP BY event_type, hour(ts)
+    """,
+)
+def q13_type_hour_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-occurrence/contingency counts in long form (A13): the engine's
+    scalable answer to ``df.stat.crosstab`` (``hw2/BDM_hw2_final.py:245``)
+    — crosstab materializes a driver-side wide matrix whose column count
+    equals the distinct-value count; the long form is a plain shuffle agg
+    that survives any cardinality."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(
+        "event_type", F.hour("ts").cast("long").alias("hour_of_day")
+    ).agg(F.count("*").alias("n"))
+
+
+# --------------------------------------------------------------------------
+# Flagship text query (M1 slice: SURVEY.md §7.2)
+# --------------------------------------------------------------------------
+
+_WC_ORACLE = f"""
+    WITH toks AS (
+      SELECT unnest({TX.tokenize_sql('text')}) AS word FROM documents
+    )
+    SELECT word, count(*) AS cnt
+    FROM toks
+    WHERE word NOT IN {TX.stopwords_sql_list()}
+    GROUP BY word
+    ORDER BY cnt DESC, word
+    LIMIT 100
+"""
+
+
+@register("q20_wordcount_top100", oracle=_WC_ORACLE)
+def q20_wordcount_top100(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: the hw2/FinalProject word-frequency query
+    (``hw2/BDM_hw2_final.py:64-68``, ``FinalProject/BDM_Final.py:245-248``)
+    with the whole UDF cleaning chain (D1/D11/D12) replaced by built-in
+    expressions — scan → normalize → tokenize → stopword-filter →
+    explode → hash-agg count → TakeOrderedAndProject top-100.
+
+    Scale: one shuffle (the word agg, map-side partial combine); the text
+    cleaning is whole-stage-codegen'd; top-100 never globally sorts.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        F.explode(TX.remove_stopwords(TX.tokenize("text"))).alias("word")
+    )
+    return (
+        words.groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("word"))
+        .limit(100)
+    )

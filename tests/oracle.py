@@ -1,0 +1,66 @@
+"""Local mirror of the driver's DuckDB-oracle comparison.
+
+Collects the Spark result and the DuckDB oracle result, aligns columns by
+sorted name, sorts rows, and compares (exact for ints/strings, tiny
+tolerance for floats so genuinely-broken queries still fail loudly).
+"""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pandas as pd
+
+from bigdatamining_graduate_spark.sources.catalog import TABLES, table_path
+
+
+def run_oracle(sql: str, sf_dir: str) -> pd.DataFrame:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{table_path(sf_dir, t)}')"
+        )
+    return con.execute(sql).df()
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if str(df[c].dtype).startswith("datetime64[ns,"):
+            df[c] = df[c].dt.tz_localize(None)
+        elif df[c].dtype.kind == "i":
+            df[c] = df[c].astype("int64")
+        elif df[c].dtype.kind == "f":
+            df[c] = df[c].astype("float64")
+    if len(df):
+        df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
+    return df
+
+
+def assert_matches(spark_df, sql: str, sf_dir: str, float_tol: float = 1e-9) -> None:
+    got = _canon(spark_df.toPandas())
+    exp = _canon(run_oracle(sql, sf_dir))
+    assert list(got.columns) == list(exp.columns), (
+        f"column mismatch: spark={list(got.columns)} oracle={list(exp.columns)}"
+    )
+    assert len(got) == len(exp), f"row count mismatch: spark={len(got)} oracle={len(exp)}"
+    for c in got.columns:
+        g, e = got[c], exp[c]
+        if g.dtype.kind == "f" or e.dtype.kind == "f":
+            for i, (a, b) in enumerate(zip(g, e)):
+                if pd.isna(a) and pd.isna(b):
+                    continue
+                assert not (pd.isna(a) or pd.isna(b)), f"{c}[{i}]: {a!r} vs {b!r}"
+                assert math.isclose(a, b, rel_tol=float_tol, abs_tol=float_tol), (
+                    f"{c}[{i}]: spark={a!r} oracle={b!r}"
+                )
+        else:
+            if not g.equals(e):
+                diff = (g.astype(str) != e.astype(str))
+                idx = diff[diff].index[:5].tolist()
+                raise AssertionError(
+                    f"value mismatch in {c} at rows {idx}: "
+                    f"spark={g.iloc[idx].tolist() if idx else []} "
+                    f"oracle={e.iloc[idx].tolist() if idx else []}"
+                )
