@@ -1,0 +1,174 @@
+"""Embedding similarity search over ``array<float>`` columns.
+
+The reference's similarity machinery is an O(n²) theta self-join over
+MinMax-scaled ml vectors with a Python dot-product UDF
+(``hw4/hw4.py:102-117,136-151``). Here:
+
+* vectors stay plain ``array<double>`` columns — no VectorUDT, no UDF;
+  dot/cosine are ``zip_with``+``aggregate`` built-ins (JVM, codegen);
+* brute-force top-k is the CORRECTNESS baseline (still a cross join, but
+  only queries × corpus, with TakeOrdered-style window pruning);
+* the SCALE path is random-hyperplane LSH: bucket on sign bits of dot
+  products against fixed seeded hyperplanes, then search only within the
+  bucket — candidate generation is an equi-join on the bucket key.
+
+Hyperplanes are literal constants (seeded numpy, rounded to 6 decimals)
+shared verbatim with the DuckDB oracle SQL.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions import vectors as V
+
+EMBED_DIM = 64
+#: banded sign-LSH geometry: a pair is a candidate if ALL bits of ANY band
+#: agree (same banding trick as MinHash-LSH). 4 bands x 4 bits gives ~50%
+#: recall at cosine 0.4 while pruning most of the pair space; at larger
+#: corpus sizes raise bits-per-band to shrink buckets.
+ANN_BANDS = 4
+BITS_PER_BAND = 4
+N_PLANES = ANN_BANDS * BITS_PER_BAND
+_rng = np.random.RandomState(42)
+#: fixed hyperplanes, rounded so the SQL literals are exact decimals
+HYPERPLANES: list[list[float]] = [
+    [round(float(x), 6) for x in _rng.randn(EMBED_DIM)] for _ in range(N_PLANES)
+]
+
+
+def _as_double(col) -> "F.Column":
+    return F.col(col).cast("array<double>") if isinstance(col, str) else col.cast("array<double>")
+
+
+def knn_bruteforce(
+    embeddings: DataFrame,
+    query_pred,
+    k: int = 5,
+) -> DataFrame:
+    """Exact top-k cosine neighbors for rows matching ``query_pred``.
+
+    queries × corpus cross join; per-query top-k via row_number with a
+    neighbor-id tiebreak (deterministic under near-ties). At scale the
+    corpus side would be blocked by LSH (see :func:`ann_lsh`) — this is
+    the exact baseline the approximate path is validated against.
+    """
+    emb = embeddings.select("vec_id", _as_double("embedding").alias("v"))
+    q = emb.filter(query_pred).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    pairs = q.crossJoin(emb.select(F.col("vec_id").alias("neighbor_id"), F.col("v").alias("nv")))
+    pairs = pairs.filter(F.col("query_id") != F.col("neighbor_id"))
+    sim = V.cosine(F.col("qv"), F.col("nv"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        pairs.select("query_id", "neighbor_id", sim.alias("sim"))
+        .withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", F.round("sim", 6).alias("cos_sim"), "rnk")
+    )
+
+
+def knn_bruteforce_sql(query_pred_sql: str, k: int = 5) -> str:
+    cos = V.cosine_sql("qv", "nv")
+    return f"""
+    WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM emb WHERE {query_pred_sql}),
+    pairs AS (
+      SELECT query_id, e.vec_id AS neighbor_id, qv, e.v AS nv
+      FROM q CROSS JOIN emb e
+      WHERE query_id <> e.vec_id
+    ),
+    scored AS (
+      SELECT query_id, neighbor_id, {cos} AS sim FROM pairs
+    )
+    SELECT query_id, neighbor_id, round(sim, 6) AS cos_sim, rnk FROM (
+      SELECT query_id, neighbor_id, sim,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY sim DESC, neighbor_id) AS rnk
+      FROM scored)
+    WHERE rnk <= {k}
+    """
+
+
+def _band_value_spark(vcol, band: int) -> "F.Column":
+    """Packed sign bits of one band's hyperplanes."""
+    out = None
+    for k in range(BITS_PER_BAND):
+        plane = HYPERPLANES[band * BITS_PER_BAND + k]
+        p = F.array(*[F.lit(x) for x in plane])
+        bit = F.when(V.dot(vcol, p) >= 0, F.lit(1 << k).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
+        )
+        out = bit if out is None else out + bit
+    return out
+
+
+def _band_value_sql(vexpr: str, band: int) -> str:
+    parts = []
+    for k in range(BITS_PER_BAND):
+        plane = HYPERPLANES[band * BITS_PER_BAND + k]
+        lit = "[" + ", ".join(repr(x) for x in plane) + "]"
+        d = f"list_sum(list_transform(list_zip({vexpr}, {lit}), p -> p[1] * p[2]))"
+        parts.append(
+            f"(CASE WHEN {d} >= 0 THEN cast({1 << k} as bigint) ELSE cast(0 as bigint) END)"
+        )
+    return "(" + " + ".join(parts) + ")"
+
+
+def ann_lsh_pairs(embeddings: DataFrame, min_sim: float) -> DataFrame:
+    """Approximate near-neighbor pairs via banded sign-LSH: score only
+    pairs agreeing on ALL bits of SOME band. Candidate generation is an
+    equi-join on (band, band_value) — the 100 TB-safe formulation of the
+    reference's all-pairs theta join (``hw4/hw4.py:104-110``)."""
+    emb = embeddings.select("vec_id", _as_double("embedding").alias("v"))
+    bucketed = emb.select(
+        "vec_id",
+        "v",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("band"), _band_value_spark(F.col("v"), j).alias("bv")
+                    )
+                    for j in range(ANN_BANDS)
+                ]
+            )
+        ).alias("b"),
+    ).select("vec_id", "v", "b.band", "b.bv")
+    a = bucketed.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), "band", "bv")
+    b = bucketed.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"), "band", "bv")
+    cand = (
+        a.join(b, ["band", "bv"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", "va", "vb")
+        .dropDuplicates(["vec_a", "vec_b"])
+    )
+    sim = V.cosine(F.col("va"), F.col("vb"))
+    return (
+        cand.select("vec_a", "vec_b", sim.alias("sim"))
+        .filter(F.col("sim") >= min_sim)
+        .select("vec_a", "vec_b", F.round("sim", 6).alias("cos_sim"))
+    )
+
+
+def ann_lsh_pairs_sql(min_sim: float) -> str:
+    cos = V.cosine_sql("va", "vb")
+    band_selects = "\n      UNION ALL ".join(
+        f"SELECT vec_id, v, {j} AS band, {_band_value_sql('v', j)} AS bv FROM emb"
+        for j in range(ANN_BANDS)
+    )
+    return f"""
+    WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    bucketed AS ({band_selects}),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b, a.v AS va, b.v AS vb
+      FROM bucketed a JOIN bucketed b ON a.band = b.band AND a.bv = b.bv
+                                     AND a.vec_id < b.vec_id
+    ),
+    scored AS (SELECT vec_a, vec_b, {cos} AS sim FROM cand)
+    SELECT vec_a, vec_b, round(sim, 6) AS cos_sim
+    FROM scored WHERE sim >= {min_sim}
+    """

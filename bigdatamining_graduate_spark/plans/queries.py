@@ -445,3 +445,408 @@ def q20_wordcount_top100(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cnt"), F.asc("word"))
         .limit(100)
     )
+
+
+# --------------------------------------------------------------------------
+# Windows / time analytics (SURVEY.md §2.5-2.6, §2.8 F6-F7; hw2 rollups,
+# hw4/FinalProject top-k per group)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q14_top5_words_per_lang",
+    oracle=f"""
+    WITH toks AS (
+      SELECT lang, unnest({TX.tokenize_sql('text')}) AS word FROM documents
+    ), counts AS (
+      SELECT lang, word, count(*) AS cnt FROM toks GROUP BY lang, word
+    )
+    SELECT lang, word, cnt, rnk FROM (
+      SELECT lang, word, cnt,
+             rank() OVER (PARTITION BY lang ORDER BY cnt DESC) AS rnk
+      FROM counts)
+    WHERE rnk <= 5
+    """,
+)
+def q14_top5_words_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 words per language via ``rank()`` (W2): the FinalProject
+    top-5-per-(year,month) pattern (``FinalProject/BDM_Final.py:308-311``).
+    ``rank`` (ties included) — NOT ``row_number`` — to match reference
+    semantics (SURVEY.md §7.4 risk 3).
+
+    Scale: word counts shuffle once on (lang, word); ranking shuffles on
+    lang only. At 100 TB the per-lang partitions are the skew risk —
+    AQE skew-join/partition splitting handles it, or pre-aggregate
+    per-(lang, word) makes the window input small (already done here).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    counts = (
+        docs.select("lang", F.explode(TX.tokenize("text")).alias("word"))
+        .groupBy("lang", "word")
+        .agg(F.count("*").alias("cnt"))
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("cnt"))
+    return (
+        counts.withColumn("rnk", F.rank().over(w).cast("long"))
+        .filter(F.col("rnk") <= 5)
+    )
+
+
+@register(
+    "q15_best_order_per_customer",
+    oracle="""
+    SELECT o_custkey, o_orderkey AS best_orderkey, o_totalprice AS best_price
+    FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders)
+    WHERE rn = 1
+    """,
+)
+def q15_best_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-1 per group via ``row_number`` (W1): the hw4 best-similarity-pair
+    query (``hw4/hw4.py:113-117``). Deterministic via o_orderkey tiebreak —
+    the reference orders only by the sort key, so its top-1 under ties is
+    run-dependent."""
+    od = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        od.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "o_custkey",
+            F.col("o_orderkey").alias("best_orderkey"),
+            F.col("o_totalprice").alias("best_price"),
+        )
+    )
+
+
+@register(
+    "q16_monthly_order_rollup",
+    oracle="""
+    SELECT cast(year(o_orderdate) as bigint)  AS order_year,
+           cast(month(o_orderdate) as bigint) AS order_month,
+           count(*)                           AS order_count,
+           cast(sum(cast(o_totalprice as decimal(20,2))) as double) AS total_sales
+    FROM orders
+    GROUP BY 1, 2
+    """,
+)
+def q16_monthly_order_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar rollup via year()/month() grouping (F6/F7): the
+    FinalProject per-(year,month) tweet rollups
+    (``FinalProject/BDM_Final.py:271-278,298-306``)."""
+    od = load_table(spark, sf_dir, "orders")
+    return (
+        od.groupBy(
+            F.year("o_orderdate").cast("long").alias("order_year"),
+            F.month("o_orderdate").cast("long").alias("order_month"),
+        )
+        .agg(
+            F.count("*").alias("order_count"),
+            F.sum(F.col("o_totalprice").cast("decimal(20,2)")).cast("double").alias("total_sales"),
+        )
+    )
+
+
+@register(
+    "q17_hourly_event_stats",
+    oracle=f"""
+    SELECT cast(hour(ts) as bigint) AS hour_of_day,
+           event_type,
+           count(*) AS n,
+           {N.exact_avg_sql('value')} AS avg_value,
+           {N.exact_sum_sql('value')} AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def q17_hourly_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hw2 hourly rollup done right (A14/J2): the reference builds 48
+    hourly means via a driver loop of 48 full-outer self-joins
+    (``hw2/BDM_hw2_final.py:149-163``) — O(48) shuffles. Here: ONE
+    groupBy pass computes every hour's stats simultaneously."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.hour("ts").cast("long").alias("hour_of_day"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            N.exact_avg(F.col("value")).alias("avg_value"),
+            N.exact_sum(F.col("value")).alias("sum_value"),
+        )
+    )
+
+
+_SESSION_GAP_S = 1800
+
+
+@register(
+    "q18_user_sessions",
+    oracle=f"""
+    WITH gaps AS (
+      SELECT user_id,
+             epoch(ts) - lag(epoch(ts)) OVER (PARTITION BY user_id
+                                              ORDER BY ts, event_id) AS gap_s
+      FROM events
+    )
+    SELECT user_id,
+           count(*) AS event_count,
+           cast(sum(CASE WHEN gap_s IS NULL OR gap_s > {_SESSION_GAP_S}
+                         THEN 1 ELSE 0 END) as bigint) AS session_count
+    FROM gaps
+    GROUP BY user_id
+    """,
+)
+def q18_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization via ``lag`` — the analytic-function surface the
+    reference lacks entirely (SURVEY.md §2.5 note), required for any
+    event-pipeline engine. A new session starts after a >30 min gap.
+
+    Scale: one shuffle on user_id serves both the window and the final
+    aggregate (same partitioning, no re-exchange)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.lag(F.unix_timestamp("ts")).over(w)
+    return (
+        ev.withColumn("gap_s", gap)
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("event_count"),
+            F.sum(
+                F.when(F.col("gap_s").isNull() | (F.col("gap_s") > _SESSION_GAP_S), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("session_count"),
+        )
+    )
+
+
+@register(
+    "q19_customer_running_total",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           cast(sum(cast(o_totalprice as decimal(20,2)))
+                OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                as double) AS cum_spend
+    FROM orders
+    """,
+)
+def q19_customer_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative sum with an explicit ROWS frame — frame specs are absent
+    from the reference (SURVEY.md §2.5 note); exact decimal accumulation
+    keeps the running values engine-identical."""
+    od = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return od.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(F.col("o_totalprice").cast("decimal(20,2)")).over(w).cast("double").alias("cum_spend"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Semi-structured + reshaping (events.props JSON; pivot)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q21_json_props_stats",
+    oracle="""
+    SELECT event_type,
+           count(k) AS k_count,
+           cast(sum(cast(k as decimal(20,0))) as double) AS k_sum,
+           min(k) AS k_min, max(k) AS k_max
+    FROM (SELECT event_type,
+                 cast(json_extract_string(props, '$.k') as bigint) AS k
+          FROM events)
+    GROUP BY event_type
+    """,
+)
+def q21_json_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON extraction over the ``props`` column — the reference never
+    parses JSON (SURVEY.md §2.8 note) but an event pipeline must;
+    ``get_json_object`` stays JVM-side (no UDF)."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("k").alias("k_count"),
+            F.sum(F.col("k").cast("decimal(20,0)")).cast("double").alias("k_sum"),
+            F.min("k").alias("k_min"),
+            F.max("k").alias("k_max"),
+        )
+    )
+
+
+_EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+@register(
+    "q22_user_type_pivot",
+    oracle=f"""
+    SELECT user_id,
+           {", ".join(f"count(*) FILTER (WHERE event_type = '{t}') AS {t}" for t in _EVENT_TYPES)}
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def q22_user_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Long→wide pivot with an EXPLICIT value list — the scalable form of
+    ``df.stat.crosstab`` (A13, ``hw2/BDM_hw2_final.py:245``): enumerated
+    pivot values avoid the extra distinct-scan job AND keep the schema
+    static (a 100 TB crosstab with unbounded cardinality is a driver OOM).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", list(_EVENT_TYPES))
+        .count()
+        .na.fill(0, list(_EVENT_TYPES))
+    )
+
+
+# --------------------------------------------------------------------------
+# Text analysis + dedup + similarity (training-data-pipeline layer;
+# hw3 near-dup pipeline re-designed — see operators/dedup.py docstring)
+# --------------------------------------------------------------------------
+
+from ..operators import dedup as DD  # noqa: E402
+from ..operators import similarity as SIM  # noqa: E402
+
+
+@register(
+    "q23_doc_fingerprints",
+    oracle=f"""
+    SELECT doc_id,
+           md5({TX.normalize_text_sql('text')}) AS fp,
+           cast(len({TX.tokenize_sql('text')}) as bigint) AS n_tokens
+    FROM documents
+    """,
+)
+def q23_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document content fingerprint (md5 of normalized text) + token
+    count — the D3/D4-style regex-extract UDFs (``hw3/hw3.py:41-46``)
+    replaced by built-ins; fingerprints feed exact dedup."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.md5(TX.normalize_text("text")).alias("fp"),
+        F.size(TX.tokenize("text")).cast("long").alias("n_tokens"),
+    )
+
+
+@register("q24_exact_dedup", oracle=DD.exact_dedup_groups_sql())
+def q24_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup groups by content hash (deterministic keep-min-id;
+    vs arbitrary-row ``dropDuplicates`` at ``hw3/hw3.py:34``)."""
+    return DD.exact_dedup_groups(load_table(spark, sf_dir, "documents"))
+
+
+@register("q25_ngram_jaccard_pairs", oracle=DD.ngram_jaccard_pairs_sql(0.8))
+def q25_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-3-gram Jaccard near-dup pairs (threshold 0.8) via
+    inverted-index join — no all-pairs comparison."""
+    return DD.ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"), 0.8)
+
+
+@register("q26_minhash_lsh_pairs", oracle=DD.minhash_lsh_pairs_sql(0.5))
+def q26_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(16)+LSH(4x4) candidate pairs with estimated Jaccard ≥ 0.5:
+    the hw3 pipeline (``hw3/hw3.py:84-172``) without driver-side vocab or
+    dense characteristic matrix."""
+    sig = DD.minhash_signatures(load_table(spark, sf_dir, "documents"))
+    return DD.lsh_candidate_pairs(sig, 0.5)
+
+
+@register("q27_simhash_near_dups", oracle=DD.simhash_pairs_sql())
+def q27_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash(48-bit) near-dup pairs with hamming ≤ 3 via 12-bit chunk
+    banding (pigeonhole-complete for the threshold)."""
+    return DD.simhash_pairs(load_table(spark, sf_dir, "documents"))
+
+
+_STOP_SQL_LIST = "[" + ", ".join(f"'{w}'" for w in TX.EN_STOPWORDS) + "]"
+
+
+@register(
+    "q28_text_quality",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, lang,
+             {TX.tokenize_sql('text')} AS tk
+      FROM documents
+    ), m AS (
+      SELECT doc_id, lang,
+             cast(len(tk) as bigint) AS n_tokens,
+             list_sum(list_transform(tk, x -> length(x))) AS char_sum,
+             cast(len(list_filter(tk, x -> list_contains({_STOP_SQL_LIST}, x))) as bigint) AS stop_hits
+      FROM base
+    )
+    SELECT doc_id, lang, n_tokens,
+           char_sum * 1.0 / n_tokens AS avg_token_len,
+           stop_hits * 1.0 / n_tokens AS stopword_ratio,
+           CASE WHEN n_tokens >= 20 AND stop_hits * 1.0 / n_tokens BETWEEN 0.05 AND 0.6
+                THEN 'good' ELSE 'low' END AS quality,
+           CASE WHEN stop_hits * 1.0 / n_tokens > 0.15 THEN 'en' ELSE 'other' END AS lang_guess
+    FROM m
+    WHERE n_tokens > 0
+    """,
+)
+def q28_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring + heuristic language-ID per document — the
+    training-pipeline text-analysis layer (token stats, stopword ratio,
+    rule-based quality label, stopword-hit language guess). All built-in
+    array expressions, single scan, no shuffle at all."""
+    docs = load_table(spark, sf_dir, "documents")
+    tk = TX.tokenize("text")
+    base = docs.select("doc_id", "lang", tk.alias("tk"))
+    stops = F.array(*[F.lit(w) for w in TX.EN_STOPWORDS])
+    m = base.select(
+        "doc_id",
+        "lang",
+        F.size("tk").cast("long").alias("n_tokens"),
+        F.aggregate("tk", F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)).alias("char_sum"),
+        F.size(F.filter("tk", lambda x: F.array_contains(stops, x))).cast("long").alias("stop_hits"),
+    )
+    swr = F.col("stop_hits") / F.col("n_tokens")
+    return (
+        m.filter(F.col("n_tokens") > 0)
+        .select(
+            "doc_id",
+            "lang",
+            "n_tokens",
+            (F.col("char_sum") / F.col("n_tokens")).alias("avg_token_len"),
+            swr.alias("stopword_ratio"),
+            F.when((F.col("n_tokens") >= 20) & swr.between(0.05, 0.6), "good")
+            .otherwise("low")
+            .alias("quality"),
+            F.when(swr > 0.15, "en").otherwise("other").alias("lang_guess"),
+        )
+    )
+
+
+@register(
+    "q29_knn_bruteforce",
+    oracle=SIM.knn_bruteforce_sql("query_id % 100 = 0", k=5),
+)
+def q29_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-5 cosine neighbors for query vectors (vec_id % 100 = 0):
+    the correctness baseline for similarity search (replaces the hw4
+    all-pairs UDF theta join, ``hw4/hw4.py:102-117``)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return SIM.knn_bruteforce(emb, F.col("vec_id") % 100 == 0, k=5)
+
+
+@register("q30_ann_lsh_pairs", oracle=SIM.ann_lsh_pairs_sql(0.4))
+def q30_ann_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate near-neighbor pairs (cosine ≥ 0.4) via banded
+    random-hyperplane LSH — the scale path for similarity search."""
+    return SIM.ann_lsh_pairs(load_table(spark, sf_dir, "embeddings"), 0.4)
