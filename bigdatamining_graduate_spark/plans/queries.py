@@ -850,3 +850,140 @@ def q30_ann_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate near-neighbor pairs (cosine ≥ 0.4) via banded
     random-hyperplane LSH — the scale path for similarity search."""
     return SIM.ann_lsh_pairs(load_table(spark, sf_dir, "embeddings"), 0.4)
+
+
+# --------------------------------------------------------------------------
+# ML / mining layer (SURVEY.md §2.11) — MLlib results are not
+# SQL-expressible; those queries are registered WITHOUT oracles (driver
+# records rows-only checks). Manual TF-IDF is fully oracle-checked.
+# --------------------------------------------------------------------------
+
+from ..ml import pipelines as ML  # noqa: E402
+from ..operators import multimodal as MM  # noqa: E402
+from ..streaming import jobs as ST  # noqa: E402
+
+
+@register(
+    "q31_tfidf_top_terms",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({TX.tokenize_sql('text')}) AS word FROM documents
+    ),
+    tf AS (SELECT doc_id, word, count(*) AS tf FROM tok GROUP BY 1, 2),
+    df AS (SELECT word, count(*) AS df FROM tf GROUP BY 1),
+    n AS (SELECT count(*) AS nd FROM documents)
+    SELECT doc_id, word, round(tfidf, 6) AS tfidf, rnk FROM (
+      SELECT tf.doc_id, tf.word,
+             tf.tf * (ln((n.nd + 1.0) / (df.df + 1.0)) + 1.0) AS tfidf,
+             row_number() OVER (
+               PARTITION BY tf.doc_id
+               ORDER BY tf.tf * (ln((n.nd + 1.0) / (df.df + 1.0)) + 1.0) DESC,
+                        tf.word) AS rnk
+      FROM tf JOIN df ON tf.word = df.word CROSS JOIN n)
+    WHERE rnk <= 3
+    """,
+)
+def q31_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manual (fully distributed, oracle-checkable) TF-IDF top-3 terms per
+    document — the transparent twin of the MLlib CountVectorizer→IDF
+    pipeline (``FinalProject/BDM_Final.py:663-686``; smoothed-idf formula
+    ``tf * (ln((N+1)/(df+1)) + 1)``). The corpus size N joins in as a
+    broadcast 1-row aggregate — no driver-side count."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(TX.tokenize("text")).alias("word"))
+    tf = tok.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
+    df = tf.groupBy("word").agg(F.count("*").alias("df"))
+    nd = docs.agg(F.count("*").alias("nd"))
+    tfidf = F.col("tf") * (
+        F.log((F.col("nd") + F.lit(1.0)) / (F.col("df") + F.lit(1.0))) + F.lit(1.0)
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("word"))
+    return (
+        tf.join(df, "word")
+        .crossJoin(F.broadcast(nd))
+        .withColumn("tfidf", tfidf)
+        .withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= 3)
+        .select("doc_id", "word", F.round("tfidf", 6).alias("tfidf"), "rnk")
+    )
+
+
+@register("q32_als_recommendations")  # MLlib: rows-only check
+def q32_als_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded ALS top-5 recommendations per customer (M8-M11,
+    ``hw4/hw4.py:169-194``)."""
+    return ML.als_recommendations(
+        load_table(spark, sf_dir, "orders"), load_table(spark, sf_dir, "lineitem"), k=5
+    )
+
+
+@register("q33_kmeans_clusters")  # MLlib: rows-only check
+def q33_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed seeded KMeans(k=8) cluster sizes over embeddings (M14)."""
+    return ML.kmeans_cluster_sizes(load_table(spark, sf_dir, "embeddings"), k=8)
+
+
+@register("q34_mllib_minhash_pairs")  # MLlib: rows-only check
+def q34_mllib_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """hw3's MinHashLSH near-dup pipeline through MLlib's own
+    approxSimilarityJoin (M5/J5, ``hw3/hw3.py:125-172``), seeded."""
+    return ML.mllib_minhash_pairs(load_table(spark, sf_dir, "documents"), threshold=0.9)
+
+
+@register("q35_pca_variance")  # MLlib: rows-only check
+def q35_pca_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed PCA explained variance (M14) — replaces driver-side
+    sklearn PCA (``FinalProject/BDM_Final.py:546-563``)."""
+    return ML.pca_variance(load_table(spark, sf_dir, "embeddings"), k=8)
+
+
+# --------------------------------------------------------------------------
+# Structured Streaming (M6, extension): availableNow drains the fixture so
+# results equal batch → full oracle checks even for streaming operators.
+# --------------------------------------------------------------------------
+
+
+@register("q36_stream_hourly_counts", oracle=ST.HOURLY_TYPE_COUNTS_SQL)
+def q36_stream_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1h watermarked window counts per event_type, drained with
+    availableNow into a memory sink."""
+    return ST.hourly_type_counts(spark, sf_dir)
+
+
+@register("q37_stream_sliding_avg", oracle=ST.SLIDING_AVG_VALUE_SQL)
+def q37_stream_sliding_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding (1h/30m) watermarked window averages."""
+    return ST.sliding_avg_value(spark, sf_dir)
+
+
+@register("q38_stream_dedup_counts", oracle=ST.STREAMING_DEDUP_COUNTS_SQL)
+def q38_stream_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dropDuplicates(event_id) with watermark-bounded state,
+    then per-type counts."""
+    return ST.streaming_dedup_counts(spark, sf_dir)
+
+
+# --------------------------------------------------------------------------
+# Multimodal binary plumbing (extension; Arrow-batched mapInPandas)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q39_binary_features",
+    oracle="""
+    SELECT doc_id,
+           cast(octet_length(encode(text)) as bigint) AS byte_len,
+           cast(coalesce(list_sum(list_transform(
+                  range(1, length(text) + 1),
+                  i -> unicode(substr(text, i, 1)))), 0) % 1000003 as bigint)
+             AS byte_checksum
+    FROM documents
+    """,
+)
+def q39_binary_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-payload feature extraction through the multimodal
+    mapInPandas path: text→UTF-8 payload (stand-in for image/audio bytes),
+    Arrow-batched byte_len + checksum. The oracle recomputes both from the
+    character codes — valid because the fixture text is pure ASCII."""
+    docs = load_table(spark, sf_dir, "documents")
+    return MM.binary_features(MM.with_binary_payload(docs))
