@@ -1,0 +1,75 @@
+#!/usr/bin/env python
+"""Benchmark the engine's headline queries.
+
+Runs a representative query per workload class at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Materialization is a noop-sink write (everything computes, nothing lands
+on disk) so timings measure the full plan, not show()/count() shortcuts.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from bigdatamining_graduate_spark.session import get_spark  # noqa: E402
+
+#: one per workload class (SURVEY.md §2 / the training-pipeline extensions)
+HEADLINE = [
+    "q01_pricing_summary",      # scan + multi-agg
+    "q03_minmax_normalize",     # global bounds + broadcast normalize
+    "q06_revenue_by_nation",    # star join
+    "q14_top5_words_per_lang",  # explode + agg + window rank
+    "q15_best_order_per_customer",  # row_number top-1
+    "q17_hourly_event_stats",   # time rollup
+    "q20_wordcount_top100",     # flagship text agg
+    "q25_ngram_jaccard_pairs",  # inverted-index dedup join
+    "q26_minhash_lsh_pairs",    # sketch dedup
+    "q29_knn_bruteforce",       # similarity search
+    "q31_tfidf_top_terms",      # tf-idf + per-doc top-k
+    "q36_stream_hourly_counts", # structured streaming window agg
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark(app_name="bdm-bench", extra_conf={"spark.ui.showConsoleProgress": "false"})
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from bigdatamining_graduate_spark.plans.queries import QUERIES
+
+    # JVM/codegen warmup on the smallest fixture (not measured)
+    QUERIES["q01_pricing_summary"](spark, "/root/testdata/sf0.001").write.format(
+        "noop"
+    ).mode("overwrite").save()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        df = QUERIES[name](spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -36,6 +36,40 @@ def portable_hash64_sql(expr: str, salt: str = "") -> str:
     return f"cast('0x' || substr(md5({salted}), 1, {HASH_HEX_CHARS}) as bigint)"
 
 
+#: Mersenne prime 2^31-1: affine MinHash mixing stays inside 62 bits, so
+#: products never overflow a signed int64 in EITHER engine (DuckDB errors
+#: on bigint overflow; Spark would silently wrap — both avoided).
+MERSENNE31 = 2_147_483_647
+
+def _affine_params(num_hashes: int) -> list[tuple[int, int]]:
+    """Deterministic (a, b) pairs for h_i = (a*h + b) mod p, a != 0."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    return [
+        (int(rng.randint(1, MERSENNE31)), int(rng.randint(0, MERSENNE31)))
+        for _ in range(num_hashes)
+    ]
+
+
+def affine_minhash_exprs(base_hash: Column, num_hashes: int) -> list[Column]:
+    """ONE md5 per value (``base_hash``), then cheap integer mixing per
+    seed — 16x fewer md5 evaluations than salted hashing."""
+    h32 = base_hash % MERSENNE31
+    return [
+        ((F.lit(a) * h32 + F.lit(b)) % MERSENNE31).alias(f"h{i}")
+        for i, (a, b) in enumerate(_affine_params(num_hashes))
+    ]
+
+
+def affine_minhash_exprs_sql(base_hash_sql: str, num_hashes: int) -> list[str]:
+    h32 = f"(({base_hash_sql}) % {MERSENNE31})"
+    return [
+        f"(({a} * {h32} + {b}) % {MERSENNE31})"
+        for (a, b) in _affine_params(num_hashes)
+    ]
+
+
 def minhash(grams_col: Column, num_hashes: int) -> Column:
     """MinHash signature: array of ``num_hashes`` mins over salted hashes
     of the gram array. Empty gram set → nulls (caller filters).

@@ -26,7 +26,12 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions import text as TX
-from ..functions.hashing import portable_hash64, portable_hash64_sql
+from ..functions.hashing import (
+    affine_minhash_exprs,
+    affine_minhash_exprs_sql,
+    portable_hash64,
+    portable_hash64_sql,
+)
 
 # sketch geometry (shared by Spark operators and SQL twins)
 MINHASH_K = 16
@@ -43,9 +48,16 @@ CHUNK_MASK = (1 << CHUNK_BITS) - 1
 # -- shared building blocks -------------------------------------------------
 
 def doc_grams(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """(id, gram) pairs: DISTINCT word n-grams of the normalized text."""
-    grams = F.array_distinct(TX.word_ngrams(TX.tokenize(text_col), NGRAM_N))
-    return docs.select(F.col(id_col), F.explode(grams).alias("gram"))
+    """(id, gram) pairs: DISTINCT word n-grams of the normalized text.
+
+    The tokenization is PROJECTED FIRST so the n-gram higher-order
+    functions reference a materialized array attribute. Passing the
+    tokenize expression tree straight in would re-evaluate the whole
+    regex-normalize+split chain per n-gram position (observed 15s for
+    5k docs at sf0.1 → ~0.5s with the projection boundary)."""
+    tk = docs.select(F.col(id_col), TX.tokenize(text_col).alias("tk"))
+    grams = F.array_distinct(TX.word_ngrams(F.col("tk"), NGRAM_N))
+    return tk.select(F.col(id_col), F.explode(grams).alias("gram"))
 
 
 def doc_grams_sql(text_col: str = "text", id_col: str = "doc_id", table: str = "documents") -> str:
@@ -84,11 +96,12 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float) -> DataFrame:
     grams with df > MAX_DF → join on gram → count common → jaccard.
     """
     grams = doc_grams(docs)
-    df_w = Window.partitionBy("gram")
-    capped = (
-        grams.withColumn("df", F.count("*").over(df_w))
-        .filter(F.col("df") <= MAX_DF)
-        .drop("df")
+    # df cap via groupBy+join (hash agg + hash join) rather than a
+    # count-over-window — the window forces a per-gram sort; the agg is
+    # map-side-combinable and the rare-gram table joins back hash-wise
+    gram_df = grams.groupBy("gram").agg(F.count("*").alias("df"))
+    capped = grams.join(
+        gram_df.filter(F.col("df") <= MAX_DF).select("gram"), "gram"
     )
     sizes = capped.groupBy("doc_id").agg(F.count("*").alias("sz"))
     a, b = capped.alias("a"), capped.alias("b")
@@ -135,14 +148,14 @@ def ngram_jaccard_pairs_sql(threshold: float) -> str:
 # -- MinHash + LSH ----------------------------------------------------------
 
 def minhash_signatures(docs: DataFrame) -> DataFrame:
-    """(doc_id, mh0..mh{K-1}): per-seed min over salted portable hashes of
-    the gram set. One shuffle (groupBy doc_id) with map-side partial mins.
-    """
+    """(doc_id, mh0..mh{K-1}): per-seed min over affine-mixed portable
+    hashes of the gram set. ONE md5 per gram instance (the 16 seeds are
+    integer affine mixes of it — see ``hashing.affine_minhash_exprs``);
+    one shuffle (groupBy doc_id) with map-side partial mins."""
     grams = doc_grams(docs)
-    aggs = [
-        F.min(portable_hash64(F.col("gram"), salt=f"mh{i}|")).alias(f"mh{i}")
-        for i in range(MINHASH_K)
-    ]
+    base = portable_hash64(F.col("gram"))
+    mixed = affine_minhash_exprs(base, MINHASH_K)
+    aggs = [F.min(mixed[i]).alias(f"mh{i}") for i in range(MINHASH_K)]
     return grams.groupBy("doc_id").agg(*aggs)
 
 
@@ -190,9 +203,9 @@ def lsh_candidate_pairs(sig: DataFrame, threshold: float) -> DataFrame:
 
 
 def minhash_lsh_pairs_sql(threshold: float) -> str:
+    mixed = affine_minhash_exprs_sql(portable_hash64_sql("gram"), MINHASH_K)
     mins = ",\n        ".join(
-        f"min({portable_hash64_sql('gram', salt=f'mh{i}|')}) AS mh{i}"
-        for i in range(MINHASH_K)
+        f"min({mixed[i]}) AS mh{i}" for i in range(MINHASH_K)
     )
     band_selects = "\n      UNION ALL ".join(
         f"SELECT doc_id, {j} AS band, md5(concat_ws('|', {', '.join(_band_cols(j))})) AS bh FROM sig"
