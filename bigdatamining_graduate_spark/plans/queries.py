@@ -987,3 +987,41 @@ def q39_binary_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     character codes — valid because the fixture text is pure ASCII."""
     docs = load_table(spark, sf_dir, "documents")
     return MM.binary_features(MM.with_binary_payload(docs))
+
+
+@register(
+    "q40_word_cooccurrence",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(list_distinct({TX.tokenize_sql('text')})) AS word
+      FROM documents
+    ),
+    pairs AS (
+      SELECT a.word AS w1, b.word AS w2
+      FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND a.word < b.word
+    )
+    SELECT w1, w2, count(*) AS n_docs
+    FROM pairs
+    GROUP BY w1, w2
+    ORDER BY n_docs DESC, w1, w2
+    LIMIT 20
+    """,
+)
+def q40_word_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word co-occurrence counts via a key self-join (J4/A13): the hw2
+    crosstab-after-self-join co-occurrence matrix
+    (``hw2/BDM_hw2_final.py:244-245``) in scalable long form with a total
+    order + limit. Distinct tokens per doc so a pair counts once per doc."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(F.array_distinct(TX.tokenize("text"))).alias("word")
+    )
+    a, b = tok.alias("a"), tok.alias("b")
+    return (
+        a.join(b, "doc_id")
+        .filter(F.col("a.word") < F.col("b.word"))
+        .groupBy(F.col("a.word").alias("w1"), F.col("b.word").alias("w2"))
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy(F.desc("n_docs"), F.asc("w1"), F.asc("w2"))
+        .limit(20)
+    )

@@ -1,0 +1,77 @@
+"""Ingestion readers for the reference's source formats (SURVEY.md §2.1).
+
+Every reader is fully distributed with an EXPLICIT schema — the two
+reference anti-patterns they replace:
+
+* ``collect()`` → ``createDataFrame`` ingestion (S8, ``hw4/hw4.py:33-41``):
+  the whole dataset round-trips through the driver. Here ``spark.read.text``
+  + ``split`` does the same parse executor-side.
+* ``inferSchema=True`` (S5, ``FinalProject/BDM_Final.py:78``): an extra
+  sampling pass and engine-dependent types. All readers take StructTypes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def read_delimited(
+    spark: SparkSession,
+    paths: str | list[str],
+    schema: T.StructType,
+    sep: str = ",",
+    header: bool = False,
+    escape: str = '"',
+) -> DataFrame:
+    """CSV/semicolon/tab files with explicit schema (S1 ``hw0/hw0_1.py:10``
+    ;-separated, S4 escape-quoted ``hw2/BDM_hw2_final.py:31``). Accepts a
+    glob or a LIST of paths — the reference's per-file union loop (S6/S7,
+    ``FinalProject/BDM_Final.py:75-81``) collapses into one multi-path scan.
+    """
+    reader = (
+        spark.read.schema(schema)
+        .option("header", header)
+        .option("sep", sep)
+        .option("escape", escape)
+        .option("mode", "PERMISSIVE")
+    )
+    return reader.csv(paths if isinstance(paths, list) else [paths])
+
+
+def read_multichar_delimited(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    sep: str = "::",
+) -> DataFrame:
+    """Multi-character-delimiter files (S2: MovieLens ``::`` .dat,
+    ``hw4/hw4.py:25-35``). Spark's CSV source only takes 1-char separators,
+    and the reference's workaround collects to the driver (S8); here:
+    ``read.text`` → ``split`` → positional casts, all executor-side."""
+    raw = spark.read.text(path)
+    parts = F.split(F.col("value"), sep, -1)
+    # F.get (not getItem): rows with missing fields yield NULLs instead of
+    # an ANSI INVALID_ARRAY_INDEX error — permissive-CSV semantics (P15)
+    cols = [
+        F.get(parts, i).cast(f.dataType).alias(f.name)
+        for i, f in enumerate(schema.fields)
+    ]
+    return raw.select(*cols)
+
+
+def read_whole_files(spark: SparkSession, glob_path: str) -> DataFrame:
+    """(file, content) rows — one row per file (S3: ``wholeTextFiles`` over
+    Reuters ``*.sgm``, ``hw3/hw3.py:20``). File-granular parallelism: each
+    file is one task's row, no driver involvement."""
+    df = spark.read.option("wholetext", True).text(glob_path)
+    return df.select(
+        F.input_file_name().alias("file"), F.col("value").alias("content")
+    )
+
+
+def from_pandas(spark: SparkSession, pdf) -> DataFrame:
+    """pandas → DataFrame via Arrow (S9, ``hw2/BDM_hw2_final.py:209``);
+    the session factory enables ``spark.sql.execution.arrow.pyspark``."""
+    return spark.createDataFrame(pdf)

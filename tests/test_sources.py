@@ -1,0 +1,78 @@
+"""Reader/sink round-trips over the reference's source formats
+(SURVEY.md §2.1): ;-CSV, ::-dat, whole-file, quoted CSV sink."""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import types as T
+
+from bigdatamining_graduate_spark.sources import readers, sinks
+
+
+def test_read_delimited_semicolon(spark, tmp_path):
+    p = tmp_path / "power.txt"
+    p.write_text("1.5;2.5;x\n3.0;4.0;y\n")
+    schema = T.StructType(
+        [
+            T.StructField("a", T.DoubleType()),
+            T.StructField("b", T.DoubleType()),
+            T.StructField("c", T.StringType()),
+        ]
+    )
+    df = readers.read_delimited(spark, str(p), schema, sep=";")
+    rows = sorted(df.collect())
+    assert [tuple(r) for r in rows] == [(1.5, 2.5, "x"), (3.0, 4.0, "y")]
+
+
+def test_read_delimited_multi_path(spark, tmp_path):
+    for i in range(3):
+        (tmp_path / f"part{i}.csv").write_text(f"{i},v{i}\n")
+    schema = T.StructType(
+        [T.StructField("id", T.IntegerType()), T.StructField("v", T.StringType())]
+    )
+    df = readers.read_delimited(
+        spark, [str(tmp_path / f"part{i}.csv") for i in range(3)], schema
+    )
+    assert df.count() == 3
+
+
+def test_read_double_colon_dat(spark, tmp_path):
+    p = tmp_path / "ratings.dat"
+    p.write_text("1::1193::5::978300760\n2::661::3::978302109\n")
+    schema = T.StructType(
+        [
+            T.StructField("UserID", T.IntegerType()),
+            T.StructField("MovieID", T.IntegerType()),
+            T.StructField("Rating", T.DoubleType()),
+            T.StructField("Timestamp", T.LongType()),
+        ]
+    )
+    df = readers.read_multichar_delimited(spark, str(p), schema, sep="::")
+    rows = sorted(df.collect())
+    assert [tuple(r) for r in rows] == [
+        (1, 1193, 5.0, 978300760),
+        (2, 661, 3.0, 978302109),
+    ]
+
+
+def test_read_whole_files(spark, tmp_path):
+    (tmp_path / "a.sgm").write_text("<BODY>alpha</BODY>")
+    (tmp_path / "b.sgm").write_text("<BODY>beta</BODY>")
+    df = readers.read_whole_files(spark, str(tmp_path / "*.sgm"))
+    rows = {r["file"].rsplit("/", 1)[-1]: r["content"] for r in df.collect()}
+    assert rows == {"a.sgm": "<BODY>alpha</BODY>", "b.sgm": "<BODY>beta</BODY>"}
+
+
+def test_from_pandas_roundtrip(spark):
+    pdf = pd.DataFrame({"x": [1, 2], "y": ["a", "b"]})
+    df = readers.from_pandas(spark, pdf)
+    assert sorted(tuple(r) for r in df.collect()) == [(1, "a"), (2, "b")]
+
+
+def test_csv_sink_roundtrip(spark, tmp_path):
+    pdf = pd.DataFrame({"k": [1, 2], "s": ["x,y", 'q"z']})
+    df = readers.from_pandas(spark, pdf)
+    out = str(tmp_path / "out")
+    sinks.write_csv(df, out, header=True, quote_all=True, single_file=True)
+    back = spark.read.option("header", True).option("escape", '"').csv(out)
+    assert sorted(tuple(r) for r in back.collect()) == [("1", "x,y"), ("2", 'q"z')]
