@@ -1,0 +1,162 @@
+"""Reference-workload parity modules driven over tiny synthetic files in
+the ORIGINAL dataset formats (FIXTURES.md §1)."""
+
+from __future__ import annotations
+
+import math
+
+from bigdatamining_graduate_spark.workloads import (
+    final_tweets,
+    hw0_power,
+    hw2_news,
+    hw3_reuters,
+    hw4_movielens,
+)
+
+
+def test_hw0_power(spark, tmp_path):
+    p = tmp_path / "power.txt"
+    p.write_text(
+        "Date;Time;Global_active_power;Global_reactive_power;Voltage;"
+        "Global_intensity;Sub_metering_1;Sub_metering_2;Sub_metering_3\n"
+        "16/12/2006;17:24:00;4.0;0.4;234.0;18.0;0;1;17\n"
+        "16/12/2006;17:25:00;2.0;0.2;233.0;10.0;0;1;16\n"
+        "16/12/2006;17:26:00;?;0.3;233.0;?;0;2;17\n"  # sentinel row dropped
+    )
+    df = hw0_power.load(spark, str(p))
+    assert df.count() == 2
+    stats = hw0_power.column_stats(df).collect()[0]
+    assert stats["row_count"] == 2
+    assert stats["Global_active_power_min"] == 2.0
+    assert stats["Global_active_power_max"] == 4.0
+    assert stats["Global_active_power_mean"] == 3.0
+    # population stddev of {2,4} = 1.0 (sample would be sqrt(2))
+    assert math.isclose(stats["Global_active_power_stddev"], 1.0)
+    norm = {
+        r["Time"]: r["Global_active_power_norm"]
+        for r in hw0_power.minmax_normalized(df).collect()
+    }
+    assert norm == {"17:24:00": 1.0, "17:25:00": 0.0}
+
+
+def test_hw2_news(spark, tmp_path):
+    news = tmp_path / "News_Final.csv"
+    news.write_text(
+        "IDLink,Title,Headline,Source,Topic,PublishDate,SentimentTitle,SentimentHeadline\n"
+        '1,"economy up again","h1",src,economy,2015-01-01,0.5,0.1\n'
+        '2,"economy down today","h2",src,economy,2015-01-02,-0.5,0.3\n'
+        '3,"obama speech","h3",src,obama,2015-01-03,0.2,0.2\n'
+        '4,"ignored topic","h4",src,weather,2015-01-04,0.9,0.9\n'
+    )
+    df = hw2_news.load_news(spark, str(news))
+    freq = hw2_news.word_freq_by_topic(df).collect()
+    by_pair = {(r["Topic"], r["word"]): r["count"] for r in freq}
+    assert by_pair[("economy", "economy")] == 2
+    assert ("weather", "ignored") not in {(t, w) for (t, w) in by_pair}
+    senti = {r["Topic"]: r for r in hw2_news.sentiment_by_topic(df).collect()}
+    assert math.isclose(senti["economy"]["title_sum"], 0.0)
+    assert math.isclose(senti["economy"]["headline_avg"], 0.2)
+
+    # platform TS file: 6 slots -> 2 hours -> 2 half-day means
+    ts = tmp_path / "Facebook_test.csv"
+    header = "IDLink," + ",".join(f"TS{i}" for i in range(1, 7))
+    ts.write_text(header + "\n10,1,2,3,4,5,6\n")
+    plat = hw2_news.load_platform(spark, str(ts))
+    plat6 = plat.select("IDLink", *[f"TS{i}" for i in range(1, 7)])
+    hourly = hw2_news.hourly_rollup(plat6, n_slots=6).collect()[0]
+    assert hourly["hour1"] == 2.0 and hourly["hour2"] == 5.0
+    daily = hw2_news.daily_rollup(plat6, n_slots=6).collect()[0]
+    assert daily["day1"] == 2.0 and daily["day2"] == 5.0
+
+
+def test_hw3_reuters(spark, tmp_path):
+    body_a = "grain prices rose sharply in early trading on tuesday morning"
+    body_b = "oil"
+    sgm = tmp_path / "reut2-000.sgm"
+    sgm.write_text(
+        f'<REUTERS OLDID="100"><TEXT><BODY>{body_a}</BODY></TEXT></REUTERS>\n'
+        f'<REUTERS OLDID="101"><TEXT><BODY>{body_b}</BODY></TEXT></REUTERS>\n'
+        f'<REUTERS OLDID="102"><TEXT>no body tag here</TEXT></REUTERS>\n'
+    )
+    arts = hw3_reuters.parse_articles(spark, str(tmp_path / "*.sgm"))
+    rows = {r["article_id"]: r["body"] for r in arts.collect()}
+    # 101 dropped (<8 tokens), 102 dropped (no BODY)
+    assert set(rows) == {"100"}
+    assert rows["100"] == body_a
+
+
+def test_hw3_near_duplicates(spark, tmp_path):
+    base = "grain prices rose sharply in early trading on tuesday morning session"
+    sgm = tmp_path / "r.sgm"
+    sgm.write_text(
+        f'<REUTERS OLDID="1"><BODY>{base}</BODY></REUTERS>\n'
+        f'<REUTERS OLDID="2"><BODY>{base}</BODY></REUTERS>\n'
+        f'<REUTERS OLDID="3"><BODY>completely different words about currency markets and interest rates</BODY></REUTERS>\n'
+    )
+    arts = hw3_reuters.parse_articles(spark, str(tmp_path / "*.sgm"))
+    pairs = hw3_reuters.near_duplicates(arts, threshold=0.9).collect()
+    assert [(r["doc_a"], r["doc_b"]) for r in pairs] == [(1, 2)]
+
+
+def test_hw4_movielens(spark, tmp_path):
+    (tmp_path / "ratings.dat").write_text(
+        "1::10::5::100\n1::20::3::101\n2::10::4::102\n2::20::2::103\n3::10::3::104\n"
+    )
+    (tmp_path / "users.dat").write_text(
+        "1::F::25::artist::12345\n2::M::35::doctor::23456\n3::M::25::artist::34567\n"
+    )
+    (tmp_path / "movies.dat").write_text(
+        "10::Movie Ten::Drama\n20::Movie Twenty::Comedy|Drama\n"
+    )
+    ratings, users, movies = hw4_movielens.load(
+        spark,
+        str(tmp_path / "ratings.dat"),
+        str(tmp_path / "users.dat"),
+        str(tmp_path / "movies.dat"),
+    )
+    avg = {r["MovieID"]: r for r in hw4_movielens.avg_rating_per_movie(ratings, movies).collect()}
+    assert math.isclose(avg[10]["avg_rating"], 4.0)
+    assert avg[10]["Title"] == "Movie Ten"
+    demo = {
+        (r["Gender"], r["Age"]): r["avg_rating"]
+        for r in hw4_movielens.avg_rating_by_demographic(ratings, users).collect()
+    }
+    assert math.isclose(demo[("F", 25)], 4.0)
+    sim = {r["m1"]: r for r in hw4_movielens.most_similar_movie(ratings).collect()}
+    assert sim[10]["most_similar"] == 20
+    # cosine over co-raters 1,2: dot=5*3+4*2=23
+    assert math.isclose(
+        sim[10]["cosine"],
+        23.0 / (math.sqrt(25 + 16 + 9) * math.sqrt(9 + 4)),
+        rel_tol=1e-9,
+    )
+
+
+def test_final_tweets(spark, tmp_path):
+    csv = tmp_path / "tweets1.csv"
+    csv.write_text(
+        "id,created_at,source,original_text,lang,favorite_count,retweet_count,"
+        "original_author,hashtags,user_mentions,place,clean_tweet,compound,sentiment\n"
+        '1,2020-04-01,web,"covid cases rising fast",en,10,2,a,"covid, health","@who",x,c,0.1,pos\n'
+        '2,2020-04-02,web,"stay home stay safe",en,5,1,b,"covid","12345",y,c,0.0,neg\n'
+        '3,garbage-date,web,"dropped row",en,1,0,c,,,z,c,0.0,neu\n'
+        '4,2020-05-01,web,"vaccine research update",en,notnum,0,d,"vaccine","@cdc, 999",w,c,0.2,0.7\n'
+    )
+    df = final_tweets.load(spark, [str(csv)])
+    assert df.count() == 3  # dirty date dropped
+    top = final_tweets.top_tweets_by_favorites(df).collect()
+    assert [r["id"] for r in top] == ["1", "2"]  # notnum filtered
+    tags = final_tweets.top_hashtags_per_month(df).collect()
+    assert {(r["year"], r["month"], r["hashtag"]) for r in tags} >= {
+        (2020, 4, "covid"),
+        (2020, 5, "vaccine"),
+    }
+    mentions = final_tweets.top_mentions_per_month(df).collect()
+    names = {r["mention"] for r in mentions}
+    assert "@who" in names and "999" not in names and "12345" not in names
+    dist = {
+        r["sentiment_label"]: r["n"]
+        for r in final_tweets.sentiment_distribution(df).collect()
+    }
+    # tweet 4: sentiment '0.7' -> numeric >= 0.5 -> pos -> 2
+    assert dist == {2: 2, 0: 1}
