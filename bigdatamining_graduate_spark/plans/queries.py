@@ -1025,3 +1025,223 @@ def q40_word_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_docs"), F.asc("w1"), F.asc("w2"))
         .limit(20)
     )
+
+
+# --------------------------------------------------------------------------
+# Grouping sets / skew / as-of / set-op extensions (operators the engine
+# inherits from Spark but the reference never exercised — SURVEY.md §2.4
+# "not present" list, completed here)
+# --------------------------------------------------------------------------
+
+from ..operators import skew as SK  # noqa: E402
+
+
+@register(
+    "q41_sales_rollup",
+    oracle="""
+    SELECT coalesce(cast(year(o_orderdate) as bigint), -1)  AS order_year,
+           coalesce(cast(month(o_orderdate) as bigint), -1) AS order_month,
+           cast(GROUPING(year(o_orderdate), month(o_orderdate)) as bigint) AS gid,
+           count(*) AS order_count,
+           cast(sum(cast(o_totalprice as decimal(20,2))) as double) AS total_sales
+    FROM orders
+    GROUP BY ROLLUP(year(o_orderdate), month(o_orderdate))
+    """,
+)
+def q41_sales_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical ROLLUP (year → month → grand total) in one pass —
+    subtotal levels the reference recomputes with separate groupBy jobs
+    come free from the grouping-sets operator. Null grouping keys are
+    coalesced to -1 sentinels (stable cross-engine hashing) with
+    grouping_id disambiguating."""
+    od = load_table(spark, sf_dir, "orders")
+    y = F.year("o_orderdate").cast("long")
+    m = F.month("o_orderdate").cast("long")
+    return (
+        od.rollup(y.alias("y"), m.alias("m"))
+        .agg(
+            F.grouping_id().cast("long").alias("gid"),
+            F.count("*").alias("order_count"),
+            F.sum(F.col("o_totalprice").cast("decimal(20,2)")).cast("double").alias("total_sales"),
+        )
+        .select(
+            F.coalesce("y", F.lit(-1)).alias("order_year"),
+            F.coalesce("m", F.lit(-1)).alias("order_month"),
+            "gid",
+            "order_count",
+            "total_sales",
+        )
+    )
+
+
+@register(
+    "q42_status_priority_cube",
+    oracle="""
+    SELECT coalesce(o_orderstatus, '<all>')   AS status,
+           coalesce(o_orderpriority, '<all>') AS priority,
+           cast(GROUPING(o_orderstatus, o_orderpriority) as bigint) AS gid,
+           count(*) AS n
+    FROM orders
+    GROUP BY CUBE(o_orderstatus, o_orderpriority)
+    """,
+)
+def q42_status_priority_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full CUBE over two dimensions — all four grouping sets in one
+    shuffle."""
+    od = load_table(spark, sf_dir, "orders")
+    return (
+        od.cube("o_orderstatus", "o_orderpriority")
+        .agg(F.grouping_id().cast("long").alias("gid"), F.count("*").alias("n"))
+        .select(
+            F.coalesce("o_orderstatus", F.lit("<all>")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("<all>")).alias("priority"),
+            "gid",
+            "n",
+        )
+    )
+
+
+@register(
+    "q43_salted_user_totals",
+    oracle="""
+    SELECT user_id,
+           cast(sum(cast(value as decimal(20,2))) as double) AS value_sum,
+           count(*) AS n
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def q43_salted_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage SALTED aggregation (operators/skew.py): algebraically
+    identical to the direct groupBy — which is exactly what the oracle
+    checks — while spreading any hot user_id across 16 reducers. The
+    skew template for 100 TB aggregations whose accumulators defeat
+    map-side combine."""
+    ev = load_table(spark, sf_dir, "events")
+    return SK.salted_sum_count(
+        ev, "user_id", F.col("value").cast("decimal(20,2)"), salt_source="event_id"
+    ).withColumn("value_sum", F.col("value_sum").cast("double"))
+
+
+@register(
+    "q44_last_signup_asof",
+    oracle="""
+    SELECT event_id, user_id,
+           cast(epoch_us(ts) // 1000000
+                - epoch_us(max(CASE WHEN event_type = 'signup' THEN ts END)
+                           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) // 1000000
+                as bigint) AS secs_since_signup
+    FROM events
+    """,
+)
+def q44_last_signup_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS-OF join expressed as a running conditional max — for each event,
+    seconds since the same user's most recent signup at-or-before it.
+    The genuinely-scalable as-of pattern when both sides share a
+    partition key: one shuffle on user_id, no range join, no point-in-time
+    subqueries (range/as-of joins are absent from the reference —
+    SURVEY.md §2.3 note)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    last_signup = F.max(
+        F.when(F.col("event_type") == "signup", F.col("ts"))
+    ).over(w)
+    return ev.select(
+        "event_id",
+        "user_id",
+        (F.unix_timestamp("ts") - F.unix_timestamp(last_signup)).alias("secs_since_signup"),
+    )
+
+
+@register(
+    "q45_type_user_stats",
+    oracle="""
+    SELECT event_type,
+           count(DISTINCT user_id) AS distinct_users,
+           count(*) AS n_events
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q45_type_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact COUNT(DISTINCT) per group — Catalyst expands it to a
+    two-phase aggregate. (At 100 TB, swap in approx_count_distinct's HLL
+    sketch; kept exact here because the oracle must hash-match.)"""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("distinct_users"),
+        F.count("*").alias("n_events"),
+    )
+
+
+@register(
+    "q46_inactive_automobile_customers",
+    oracle="""
+    SELECT c_custkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE'
+    EXCEPT ALL
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    """,
+)
+def q46_inactive_automobile_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset difference via ``exceptAll`` (U3) — the set-op form of the
+    reference's left-anti join idiom (``FinalProject/BDM_Final.py:613``)."""
+    cu = load_table(spark, sf_dir, "customer")
+    od = load_table(spark, sf_dir, "orders")
+    auto = cu.filter(F.col("c_mktsegment") == "AUTOMOBILE").select(
+        F.col("c_custkey")
+    )
+    open_orders = od.filter(F.col("o_orderstatus") == "O").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    return auto.exceptAll(open_orders)
+
+
+@register(
+    "q47_stream_session_windows",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, ts,
+             CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+                    OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800000000
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ),
+    sessions AS (
+      SELECT user_id, ts,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS session_no
+      FROM ordered
+    )
+    SELECT user_id, count(*) AS n_events,
+           cast(epoch_us(min(ts)) // 1000000 as bigint) AS session_start_s
+    FROM sessions
+    GROUP BY user_id, session_no
+    """,
+)
+def q47_stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING session windows (30-min gap) per user via the built-in
+    ``session_window`` stateful operator — Spark's managed-state answer
+    to custom sessionization (applyInPandasWithState would be the
+    escape hatch for richer per-session state). Drained with availableNow
+    so the result equals batch sessionization, which is what the oracle
+    computes via gap/island SQL."""
+    from ..streaming.jobs import read_events_stream, _run_to_memory
+
+    ev = read_events_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "2 hours")
+        .groupBy("user_id", F.session_window("ts", "30 minutes").alias("sw"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            "n_events",
+            F.unix_timestamp("sw.start").alias("session_start_s"),
+        )
+    )
+    return _run_to_memory(agg)
