@@ -1245,3 +1245,17 @@ def q47_stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return _run_to_memory(agg)
+
+
+from ..streaming.stateful import RUNNING_USER_TOTALS_SQL  # noqa: E402
+
+
+@register("q48_stateful_user_totals", oracle=RUNNING_USER_TOTALS_SQL)
+def q48_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState):
+    running per-user totals with explicit Arrow-batched GroupState —
+    drained with availableNow, so the update stream's final rows equal the
+    batch aggregate the oracle computes."""
+    from ..streaming.stateful import running_user_totals
+
+    return running_user_totals(spark, sf_dir)

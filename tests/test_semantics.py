@@ -1,0 +1,92 @@
+"""Property tests for the semantic traps cataloged in SURVEY.md §7.4 —
+the places where two plausible implementations silently diverge."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from bigdatamining_graduate_spark.functions import text as TX
+
+
+@given(st.lists(st.floats(min_value=-1e6, max_value=1e6, allow_nan=False), min_size=2, max_size=20))
+@settings(max_examples=10, deadline=None)
+def test_stddev_pop_vs_sample(spark, xs):
+    """Trap 1: RDD stdev() is POPULATION; SQL stddev is SAMPLE. The engine
+    must use stddev_pop for hw0 parity."""
+    df = spark.createDataFrame([(x,) for x in xs], ["x"])
+    row = df.agg(
+        F.stddev_pop("x").alias("pop"), F.stddev_samp("x").alias("samp")
+    ).collect()[0]
+    n = len(xs)
+    mean = sum(xs) / n
+    var_pop = sum((x - mean) ** 2 for x in xs) / n
+    assert math.isclose(row["pop"], math.sqrt(var_pop), rel_tol=1e-6, abs_tol=1e-6)
+    if var_pop > 1e-9:
+        assert row["samp"] > row["pop"]  # sample stddev strictly larger
+
+
+def test_rank_includes_ties_row_number_does_not(spark):
+    """Trap 3: reference top-k uses rank() (ties included, W2); top-1 uses
+    row_number() (W1). They differ exactly on ties."""
+    rows = [("g", "a", 10), ("g", "b", 10), ("g", "c", 5)]
+    df = spark.createDataFrame(rows, ["grp", "item", "score"])
+    w = Window.partitionBy("grp").orderBy(F.desc("score"), F.asc("item"))
+    out = df.select(
+        "item",
+        F.rank().over(Window.partitionBy("grp").orderBy(F.desc("score"))).alias("rk"),
+        F.row_number().over(w).alias("rn"),
+    ).collect()
+    by_item = {r["item"]: r for r in out}
+    assert by_item["a"]["rk"] == by_item["b"]["rk"] == 1  # tie shares rank
+    assert {by_item["a"]["rn"], by_item["b"]["rn"]} == {1, 2}  # rn splits it
+    assert by_item["c"]["rk"] == 3  # rank skips after ties
+
+
+def test_normalize_null_becomes_empty(spark):
+    """Trap 2: reference UDFs coerce null text to '' (D12,
+    FinalProject/BDM_Final.py:94-95); a naive built-in chain would
+    propagate NULL. Engine normalize_text must match the reference."""
+    df = spark.createDataFrame([(None,), ("A b!",)], "text: string")
+    out = df.select(TX.normalize_text("text").alias("t")).collect()
+    assert sorted(r["t"] for r in out) == ["", "a b"]
+
+
+def test_tokenize_empty_and_punct_only(spark):
+    df = spark.createDataFrame([("",), ("!!!",), ("one two",)], "text: string")
+    out = df.select(F.size(TX.tokenize("text")).alias("n")).collect()
+    assert sorted(r["n"] for r in out) == [0, 0, 2]
+
+
+def test_union_by_name_vs_positional(spark):
+    """Trap U1/U2: positional union silently scrambles reordered columns."""
+    a = spark.createDataFrame([("1", "x")], ["id", "v"])
+    b = spark.createDataFrame([("y", "2")], ["v", "id"])
+    by_name = a.unionByName(b).collect()
+    assert {(r["id"], r["v"]) for r in by_name} == {("1", "x"), ("2", "y")}
+    positional = a.union(b).collect()  # documented hazard when types permit
+    assert ("y", "2") in {(r["id"], r["v"]) for r in positional}
+
+
+@given(st.lists(st.text(alphabet="ab !", max_size=12), min_size=1, max_size=6))
+@settings(max_examples=10, deadline=None)
+def test_word_ngrams_short_docs_safe(spark, texts):
+    """word_ngrams must yield empty arrays (not errors/nulls) for docs
+    shorter than n — the ANSI-mode trap of negative sequence bounds."""
+    df = spark.createDataFrame([(t,) for t in texts], "text: string")
+    tk = df.select(TX.tokenize("text").alias("tk"))
+    out = tk.select(F.size(TX.word_ngrams(F.col("tk"), 3)).alias("n"), F.size("tk").alias("s")).collect()
+    for r in out:
+        assert r["n"] == max(0, r["s"] - 2)
+
+
+def test_exact_decimal_sum_order_independent(spark):
+    """Trap 7: double sums are order-dependent; decimal sums are not."""
+    vals = [(0.1,)] * 100 + [(1e15,), (-1e15,)]
+    df = spark.createDataFrame(vals, "x: double").repartition(8)
+    dec = df.agg(F.sum(F.col("x").cast("decimal(30,2)")).cast("double")).collect()[0][0]
+    assert dec == pytest.approx(10.0, abs=1e-9)
