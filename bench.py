@@ -35,6 +35,8 @@ HEADLINE = [
     "q29_knn_bruteforce",       # similarity search
     "q31_tfidf_top_terms",      # tf-idf + per-doc top-k
     "q36_stream_hourly_counts", # structured streaming window agg
+    "q44_last_signup_asof",     # as-of via running conditional max
+    "q47_stream_session_windows",  # streaming session windows
 ]
 
 

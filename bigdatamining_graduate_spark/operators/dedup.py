@@ -91,25 +91,44 @@ def exact_dedup_groups_sql() -> str:
 # -- n-gram Jaccard (inverted index) ---------------------------------------
 
 def ngram_jaccard_pairs(docs: DataFrame, threshold: float) -> DataFrame:
-    """Exact Jaccard similarity over capped word-n-gram sets via an
-    inverted-index self-join (no O(n²) cross join): explode grams → drop
-    grams with df > MAX_DF → join on gram → count common → jaccard.
+    """Exact Jaccard similarity over capped word-n-gram sets WITHOUT a
+    self-join: ONE aggregation per gram collects its (sorted) doc list,
+    ubiquitous grams (df > MAX_DF) are dropped there, and candidate pairs
+    are emitted by a nested array-transform over the list — the classic
+    "inverted index → emit pairs" MapReduce shape as pure Catalyst
+    expressions. The gram pipeline is evaluated ONCE (the naive
+    grams⋈grams join recomputes the explode on both sides and shuffles it
+    twice); the df cap bounds per-gram fanout at C(MAX_DF, 2).
     """
     grams = doc_grams(docs)
-    # df cap via groupBy+join (hash agg + hash join) rather than a
-    # count-over-window — the window forces a per-gram sort; the agg is
-    # map-side-combinable and the rare-gram table joins back hash-wise
-    gram_df = grams.groupBy("gram").agg(F.count("*").alias("df"))
-    capped = grams.join(
-        gram_df.filter(F.col("df") <= MAX_DF).select("gram"), "gram"
+    postings = (
+        grams.groupBy("gram")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("docs"))
+        .filter(F.size("docs") <= MAX_DF)
     )
-    sizes = capped.groupBy("doc_id").agg(F.count("*").alias("sz"))
-    a, b = capped.alias("a"), capped.alias("b")
+    # (df=1 grams stay: they emit no pairs — slice() yields empty — but
+    # MUST count toward per-doc set sizes, matching the oracle's universe)
+    # all ordered pairs (docs[i], docs[j]) with i < j, via nested transform
+    lst = F.col("docs")
+    pair_lists = F.flatten(
+        F.transform(
+            lst,
+            lambda x, i: F.transform(
+                F.slice(lst, i + 2, F.size(lst)),
+                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+            ),
+        )
+    )
     common = (
-        a.join(b, "gram")
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        postings.select(F.explode(pair_lists).alias("p"))
+        .groupBy(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
         .agg(F.count("*").alias("common"))
+    )
+    # per-doc set sizes over the SAME capped gram universe
+    sizes = (
+        postings.select(F.explode("docs").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("sz"))
     )
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
