@@ -1259,3 +1259,103 @@ def q48_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.stateful import running_user_totals
 
     return running_user_totals(spark, sf_dir)
+
+
+# --------------------------------------------------------------------------
+# Full-catalog coverage: region/supplier/part dims + embedding labels
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q49_supplier_region_revenue",
+    oracle=f"""
+    SELECT r_name,
+           cast(sum({N.revenue_sql('l_extendedprice', 'l_discount')}) as double) AS revenue,
+           count(DISTINCT s_suppkey) AS n_suppliers
+    FROM lineitem
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    GROUP BY r_name
+    """,
+)
+def q49_supplier_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier-side star join through the full dim chain
+    (lineitem→supplier→nation→region, J1): every dim broadcast, one
+    shuffle for the final aggregate."""
+    li = load_table(spark, sf_dir, "lineitem")
+    su = load_table(spark, sf_dir, "supplier")
+    na = load_table(spark, sf_dir, "nation")
+    re = load_table(spark, sf_dir, "region")
+    return (
+        li.join(F.broadcast(su), li.l_suppkey == su.s_suppkey)
+        .join(F.broadcast(na), su.s_nationkey == na.n_nationkey)
+        .join(F.broadcast(re), na.n_regionkey == re.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.sum(N.revenue(F.col("l_extendedprice"), F.col("l_discount")))
+            .cast("double")
+            .alias("revenue"),
+            F.countDistinct("s_suppkey").alias("n_suppliers"),
+        )
+    )
+
+
+@register(
+    "q50_brand_sales",
+    oracle=f"""
+    SELECT p_brand,
+           count(DISTINCT p.p_partkey) AS n_parts,
+           {N.exact_avg_sql('p_retailprice')} AS avg_retail,
+           cast(coalesce(sum(cast(l_quantity as decimal(20,2))), 0) as double) AS qty_sold
+    FROM part p
+    LEFT JOIN lineitem ON l_partkey = p.p_partkey
+    GROUP BY p_brand
+    """,
+)
+def q50_brand_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Part-dimension rollup with a LEFT join to facts (brands with no
+    sales keep 0-quantity rows — outer-join null semantics, J2 family)."""
+    pa = load_table(spark, sf_dir, "part")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        pa.join(li, pa.p_partkey == li.l_partkey, "left")
+        .groupBy("p_brand")
+        .agg(
+            F.countDistinct(pa.p_partkey).alias("n_parts"),
+            N.exact_avg(F.col("p_retailprice")).alias("avg_retail"),
+            F.coalesce(
+                F.sum(F.col("l_quantity").cast("decimal(20,2)")), F.lit(0).cast("decimal(20,2)")
+            )
+            .cast("double")
+            .alias("qty_sold"),
+        )
+    )
+
+
+@register(
+    "q51_label_centroids",
+    oracle="""
+    SELECT label, cast(g.i - 1 as bigint) AS dim,
+           round(avg(embedding[g.i]::DOUBLE), 6) AS centroid_val,
+           count(*) AS n_vectors
+    FROM embeddings
+    CROSS JOIN generate_series(1, 4) g(i)
+    GROUP BY label, g.i
+    """,
+)
+def q51_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroid (first 4 dims): elementwise mean via
+    posexplode + groupBy — the distributed mean-vector pattern KMeans is
+    built on, here as a transparent oracle-checkable query."""
+    em = load_table(spark, sf_dir, "embeddings")
+    ex = em.select(
+        "label",
+        F.posexplode(F.slice(F.col("embedding").cast("array<double>"), 1, 4)).alias(
+            "dim", "v"
+        ),
+    )
+    return ex.groupBy("label", F.col("dim").cast("long").alias("dim")).agg(
+        F.round(F.avg("v"), 6).alias("centroid_val"),
+        F.count("*").alias("n_vectors"),
+    )
