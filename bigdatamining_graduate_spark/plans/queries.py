@@ -1359,3 +1359,124 @@ def q51_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("v"), 6).alias("centroid_val"),
         F.count("*").alias("n_vectors"),
     )
+
+
+# --------------------------------------------------------------------------
+# Round-1 backlog extensions: embedding near-dup docs, broadcast-table
+# stopword join, approx distinct, IVF ANN
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q52_embedding_neardup_docs",
+    oracle=f"""
+    WITH pairs AS ({SIM.ann_lsh_pairs_sql(0.4)})
+    SELECT p.vec_a AS doc_a, p.vec_b AS doc_b, p.cos_sim,
+           da.source AS source_a, db.source AS source_b
+    FROM pairs p
+    JOIN documents da ON da.doc_id = p.vec_a
+    JOIN documents db ON db.doc_id = p.vec_b
+    """,
+)
+def q52_embedding_neardup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate DOCUMENTS: the semantic-dedup
+    method of the training-pipeline suite (exact/Jaccard/MinHash/SimHash
+    cover lexical dups; this catches paraphrases). LSH-bucketed pair
+    generation joined back to document metadata (doc_id aligns with
+    vec_id in the fixtures)."""
+    pairs = SIM.ann_lsh_pairs(load_table(spark, sf_dir, "embeddings"), 0.4)
+    docs = load_table(spark, sf_dir, "documents")
+    da = docs.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("source_a"))
+    db = docs.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("source_b"))
+    return (
+        pairs.select(F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b"), "cos_sim")
+        .join(da, "doc_a")
+        .join(db, "doc_b")
+    )
+
+
+_STOP_VALUES_SQL = ", ".join(f"('{w}')" for w in TX.EN_STOPWORDS)
+
+
+@register(
+    "q53_stopword_hits_by_lang",
+    oracle=f"""
+    WITH stopwords(word) AS (VALUES {_STOP_VALUES_SQL}),
+    toks AS (
+      SELECT lang, unnest({TX.tokenize_sql('text')}) AS word FROM documents
+    )
+    SELECT lang, count(*) AS stop_hits, count(DISTINCT word) AS distinct_stops
+    FROM toks JOIN stopwords USING (word)
+    GROUP BY lang
+    """,
+)
+def q53_stopword_hits_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword filtering as a BROADCAST-HASH JOIN against a stopword
+    table (J7): the reference ships its stopword list as a broadcast
+    variable consumed inside a Python UDF
+    (``FinalProject/BDM_Final.py:86,115``); joining against a broadcast
+    relation keeps the lookup in the JVM and scales to arbitrarily large
+    lexicons where an ``isin`` literal list would not."""
+    docs = load_table(spark, sf_dir, "documents")
+    stop = spark.createDataFrame([(w,) for w in TX.EN_STOPWORDS], ["word"])
+    toks = docs.select("lang", F.explode(TX.tokenize("text")).alias("word"))
+    return (
+        toks.join(F.broadcast(stop), "word")
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("stop_hits"),
+            F.countDistinct("word").alias("distinct_stops"),
+        )
+    )
+
+
+@register("q54_approx_distinct_users")  # HLL sketch: no cross-engine oracle
+def q54_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HyperLogLog++) per event_type — the sketch
+    that replaces q45's exact distinct at 100 TB (bounded memory, one
+    pass, mergeable). Engine-specific sketch values → rows-only check
+    (row count = #event types is deterministic); q45 is the exact twin
+    the estimate can be validated against."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+        F.count("*").alias("n_events"),
+    )
+
+
+@register("q55_ivf_knn")  # KMeans coarse quantizer: no SQL oracle
+def q55_ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: seeded KMeans(k=8) coarse quantizer assigns every
+    vector to a cell; queries search ONLY their own cell (nprobe=1).
+    The second scale path for similarity search next to sign-LSH (q30):
+    at 100 TB the cell assignment is a broadcast of k centroids and the
+    per-cell search is an equi-join on cell id. Seeded → deterministic
+    rows; no SQL oracle (centroids aren't SQL-expressible)."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    from ..functions import vectors as V
+    from ..ml.pipelines import SEED
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    feats = emb.select("vec_id", "v", array_to_vector("v").alias("features"))
+    model = KMeans(k=8, seed=SEED, featuresCol="features").fit(feats)
+    assigned = model.transform(feats).select(
+        "vec_id", "v", F.col("prediction").alias("cell")
+    )
+    q = assigned.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), "cell"
+    )
+    c = assigned.select(F.col("vec_id").alias("neighbor_id"), F.col("v").alias("nv"), "cell")
+    sim = V.cosine(F.col("qv"), F.col("nv"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        q.join(c, "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", sim.alias("sim"))
+        .withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= 5)
+        .select("query_id", "neighbor_id", F.round("sim", 6).alias("cos_sim"), "rnk")
+    )
