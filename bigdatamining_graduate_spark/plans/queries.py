@@ -1480,3 +1480,72 @@ def q55_ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 5)
         .select("query_id", "neighbor_id", F.round("sim", 6).alias("cos_sim"), "rnk")
     )
+
+
+@register("q56_sql_text_pricing", oracle=ORACLE["q01_pricing_summary"])
+def q56_sql_text_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL-TEXT entry point: identical semantics to q01 but expressed
+    as a ``spark.sql`` query over registered temp views. The reference's
+    only SQL-string surface is ``selectExpr`` fragments (F3,
+    ``FinalProject/BDM_Final.py:245``); the engine exposes the full ANSI
+    SQL front end — same Catalyst plan as the DataFrame form, and the
+    oracle is literally q01's. (DuckDB-compatible SQL dialect subset.)"""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(
+        f"""
+        SELECT l_returnflag, l_linestatus,
+               cast(sum(cast(l_quantity as decimal(20,2))) as double) AS sum_qty,
+               cast(sum(cast(l_extendedprice as decimal(20,2))) as double) AS sum_base_price,
+               cast(sum(cast(l_extendedprice as decimal(20,2))
+                        * cast(1.0 - l_discount as decimal(12,2))) as double) AS sum_disc_price,
+               cast(sum(cast(cast(l_extendedprice as decimal(20,2))
+                             * cast(1.0 - l_discount as decimal(12,2)) as decimal(24,4))
+                        * cast(1.0 + l_tax as decimal(12,2))) as double) AS sum_charge,
+               cast(sum(cast(l_quantity as decimal(20,2))) as double) / count(l_quantity) AS avg_qty,
+               cast(sum(cast(l_extendedprice as decimal(20,2))) as double) / count(l_extendedprice) AS avg_price,
+               cast(sum(cast(l_discount as decimal(20,2))) as double) / count(l_discount) AS avg_disc,
+               count(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '{_Q01_CUTOFF}'
+        GROUP BY l_returnflag, l_linestatus
+        """
+    )
+
+
+@register("q57_stream_foreachbatch", oracle=ST.HOURLY_TYPE_COUNTS_SQL)
+def q57_stream_foreachbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """foreachBatch sink: the streaming hourly rollup lands each
+    micro-batch in a parquet table via an arbitrary-sink callback — the
+    pattern for writing streams to systems without native sinks
+    (JDBC, upserts). availableNow-drained; result read back from parquet
+    equals the batch oracle."""
+    import tempfile
+
+    from ..streaming.jobs import read_events_stream
+
+    out_dir = tempfile.mkdtemp(prefix="fb_sink_")
+    ev = read_events_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(20,2)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.unix_timestamp("w.start").alias("window_start"), "event_type", "n", "sum_value"
+        )
+    )
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(out_dir)
+
+    q = (
+        agg.writeStream.foreachBatch(write_batch)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    q.stop()
+    return spark.read.parquet(out_dir)
