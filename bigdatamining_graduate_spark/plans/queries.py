@@ -1549,3 +1549,63 @@ def q57_stream_foreachbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     q.awaitTermination()
     q.stop()
     return spark.read.parquet(out_dir)
+
+
+@register(
+    "q58_user_value_trend",
+    oracle="""
+    WITH x AS (
+      SELECT user_id, value,
+             (epoch_us(ts) - min(epoch_us(ts)) OVER (PARTITION BY user_id))
+               / 3600000000.0 AS hours
+      FROM events WHERE value IS NOT NULL
+    )
+    SELECT user_id,
+           round(regr_slope(value, hours), 5)     AS slope,
+           round(regr_intercept(value, hours), 5) AS intercept,
+           count(*) AS n
+    FROM x
+    GROUP BY user_id
+    HAVING count(*) >= 2
+    """,
+)
+def q58_user_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map ``applyInPandas``: per-user OLS trend (value vs hours
+    since first event) fitted with numpy inside Arrow batches — the
+    custom-operator escape hatch (§2.9 rule: pandas-vectorized, never
+    row-at-a-time) demonstrated on semantics a SQL aggregate can also
+    express, so DuckDB's regr_slope/regr_intercept is the oracle
+    (outputs rounded to 5dp: SVD-lstsq vs closed form agree to ~1e-10).
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("slope", T.DoubleType()),
+            T.StructField("intercept", T.DoubleType()),
+            T.StructField("n", T.LongType()),
+        ]
+    )
+
+    # closure: shipped by value, executors need no PYTHONPATH
+    def fit(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.dropna(subset=["value"])
+        if len(pdf) < 2:
+            return pd.DataFrame(columns=["user_id", "slope", "intercept", "n"])
+        ts_ns = pdf["ts"].astype("int64")
+        hours = (ts_ns - ts_ns.min()) / 3.6e12
+        slope, intercept = np.polyfit(hours, pdf["value"], 1)
+        return pd.DataFrame(
+            {
+                "user_id": [int(pdf["user_id"].iloc[0])],
+                "slope": [round(float(slope), 5)],
+                "intercept": [round(float(intercept), 5)],
+                "n": [len(pdf)],
+            }
+        )
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "value")
+    return ev.groupBy("user_id").applyInPandas(fit, schema=schema)
