@@ -89,20 +89,6 @@ def token_count(col: Column | str) -> Column:
     return F.size(tokenize(col))
 
 
-def char_ngrams(col: Column | str, n: int) -> Column:
-    """Character n-gram (shingle) array over normalized text — the hw3
-    shingling step (``hw3/hw3.py:70-76``) without driver-side vocab.
-
-    Pure built-ins: sequence over start offsets + transform(substring).
-    """
-    norm = normalize_text(col)
-    idx = F.sequence(F.lit(1), F.length(norm) - F.lit(n - 1))
-    grams = F.transform(idx, lambda i: norm.substr(i, F.lit(n)))
-    return F.when(F.length(norm) >= n, grams).otherwise(
-        F.array().cast("array<string>")
-    )
-
-
 def word_ngrams(tokens_col: Column, n: int) -> Column:
     """Word-level n-gram strings (space-joined) from a token array."""
     idx = F.sequence(F.lit(0), F.size(tokens_col) - F.lit(n))

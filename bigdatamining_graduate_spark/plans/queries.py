@@ -586,13 +586,13 @@ _SESSION_GAP_S = 1800
     oracle=f"""
     WITH gaps AS (
       SELECT user_id,
-             epoch(ts) - lag(epoch(ts)) OVER (PARTITION BY user_id
-                                              ORDER BY ts, event_id) AS gap_s
+             epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                                                    ORDER BY ts, event_id) AS gap_us
       FROM events
     )
     SELECT user_id,
            count(*) AS event_count,
-           cast(sum(CASE WHEN gap_s IS NULL OR gap_s > {_SESSION_GAP_S}
+           cast(sum(CASE WHEN gap_us IS NULL OR gap_us > {_SESSION_GAP_S} * 1000000
                          THEN 1 ELSE 0 END) as bigint) AS session_count
     FROM gaps
     GROUP BY user_id
@@ -607,14 +607,17 @@ def q18_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate (same partitioning, no re-exchange)."""
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.unix_timestamp("ts") - F.lag(F.unix_timestamp("ts")).over(w)
+    # microsecond gaps: unix_timestamp() floors to whole seconds, which
+    # would silently disagree with the sub-second oracle at the boundary
+    gap = F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)
+    thresh = _SESSION_GAP_S * 1_000_000
     return (
-        ev.withColumn("gap_s", gap)
+        ev.withColumn("gap_us", gap)
         .groupBy("user_id")
         .agg(
             F.count("*").alias("event_count"),
             F.sum(
-                F.when(F.col("gap_s").isNull() | (F.col("gap_s") > _SESSION_GAP_S), 1).otherwise(0)
+                F.when(F.col("gap_us").isNull() | (F.col("gap_us") > thresh), 1).otherwise(0)
             )
             .cast("bigint")
             .alias("session_count"),
@@ -739,7 +742,7 @@ def q23_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id",
         F.md5(TX.normalize_text("text")).alias("fp"),
-        F.size(TX.tokenize("text")).cast("long").alias("n_tokens"),
+        TX.token_count("text").cast("long").alias("n_tokens"),
     )
 
 
@@ -1205,9 +1208,11 @@ def q46_inactive_automobile_customers(spark: SparkSession, sf_dir: str) -> DataF
     "q47_stream_session_windows",
     oracle="""
     WITH ordered AS (
+      -- >= (not >): Spark's session_window is half-open [start, last+gap),
+      -- so a gap of EXACTLY 30 min starts a new session
       SELECT user_id, ts,
              CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
-                    OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800000000
+                    OVER (PARTITION BY user_id ORDER BY ts, event_id) >= 1800000000
                   OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
                   THEN 1 ELSE 0 END AS new_session
       FROM events
@@ -1304,29 +1309,38 @@ def q49_supplier_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q50_brand_sales",
     oracle=f"""
+    WITH sold AS (
+      SELECT l_partkey, sum(cast(l_quantity as decimal(20,2))) AS qty
+      FROM lineitem GROUP BY l_partkey
+    )
     SELECT p_brand,
-           count(DISTINCT p.p_partkey) AS n_parts,
+           count(*) AS n_parts,
            {N.exact_avg_sql('p_retailprice')} AS avg_retail,
-           cast(coalesce(sum(cast(l_quantity as decimal(20,2))), 0) as double) AS qty_sold
-    FROM part p
-    LEFT JOIN lineitem ON l_partkey = p.p_partkey
+           cast(coalesce(sum(qty), 0) as double) AS qty_sold
+    FROM part
+    LEFT JOIN sold ON l_partkey = p_partkey
     GROUP BY p_brand
     """,
 )
 def q50_brand_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Part-dimension rollup with a LEFT join to facts (brands with no
-    sales keep 0-quantity rows — outer-join null semantics, J2 family)."""
+    """Part-dimension rollup with a LEFT join to PRE-AGGREGATED facts
+    (brands with unsold parts keep 0-quantity rows — outer-join null
+    semantics, J2 family). The fact side is aggregated to one row per
+    part BEFORE the join, so avg_retail is the true per-part average —
+    joining raw lineitems would weight each part's price by its sales
+    count — and the join input shrinks from |lineitem| to |part|."""
     pa = load_table(spark, sf_dir, "part")
     li = load_table(spark, sf_dir, "lineitem")
+    sold = li.groupBy("l_partkey").agg(
+        F.sum(F.col("l_quantity").cast("decimal(20,2)")).alias("qty")
+    )
     return (
-        pa.join(li, pa.p_partkey == li.l_partkey, "left")
+        pa.join(sold, pa.p_partkey == sold.l_partkey, "left")
         .groupBy("p_brand")
         .agg(
-            F.countDistinct(pa.p_partkey).alias("n_parts"),
+            F.count("*").alias("n_parts"),
             N.exact_avg(F.col("p_retailprice")).alias("avg_retail"),
-            F.coalesce(
-                F.sum(F.col("l_quantity").cast("decimal(20,2)")), F.lit(0).cast("decimal(20,2)")
-            )
+            F.coalesce(F.sum("qty"), F.lit(0).cast("decimal(20,2)"))
             .cast("double")
             .alias("qty_sold"),
         )
@@ -1597,6 +1611,17 @@ def q58_user_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             return pd.DataFrame(columns=["user_id", "slope", "intercept", "n"])
         ts_ns = pdf["ts"].astype("int64")
         hours = (ts_ns - ts_ns.min()) / 3.6e12
+        if float(hours.var()) == 0.0:
+            # zero x-variance: regr_slope/-intercept are NULL in SQL;
+            # polyfit would return an arbitrary minimum-norm solution
+            return pd.DataFrame(
+                {
+                    "user_id": [int(pdf["user_id"].iloc[0])],
+                    "slope": [None],
+                    "intercept": [None],
+                    "n": [len(pdf)],
+                }
+            )
         slope, intercept = np.polyfit(hours, pdf["value"], 1)
         return pd.DataFrame(
             {

@@ -63,12 +63,15 @@ def running_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
             if len(vals):
                 mx = max(mx, float(vals.max()))
         state.update((n, cents, mx))
+        # users with no non-null values yet: emit NULLs (SQL aggregate
+        # semantics), never the -inf/0 sentinels from the state encoding
+        seen_any = mx != float("-inf")
         yield pd.DataFrame(
             {
                 "user_id": [key[0]],
                 "n_events": [n],
-                "value_cents": [cents],
-                "max_value": [mx],
+                "value_cents": pd.array([cents if seen_any else None], dtype="Int64"),
+                "max_value": [mx if seen_any else None],
             }
         )
 

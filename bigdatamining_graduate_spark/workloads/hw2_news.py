@@ -55,16 +55,24 @@ def load_platform(spark: SparkSession, glob_path: str) -> DataFrame:
 
 
 def word_freq_by_topic(news: DataFrame, top_k: int = 100) -> DataFrame:
-    """Title word frequency per topic (A6/A7, ``:87-96``), UDF-free."""
+    """Top-k title words PER topic (A6/A7, ``:87-96``), UDF-free.
+
+    Per-topic ranking via row_number — a global sort+limit would return
+    rows only from the alphabetically-first topic once any topic has more
+    than top_k distinct words."""
+    from pyspark.sql import Window
+
     words = (
         news.filter(F.col("Topic").isin(*TOPICS))
         .select("Topic", F.explode(TX.tokenize("Title")).alias("word"))
     )
+    w = Window.partitionBy("Topic").orderBy(F.desc("count"), F.asc("word"))
     return (
         words.groupBy("Topic", "word")
         .agg(F.count("*").alias("count"))
-        .orderBy("Topic", F.desc("count"), F.asc("word"))
-        .limit(top_k * len(TOPICS))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= top_k)
+        .drop("rn")
     )
 
 
@@ -105,8 +113,11 @@ def title_cooccurrence(news: DataFrame, top_vocab: int = 100) -> DataFrame:
     (D2 + A13, ``:224-245``): vocabulary is a broadcast semi-join, not a
     collected Python list baked into a UDF; output is long-form counts
     (scalable) rather than a driver-wide crosstab."""
+    # IDLink is the stable per-row key — monotonically_increasing_id would
+    # be re-evaluated independently on both sides of the self-join and can
+    # diverge across task retries / AQE re-planning
     words = news.select(
-        F.monotonically_increasing_id().alias("row_id"),
+        F.col("IDLink").alias("row_id"),
         F.explode(F.array_distinct(TX.tokenize("Title"))).alias("word"),
     )
     vocab = (
