@@ -1634,3 +1634,20 @@ def q58_user_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "value")
     return ev.groupBy("user_id").applyInPandas(fit, schema=schema)
+
+
+@register(
+    "q59_repeat_status_customers",
+    oracle="""
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    INTERSECT
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    """,
+)
+def q59_repeat_status_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set intersection — the one set operation absent from the reference
+    (SURVEY.md §2.7 note), completing union/unionByName/except/intersect."""
+    od = load_table(spark, sf_dir, "orders")
+    o = od.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    f = od.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    return o.intersect(f)

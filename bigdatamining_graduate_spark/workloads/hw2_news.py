@@ -135,3 +135,29 @@ def title_cooccurrence(news: DataFrame, top_vocab: int = 100) -> DataFrame:
         .groupBy(F.col("a.word").alias("w1"), F.col("b.word").alias("w2"))
         .agg(F.count("*").alias("n_titles"))
     )
+
+
+def to_ts_array(platform: DataFrame, n_slots: int = 144) -> DataFrame:
+    """Wide TS1..TS144 → single ``array<double>`` column (the SURVEY §1.4
+    design mapping): at 100 TB a 144-wide row of scalar columns bloats
+    the Catalyst schema and every projection; one array column keeps the
+    scan narrow and rollups become array expressions."""
+    return platform.select(
+        "IDLink", F.array(*[F.col(f"TS{i}") for i in range(1, n_slots + 1)]).alias("ts")
+    )
+
+
+def hourly_rollup_from_array(ts_df: DataFrame) -> DataFrame:
+    """Hourly means over the array layout: slice + aggregate per hour —
+    same results as :func:`hourly_rollup`, array-native plan."""
+    n_hours = 48
+    exprs = [
+        (
+            F.aggregate(
+                F.slice("ts", 3 * h + 1, 3), F.lit(0.0), lambda acc, x: acc + x
+            )
+            / 3.0
+        ).alias(f"hour{h + 1}")
+        for h in range(n_hours)
+    ]
+    return ts_df.select("IDLink", *exprs)

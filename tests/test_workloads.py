@@ -160,3 +160,16 @@ def test_final_tweets(spark, tmp_path):
     }
     # tweet 4: sentiment '0.7' -> numeric >= 0.5 -> pos -> 2
     assert dist == {2: 2, 0: 1}
+
+
+def test_hw2_array_rollup_matches_wide(spark, tmp_path):
+    header = "IDLink," + ",".join(f"TS{i}" for i in range(1, 145))
+    vals = ",".join(str(float(i)) for i in range(1, 145))
+    p = tmp_path / "LinkedIn_t.csv"
+    p.write_text(header + f"\n7,{vals}\n")
+    plat = hw2_news.load_platform(spark, str(p))
+    wide = hw2_news.hourly_rollup(plat).collect()[0]
+    arr = hw2_news.hourly_rollup_from_array(hw2_news.to_ts_array(plat)).collect()[0]
+    assert [wide[f"hour{h}"] for h in range(1, 49)] == [
+        arr[f"hour{h}"] for h in range(1, 49)
+    ]
