@@ -1651,3 +1651,64 @@ def q59_repeat_status_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = od.filter(F.col("o_orderstatus") == "O").select("o_custkey")
     f = od.filter(F.col("o_orderstatus") == "F").select("o_custkey")
     return o.intersect(f)
+
+
+@register(
+    "q60_price_percentiles",
+    oracle="""
+    SELECT l_returnflag,
+           quantile_cont(l_extendedprice, 0.5)  AS p50,
+           quantile_cont(l_extendedprice, 0.9)  AS p90,
+           quantile_cont(l_extendedprice, 0.99) AS p99,
+           count(*) AS n
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q60_price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group — absent from the
+    reference (SURVEY.md §2.4 'not present' list). Spark ``percentile``
+    and DuckDB ``quantile_cont`` share the interpolation formula
+    (verified bit-exact). At 100 TB swap for ``approx_percentile``
+    (KLL/GK sketch, one pass, mergeable)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_extendedprice, 0.5)").alias("p50"),
+        F.expr("percentile(l_extendedprice, 0.9)").alias("p90"),
+        F.expr("percentile(l_extendedprice, 0.99)").alias("p99"),
+        F.count("*").alias("n"),
+    )
+
+
+@register(
+    "q61_geomean_value",
+    oracle="""
+    SELECT event_type,
+           round(exp(avg(ln(value))), 6) AS geo_mean,
+           count(value) AS n
+    FROM events
+    WHERE value > 0
+    GROUP BY event_type
+    """,
+)
+def q61_geomean_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom AGGREGATE via Arrow-vectorized ``pandas_udf`` (grouped-agg)
+    — the UDAF surface the reference never had (SURVEY.md §2.9 'no
+    UDAF'): geometric mean per event type, computed as exp(mean(log)) in
+    numpy per group. Oracle is the SQL identity; rounded to 6dp since the
+    log-sum order differs between engines."""
+    import numpy as np
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    # explicit GROUPED_AGG: `from __future__ import annotations` stringifies
+    # type hints module-wide, defeating pandas_udf signature inference
+    @pandas_udf("double", PandasUDFType.GROUPED_AGG)
+    def geo_mean(v):
+        return float(np.exp(np.log(v.to_numpy()).mean()))
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value") > 0)
+    # grouped-agg pandas UDFs cannot share an agg() with JVM aggregates
+    # (INVALID_PANDAS_UDF_PLACEMENT) — compute counts separately and join
+    gm = ev.groupBy("event_type").agg(F.round(geo_mean("value"), 6).alias("geo_mean"))
+    n = ev.groupBy("event_type").agg(F.count("value").alias("n"))
+    return gm.join(n, "event_type")

@@ -90,3 +90,29 @@ def test_exact_decimal_sum_order_independent(spark):
     df = spark.createDataFrame(vals, "x: double").repartition(8)
     dec = df.agg(F.sum(F.col("x").cast("decimal(30,2)")).cast("double")).collect()[0][0]
     assert dec == pytest.approx(10.0, abs=1e-9)
+
+
+@given(st.lists(st.text(alphabet="abc xyz0", min_size=0, max_size=20), min_size=1, max_size=8))
+@settings(max_examples=10, deadline=None)
+def test_portable_hash_parity_with_duckdb(spark, texts):
+    """The md5-derived 60-bit hash must be bit-identical in both engines —
+    every sketch oracle rests on this."""
+    import duckdb
+
+    from bigdatamining_graduate_spark.functions.hashing import (
+        portable_hash64,
+        portable_hash64_sql,
+    )
+
+    df = spark.createDataFrame([(t,) for t in texts], "s: string")
+    got = sorted(
+        r["h"] for r in df.select(portable_hash64(F.col("s")).alias("h")).collect()
+    )
+    con = duckdb.connect()
+    exp = sorted(
+        con.execute(
+            f"SELECT {portable_hash64_sql('s')} AS h FROM (SELECT unnest(?) AS s)",
+            [texts],
+        ).df()["h"]
+    )
+    assert got == [int(x) for x in exp]
