@@ -123,3 +123,23 @@ def sentiment_distribution(df: DataFrame) -> DataFrame:
         .groupBy("sentiment_label")
         .agg(F.count("*").alias("n"))
     )
+
+
+def eda_summary(df: DataFrame) -> dict:
+    """The FinalProject EDA re-runs ~15 queries against the same cleaned
+    frame, recomputing it from source every time (no caching anywhere in
+    the reference — SURVEY.md §4.1 last row). The engine's policy: CACHE
+    the cleaned frame once, run every summary against it, unpersist.
+    Returns {name: row_count} for the materialized summaries."""
+    df = df.cache()
+    try:
+        out = {
+            "top_tweets": top_tweets_by_favorites(df).count(),
+            "top_words": top_words_per_month(df).count(),
+            "top_hashtags": top_hashtags_per_month(df).count(),
+            "top_mentions": top_mentions_per_month(df).count(),
+            "sentiment": sentiment_distribution(df).count(),
+        }
+    finally:
+        df.unpersist()
+    return out

@@ -173,3 +173,17 @@ def test_hw2_array_rollup_matches_wide(spark, tmp_path):
     assert [wide[f"hour{h}"] for h in range(1, 49)] == [
         arr[f"hour{h}"] for h in range(1, 49)
     ]
+
+
+def test_final_tweets_eda_cached(spark, tmp_path):
+    csv = tmp_path / "t.csv"
+    csv.write_text(
+        "id,created_at,source,original_text,lang,favorite_count,retweet_count,"
+        "original_author,hashtags,user_mentions,place,clean_tweet,compound,sentiment\n"
+        '1,2020-04-01,w,"covid cases",en,1,0,a,"covid","@who",x,c,0.1,pos\n'
+        '2,2020-04-02,w,"stay home",en,2,0,b,"covid","@cdc",y,c,0.0,neg\n'
+    )
+    df = final_tweets.load(spark, [str(csv)])
+    out = final_tweets.eda_summary(df)
+    assert out["sentiment"] == 2 and out["top_tweets"] == 2
+    assert df.storageLevel.useMemory is False  # unpersisted after the run
