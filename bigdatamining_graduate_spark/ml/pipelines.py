@@ -137,12 +137,22 @@ def tfidf_pipeline(docs: DataFrame, vocab_size: int = 1000, min_df: int = 5) -> 
     return model.transform(docs).select("doc_id", "tfidf")
 
 
-def mllib_minhash_pairs(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
+def mllib_minhash_pairs(
+    docs: DataFrame, threshold: float = 0.5, max_docs: int = 2000
+) -> DataFrame:
     """The hw3 MinHashLSH path through MLlib itself (M5/J5):
     Tokenizer → binary CountVectorizer (sparse one-hot characteristic
     matrix, D8) → seeded MinHashLSH → ``approxSimilarityJoin`` — the
     primitive the reference hand-rolled with explode+groupBy
-    (``hw3/hw3.py:125-172``)."""
+    (``hw3/hw3.py:125-172``).
+
+    ``max_docs`` mirrors the reference's own ``limit(2000)`` cap
+    (``hw3/hw3.py:159``), made DETERMINISTIC via an orderBy: on a
+    token-set-dense corpus approxSimilarityJoin's bucket join fans out
+    near-quadratically (observed: JVM OOM at 5000 fixture docs). The
+    scale path for unbounded corpora is ``operators.dedup`` (bounded
+    banding + df caps), not this MLlib parity route."""
+    docs = docs.orderBy("doc_id").limit(max_docs)
     pipe = Pipeline(
         stages=[
             Tokenizer(inputCol="text", outputCol="words"),

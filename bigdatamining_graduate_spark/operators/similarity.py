@@ -140,17 +140,22 @@ def ann_lsh_pairs(embeddings: DataFrame, min_sim: float) -> DataFrame:
     ).select("vec_id", "v", "b.band", "b.bv")
     a = bucketed.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), "band", "bv")
     b = bucketed.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"), "band", "bv")
-    cand = (
+    sim = V.cosine(F.col("va"), F.col("vb"))
+    # score BEFORE deduplicating: a pair colliding in k bands is scored k
+    # times (cheap JVM arithmetic) but the distinct then shuffles only
+    # (id, id, sim) scalars — deduping first would shuffle the 64-dim
+    # double arrays themselves (~16x more shuffle bytes). The sim
+    # expression is MATERIALIZED by its own projection so the filter and
+    # the rounded output don't each re-run the 64-dim aggregate.
+    scored = (
         a.join(b, ["band", "bv"])
         .filter(F.col("vec_a") < F.col("vec_b"))
-        .select("vec_a", "vec_b", "va", "vb")
-        .dropDuplicates(["vec_a", "vec_b"])
+        .select("vec_a", "vec_b", sim.alias("sim"))
     )
-    sim = V.cosine(F.col("va"), F.col("vb"))
     return (
-        cand.select("vec_a", "vec_b", sim.alias("sim"))
-        .filter(F.col("sim") >= min_sim)
+        scored.filter(F.col("sim") >= min_sim)
         .select("vec_a", "vec_b", F.round("sim", 6).alias("cos_sim"))
+        .distinct()
     )
 
 

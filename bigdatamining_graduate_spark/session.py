@@ -47,6 +47,10 @@ DEFAULT_CONFS: dict[str, str] = {
     # faster shuffles of non-row payloads
     "spark.serializer": "org.apache.spark.serializer.KryoSerializer",
     "spark.ui.enabled": "false",
+    # local mode: driver == executor; Spark's 1g default OOMs on join-heavy
+    # workloads long before the 128 GiB test rig is touched. Builder-time
+    # conf only — spark-submit/cluster managers override it.
+    "spark.driver.memory": "8g",
 }
 
 
