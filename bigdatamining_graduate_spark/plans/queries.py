@@ -1712,3 +1712,125 @@ def q61_geomean_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     gm = ev.groupBy("event_type").agg(F.round(geo_mean("value"), 6).alias("geo_mean"))
     n = ev.groupBy("event_type").agg(F.count("value").alias("n"))
     return gm.join(n, "event_type")
+
+
+from ..operators import ranges as RJ  # noqa: E402
+
+_RANGE_W_S = 3600
+
+
+@register(
+    "q62_clicks_before_error",
+    oracle=f"""
+    WITH err AS (SELECT event_id AS err_id, user_id, ts FROM events
+                 WHERE event_type = 'error'),
+         clk AS (SELECT user_id, ts AS cts FROM events
+                 WHERE event_type = 'click'),
+         j AS (
+           SELECT e.err_id,
+                  count(*) AS n,
+                  min(epoch_us(e.ts) - epoch_us(c.cts)) AS g
+           FROM err e JOIN clk c ON c.user_id = e.user_id
+             AND c.cts >= e.ts - INTERVAL {_RANGE_W_S} SECOND
+             AND c.cts <  e.ts
+           GROUP BY 1
+         )
+    SELECT err.err_id, err.user_id,
+           coalesce(j.n, 0) AS n_clicks,
+           coalesce(j.g, -1) AS min_gap_us
+    FROM err LEFT JOIN j ON err.err_id = j.err_id
+    """,
+)
+def q62_clicks_before_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval (range) join — absent from the reference (SURVEY.md §2.3:
+    "no range/as-of/interval joins"): for every error event, the clicks
+    by the same user in the preceding hour. The inequality predicate
+    would force BroadcastNestedLoopJoin; ``operators.ranges`` rewrites it
+    as an equi-join on (user_id, time-bin) — shuffle O(|L|+|R|), ≤2 probe
+    bins per left row — then the exact window filter. Zero-match errors
+    are preserved via a final left join against the match counts."""
+    ev = load_table(spark, sf_dir, "events")
+    err = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("err_id"), "user_id", "ts"
+    )
+    clk = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("cts")
+    )
+    matched = RJ.binned_interval_join(
+        err, clk, ["user_id"], "ts", "cts", -_RANGE_W_S, 0
+    )
+    per_err = matched.groupBy("err_id").agg(
+        F.count("*").alias("n"),
+        F.min(F.unix_micros("ts") - F.unix_micros("cts")).alias("g"),
+    )
+    return err.join(per_err, "err_id", "left").select(
+        "err_id",
+        "user_id",
+        F.coalesce("n", F.lit(0)).alias("n_clicks"),
+        F.coalesce("g", F.lit(-1)).alias("min_gap_us"),
+    )
+
+
+@register(
+    "q63_curated_corpus",
+    oracle=f"""
+    WITH tk AS (
+      SELECT doc_id, lang, {TX.tokenize_sql('text')} AS tk FROM documents
+    ),
+    quality AS (
+      SELECT doc_id, lang, cast(len(tk) as bigint) AS n_tokens
+      FROM (
+        SELECT doc_id, lang, tk,
+               cast(len(list_filter(tk, x -> list_contains({_STOP_SQL_LIST}, x))) as double)
+                 / len(tk) AS swr
+        FROM tk WHERE len(tk) > 0)
+      WHERE n_tokens >= 20 AND swr BETWEEN 0.05 AND 0.6
+    ),
+    exact_keep AS (
+      SELECT min(doc_id) AS doc_id FROM documents
+      GROUP BY md5({TX.normalize_text_sql('text')})
+    ),
+    near_dup_b AS (
+      SELECT DISTINCT doc_b AS doc_id
+      FROM (SELECT * FROM ({DD.minhash_lsh_pairs_sql(0.5)}) p)
+    )
+    SELECT q.doc_id, q.lang, q.n_tokens
+    FROM quality q
+    JOIN exact_keep k ON q.doc_id = k.doc_id
+    WHERE q.doc_id NOT IN (SELECT doc_id FROM near_dup_b)
+    """,
+)
+def q63_curated_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship training-data curation pipeline, end-to-end in ONE
+    declarative plan: quality gate (token count + stopword-ratio band,
+    q28 semantics) → exact dedup (keep min doc_id per content
+    fingerprint, q24) → MinHash-LSH near-dup removal (drop the larger id
+    of every candidate pair ≥0.5 estimated Jaccard, q26) — the standard
+    corpus-curation recipe (Lee et al. 2022, "Deduplicating Training
+    Data Makes Language Models Better") expressed as semi/anti joins
+    over the stage outputs, with a bit-exact DuckDB oracle.
+
+    Scale: each stage is one shuffle keyed as its operator requires
+    (fingerprint / gram / band-bucket); survivors flow through SEMI and
+    ANTI joins on doc_id — no stage materializes documents to the
+    driver, and the removal-side tables (keep ids, near-dup ids) are
+    tiny relative to the corpus, so Catalyst broadcasts them at scale.
+    At 100 TB, cache the tokenized projection feeding the quality and
+    sketch stages (one scan instead of three)."""
+    docs = load_table(spark, sf_dir, "documents")
+    tk = docs.select("doc_id", "lang", TX.tokenize("text").alias("tk"))
+    stops = F.array(*[F.lit(w) for w in TX.EN_STOPWORDS])
+    swr = F.size(F.filter("tk", lambda x: F.array_contains(stops, x))) / F.size("tk")
+    quality = (
+        tk.filter(F.size("tk") > 0)
+        .select("doc_id", "lang", F.size("tk").cast("long").alias("n_tokens"), swr.alias("swr"))
+        .filter((F.col("n_tokens") >= 20) & F.col("swr").between(0.05, 0.6))
+        .drop("swr")
+    )
+    exact_keep = DD.exact_dedup_groups(docs).select(F.col("keep_id").alias("doc_id"))
+    near_dup_b = (
+        DD.lsh_candidate_pairs(DD.minhash_signatures(docs), 0.5)
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+    )
+    return quality.join(exact_keep, "doc_id", "semi").join(near_dup_b, "doc_id", "anti")
