@@ -37,6 +37,8 @@ HEADLINE = [
     "q36_stream_hourly_counts", # structured streaming window agg
     "q44_last_signup_asof",     # as-of via running conditional max
     "q47_stream_session_windows",  # streaming session windows
+    "q62_clicks_before_error",  # binned interval (range) join
+    "q63_curated_corpus",       # end-to-end corpus curation pipeline
 ]
 
 

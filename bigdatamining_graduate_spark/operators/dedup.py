@@ -99,6 +99,13 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float) -> DataFrame:
     expressions. The gram pipeline is evaluated ONCE (the naive
     grams⋈grams join recomputes the explode on both sides and shuffles it
     twice); the df cap bounds per-gram fanout at C(MAX_DF, 2).
+
+    The per-doc sizes table (over the SAME capped universe — df=1 grams
+    emit no pairs but still count) is tiny (one row per doc), so both
+    size lookups are FORCED broadcast joins: the wide candidate-pair
+    relation never re-shuffles. (Restructuring to carry sizes inside the
+    postings structs was measured SLOWER — it re-evaluates the postings
+    aggregation twice; the shared-exchange + broadcast shape wins.)
     """
     grams = doc_grams(docs)
     postings = (
@@ -134,8 +141,8 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float) -> DataFrame:
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
     jac = F.col("common") / (F.col("sz_a") + F.col("sz_b") - F.col("common"))
     return (
-        common.join(sa, "doc_a")
-        .join(sb, "doc_b")
+        common.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
         .select("doc_a", "doc_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
