@@ -1834,3 +1834,61 @@ def q63_curated_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return quality.join(exact_keep, "doc_id", "semi").join(near_dup_b, "doc_id", "anti")
+
+
+from ..functions.hashing import portable_hash64, portable_hash64_sql  # noqa: E402
+
+_SPLIT_BUCKETS = 10
+_SPLIT_TRAIN = 8  # buckets 0-7 train, 8 val, 9 test
+
+
+@register(
+    "q64_hash_split_profile",
+    oracle=f"""
+    WITH assigned AS (
+      SELECT CASE
+               WHEN {portable_hash64_sql("cast(doc_id as varchar)", "split")} % {_SPLIT_BUCKETS} < {_SPLIT_TRAIN} THEN 'train'
+               WHEN {portable_hash64_sql("cast(doc_id as varchar)", "split")} % {_SPLIT_BUCKETS} = {_SPLIT_TRAIN} THEN 'val'
+               ELSE 'test'
+             END AS split,
+             lang,
+             len({TX.tokenize_sql('text')}) AS n_tokens
+      FROM documents
+    )
+    SELECT split, lang, count(*) AS n_docs,
+           cast(sum(n_tokens) as bigint) AS total_tokens
+    FROM assigned GROUP BY 1, 2
+    """,
+)
+def q64_hash_split_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split — the scale-correct replacement
+    for the reference's unseeded ``randomSplit`` (``hw4/hw4.py:169``,
+    SURVEY.md §7.4 risk 3): assignment is a pure function of the row key
+    (portable salted hash mod 10 → 8/1/1), so it is reproducible across
+    runs, engines, and re-partitioning, and never needs a shuffle or a
+    stored assignment table. Output profiles each split per language.
+    One narrow projection + one aggregate; the split itself is free."""
+    docs = load_table(spark, sf_dir, "documents")
+    b = portable_hash64(F.col("doc_id").cast("string"), salt="split") % _SPLIT_BUCKETS
+    split = (
+        F.when(b < _SPLIT_TRAIN, "train")
+        .when(b == _SPLIT_TRAIN, "val")
+        .otherwise("test")
+    )
+    return (
+        docs.select(split.alias("split"), "lang", F.size(TX.tokenize("text")).alias("n_tokens"))
+        .groupBy("split", "lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        )
+    )
+
+
+@register("q65_stream_static_segments", oracle=ST.STREAM_STATIC_SEGMENT_COUNTS_SQL)
+def q65_stream_static_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join: the events stream enriched against the static
+    customer dimension (broadcast into each micro-batch, no state store),
+    aggregated per market segment — see
+    ``streaming.jobs.stream_static_segment_counts``."""
+    return ST.stream_static_segment_counts(spark, sf_dir)

@@ -146,3 +146,35 @@ SELECT event_type, count(*) AS n
 FROM (SELECT DISTINCT ON (event_id) event_id, event_type FROM events ORDER BY event_id)
 GROUP BY event_type
 """
+
+
+def stream_static_segment_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join — the one streaming join class the engine's
+    surface was missing: the events STREAM enriched against the static
+    customer dimension (stream-side rows join the latest static snapshot
+    per micro-batch, no state store involved), then counts + exact value
+    sums per market segment.
+
+    Scale: the static side is a dimension table — Catalyst broadcasts it
+    into every micro-batch task, so the streaming side never shuffles for
+    the join; the single shuffle is the final segment aggregate."""
+    from ..sources.catalog import load_table
+
+    ev = read_events_stream(spark, sf_dir)
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    joined = ev.join(cust, "user_id")
+    agg = joined.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("value").cast("decimal(20,2)")).cast("double").alias("sum_value"),
+    )
+    return _run_to_memory(agg)
+
+
+STREAM_STATIC_SEGMENT_COUNTS_SQL = """
+SELECT c.c_mktsegment, count(*) AS n,
+       cast(sum(cast(e.value as decimal(20,2))) as double) AS sum_value
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY 1
+"""
