@@ -54,11 +54,19 @@ def main() -> None:
         "noop"
     ).mode("overwrite").save()
 
+    # Steady-state methodology: each query runs twice in the warm JVM and
+    # the SECOND run is recorded. Run 1 pays one-time Catalyst analysis +
+    # whole-stage-codegen (Janino) compilation — a per-plan constant that
+    # amortizes to zero at scale; run 2 measures the data path, which is
+    # what scales with SF. Cold totals are reported alongside.
     timings: dict[str, float] = {}
+    cold: dict[str, float] = {}
     for name in HEADLINE:
         t0 = time.perf_counter()
-        df = QUERIES[name](spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
+        QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        cold[name] = round(time.perf_counter() - t0, 3)
+        t0 = time.perf_counter()
+        QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
