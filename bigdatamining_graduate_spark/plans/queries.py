@@ -1892,3 +1892,18 @@ def q65_stream_static_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregated per market segment — see
     ``streaming.jobs.stream_static_segment_counts``."""
     return ST.stream_static_segment_counts(spark, sf_dir)
+
+
+from ..operators import langid as LID  # noqa: E402
+
+
+@register("q66_ngram_langid", oracle=LID.langid_confusion_sql())
+def q66_ngram_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram-profile language ID (Cavnar–Trenkle): character-trigram
+    profiles learned per language on the deterministic hash-train split,
+    every document scored by profile-gram hits (broadcast join, map-side),
+    argmax with deterministic tie-break — output is the confusion matrix
+    against the labeled ``lang`` column. See ``operators/langid.py`` for
+    the three-plan scale design (bounded profile agg, broadcast scoring,
+    skew-free per-doc argmax)."""
+    return LID.langid_confusion(load_table(spark, sf_dir, "documents"))
