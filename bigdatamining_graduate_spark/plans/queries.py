@@ -1894,6 +1894,16 @@ def q65_stream_static_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ST.stream_static_segment_counts(spark, sf_dir)
 
 
+@register("q67_rate_stream_buckets", oracle=ST.RATE_MINUTE_BUCKETS_SQL)
+def q67_rate_stream_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kafka-style UNBOUNDED-source streaming: tumbling-minute bucket
+    aggregation over the ``rate-micro-batch`` generator, advanced a fixed
+    number of deterministic batches through a shared checkpoint — value
+    oracle is pure generator arithmetic (no fixture table). See
+    ``streaming.jobs.rate_stream_minute_buckets``."""
+    return ST.rate_stream_minute_buckets(spark)
+
+
 from ..operators import langid as LID  # noqa: E402
 
 

@@ -178,3 +178,72 @@ SELECT c.c_mktsegment, count(*) AS n,
 FROM events e JOIN customer c ON e.user_id = c.c_custkey
 GROUP BY 1
 """
+
+
+# -- unbounded (Kafka-style) source demo ------------------------------------
+
+RATE_ROWS_PER_BATCH = 5000
+RATE_BATCHES = 3
+RATE_ADVANCE_MS = 60_000               # one minute of event time per batch
+RATE_START_MS = 946_684_800_000        # 2000-01-01T00:00:00Z
+RATE_BUCKETS = 10
+
+
+def rate_stream_minute_buckets(spark: SparkSession) -> DataFrame:
+    """Windowed aggregation over an UNBOUNDED generator source — the
+    Kafka-shaped ingestion path (the file-source jobs above drain a finite
+    fixture; this one consumes a source with no end).
+
+    Uses ``rate-micro-batch`` pinned to a fixed ``startTimestamp`` /
+    ``advanceMillisPerBatch``, advanced exactly ``RATE_BATCHES`` batches by
+    re-running a one-batch trigger over a shared checkpoint — so the
+    result is bit-deterministic and gets a full value oracle (generator
+    arithmetic in SQL), unlike a wall-clock rate stream. Swapping in Kafka
+    changes only the reader options; the aggregation is the standard
+    tumbling-window shuffle on (window, bucket). In production the demo's
+    ``complete`` mode becomes ``update``/``append`` + watermark so state
+    stays bounded; here complete mode is what lets the memory sink hold
+    the final table."""
+    import tempfile
+
+    ensure_runtime_confs(spark)
+    ckpt = tempfile.mkdtemp(prefix="bdm_rate_ckpt_")
+    name = f"stream_sink_{next(_sink_ids)}"
+    for _ in range(RATE_BATCHES):
+        src = (
+            spark.readStream.format("rate-micro-batch")
+            .option("rowsPerBatch", RATE_ROWS_PER_BATCH)
+            .option("numPartitions", 8)
+            .option("startTimestamp", RATE_START_MS)
+            .option("advanceMillisPerBatch", RATE_ADVANCE_MS)
+            .load()
+        )
+        agg = (
+            src.groupBy(
+                F.window("timestamp", "1 minute").getField("start").cast("long").alias("minute_start"),
+                (F.col("value") % RATE_BUCKETS).alias("bucket"),
+            )
+            .agg(F.count("*").alias("n"), F.sum("value").alias("sum_value"))
+        )
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(once=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.table(name)
+
+
+#: generator-arithmetic oracle: value i lands in batch i // rowsPerBatch,
+#: whose (constant) timestamp is start + batch * advance
+RATE_MINUTE_BUCKETS_SQL = f"""
+SELECT {RATE_START_MS // 1000} + (i // {RATE_ROWS_PER_BATCH}) * {RATE_ADVANCE_MS // 1000} AS minute_start,
+       i % {RATE_BUCKETS} AS bucket,
+       count(*) AS n,
+       cast(sum(i) as bigint) AS sum_value
+FROM (SELECT range AS i FROM range(0, {RATE_BATCHES * RATE_ROWS_PER_BATCH}))
+GROUP BY 1, 2
+"""
