@@ -68,3 +68,80 @@ def binary_features(with_payload: DataFrame) -> DataFrame:
             )
 
     return with_payload.mapInPandas(extract, schema=FEATURE_SCHEMA)
+
+
+# -- frame sampling (video-style payload path) ------------------------------
+
+FRAME_CHARS = 64     # "frame" = fixed-size chunk of the decoded payload
+FRAME_STRIDE = 4     # keep every 4th frame
+
+#: schema produced by :func:`sample_frames` — one row PER SAMPLED FRAME
+#: (the op changes cardinality: 1 input row -> ceil(n/FRAME_CHARS)/FRAME_STRIDE)
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.LongType()),
+        T.StructField("frame_chars", T.LongType()),
+        T.StructField("frame_md5", T.StringType()),
+    ]
+)
+
+
+def sample_frames(with_payload: DataFrame) -> DataFrame:
+    """Decode → frame-sample → per-frame fingerprint, the video-shaped
+    payload path: each binary payload is decoded (STUB: UTF-8 — real
+    deployments plug ffmpeg frame extraction here), split into fixed-size
+    frames, every ``FRAME_STRIDE``-th frame kept, and fingerprinted.
+
+    This is the ROW-EXPANDING ``mapInPandas`` shape (one input row yields
+    many output rows — the Arrow batch out is not 1:1 with the batch in),
+    which is what a real frame sampler needs; partitioning is inherited
+    from the payload scan, so frame extraction is embarrassingly parallel
+    and never shuffles."""
+
+    def frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            ids: list[int] = []
+            idxs: list[int] = []
+            lens: list[int] = []
+            md5s: list[str] = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                if payload is None:
+                    continue
+                content = bytes(payload).decode("utf-8")  # stubbed decode
+                n_frames = (len(content) + FRAME_CHARS - 1) // FRAME_CHARS
+                for i in range(0, n_frames, FRAME_STRIDE):
+                    chunk = content[i * FRAME_CHARS : (i + 1) * FRAME_CHARS]
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    lens.append(len(chunk))
+                    md5s.append(hashlib.md5(chunk.encode("utf-8")).hexdigest())
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int64"),
+                    "frame_chars": pd.Series(lens, dtype="int64"),
+                    "frame_md5": pd.Series(md5s, dtype="object"),
+                }
+            )
+
+    return with_payload.mapInPandas(frames, schema=FRAME_SCHEMA)
+
+
+def sample_frames_sql(table: str = "documents") -> str:
+    """DuckDB twin of payload→:func:`sample_frames` (frames are chunks of
+    the decoded characters, so the oracle is plain substr arithmetic)."""
+    fc, st = FRAME_CHARS, FRAME_STRIDE
+    return f"""
+    WITH d AS (
+      SELECT doc_id, text, length(text) AS n FROM {table}
+      WHERE text IS NOT NULL AND length(text) > 0
+    )
+    SELECT doc_id, u.i AS frame_idx,
+           length(substr(text, cast(1 + u.i*{fc} as bigint), {fc})) AS frame_chars,
+           md5(substr(text, cast(1 + u.i*{fc} as bigint), {fc})) AS frame_md5
+    FROM d, unnest(generate_series(0, cast((n-1)//{fc} as bigint))) AS u(i)
+    WHERE u.i % {st} = 0
+    """

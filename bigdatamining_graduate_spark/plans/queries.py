@@ -1904,6 +1904,17 @@ def q67_rate_stream_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ST.rate_stream_minute_buckets(spark)
 
 
+@register("q68_frame_samples", oracle=MM.sample_frames_sql())
+def q68_frame_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video-shaped multimodal path: binary payload → stubbed decode →
+    fixed-size frame split → stride sampling → per-frame md5 fingerprint,
+    as ROW-EXPANDING Arrow ``mapInPandas`` (cardinality changes; no
+    shuffle — frame extraction inherits the scan's partitioning). See
+    ``operators/multimodal.sample_frames``."""
+    docs = load_table(spark, sf_dir, "documents")
+    return MM.sample_frames(MM.with_binary_payload(docs))
+
+
 from ..operators import langid as LID  # noqa: E402
 
 

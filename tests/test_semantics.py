@@ -116,3 +116,51 @@ def test_portable_hash_parity_with_duckdb(spark, texts):
         ).df()["h"]
     )
     assert got == [int(x) for x in exp]
+
+
+@given(st.lists(st.text(alphabet="ab c!é", min_size=0, max_size=30), min_size=1, max_size=6))
+@settings(max_examples=10, deadline=None)
+def test_char_trigrams_match_python(spark, texts):
+    """langid's char-trigram extraction must equal the plain-Python
+    definition (distinct overlapping 3-slices of the normalized text) —
+    including the sub-3-char guard against descending `sequence` bounds."""
+    import re
+
+    from bigdatamining_graduate_spark.operators.langid import char_trigrams
+
+    df = spark.createDataFrame(
+        [(i, "xx", t) for i, t in enumerate(texts)], "doc_id: long, lang: string, text: string"
+    )
+    got = {
+        (r["doc_id"], r["gram"]) for r in char_trigrams(df).collect()
+    }
+    want = set()
+    for i, t in enumerate(texts):
+        nt = re.sub(" +", " ", re.sub("[^a-z0-9 ]", " ", t.lower())).strip()
+        want |= {(i, nt[j : j + 3]) for j in range(max(0, len(nt) - 2))}
+    assert got == want
+
+
+def test_sample_frames_cardinality_and_fingerprints(spark):
+    """Row-expanding mapInPandas: every FRAME_STRIDE-th FRAME_CHARS-chunk
+    of the decoded payload appears exactly once, fingerprinted like
+    hashlib; empty/null payloads yield no rows."""
+    import hashlib
+
+    from bigdatamining_graduate_spark.operators import multimodal as MM
+
+    texts = ["a" * 300, "b" * 64, "", None, "c" * 65]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id: long, text: string"
+    )
+    rows = MM.sample_frames(MM.with_binary_payload(df)).collect()
+    got = {(r["doc_id"], r["frame_idx"], r["frame_chars"], r["frame_md5"]) for r in rows}
+    want = set()
+    for i, t in enumerate(texts):
+        if not t:
+            continue
+        n_frames = (len(t) + MM.FRAME_CHARS - 1) // MM.FRAME_CHARS
+        for j in range(0, n_frames, MM.FRAME_STRIDE):
+            chunk = t[j * MM.FRAME_CHARS : (j + 1) * MM.FRAME_CHARS]
+            want.add((i, j, len(chunk), hashlib.md5(chunk.encode()).hexdigest()))
+    assert got == want
