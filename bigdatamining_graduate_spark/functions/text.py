@@ -105,3 +105,22 @@ def word_ngrams_sql(tokens_sql: str, n: int) -> str:
         f" i -> array_to_string(list_slice({tokens_sql}, i, i + {n - 1}), ' '))"
         f" ELSE [] END"
     )
+
+
+#: BPE-ish pre-tokenization pattern: letter runs | digit runs | punctuation
+#: runs (the GPT-2 pattern family minus lookaheads, which RE2 — and hence
+#: the DuckDB oracle — cannot express). Applied to lowercased raw text.
+BPE_RE = r"[a-z]+|[0-9]+|[^a-z0-9\s]+"
+
+
+def bpe_tokens(col: Column | str) -> Column:
+    """BPE-ish regex tokenization of the RAW (lowercased, un-normalized)
+    text — unlike :func:`tokenize` it keeps digit runs and punctuation
+    runs as tokens, the shape subword tokenizers pre-split on."""
+    c = F.coalesce(F.col(col) if isinstance(col, str) else col, F.lit(""))
+    return F.regexp_extract_all(F.lower(c), F.lit(BPE_RE), 0)
+
+
+def bpe_tokens_sql(col: str) -> str:
+    """DuckDB twin of :func:`bpe_tokens`."""
+    return rf"regexp_extract_all(lower(coalesce({col}, '')), '[a-z]+|[0-9]+|[^a-z0-9\s]+')"

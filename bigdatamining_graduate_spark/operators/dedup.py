@@ -357,3 +357,75 @@ def simhash_pairs_sql(max_hamming: int = SIMHASH_CHUNKS - 1) -> str:
     FROM cand
     WHERE bit_count(xor(sh_a, sh_b)) <= {max_hamming}
     """
+
+
+# -- winnowing fingerprints (rolling-hash document sketch) ------------------
+
+WINNOW_K = 3   # words per gram (rolling-hash unit)
+WINNOW_W = 4   # winnowing window: one fingerprint per W consecutive gram hashes
+
+
+def winnow_fingerprints(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """MOSS-style winnowing (Schleimer et al., SIGMOD 2003): hash the
+    POSITIONAL word-``WINNOW_K``-grams, then keep the minimum hash of each
+    sliding window of ``WINNOW_W`` consecutive gram hashes — a guaranteed-
+    coverage rolling-hash fingerprint (any shared substring of length
+    ``W+K-1`` words yields a shared fingerprint). Documents shorter than
+    one window keep their single minimum.
+
+    Everything is per-row array arithmetic over the scan — zero shuffle;
+    the gram-hash array is PROJECTED before the sliding-window transform
+    (projection-boundary rule, see :func:`doc_grams`). Output is the
+    per-document sketch summary (n_grams, n_fps, min_fp)."""
+    tk = docs.select(F.col(id_col), TX.tokenize(text_col).alias("tk"))
+    grams = tk.select(F.col(id_col), TX.word_ngrams(F.col("tk"), WINNOW_K).alias("grams"))
+    hs = grams.select(
+        F.col(id_col),
+        F.transform("grams", lambda g: portable_hash64(g)).alias("hs"),
+    )
+    n = F.size("hs")
+    windowed = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), n - WINNOW_W + 1),
+            lambda i: F.array_min(F.slice("hs", i, WINNOW_W)),
+        )
+    )
+    fps = (
+        F.when(n >= WINNOW_W, windowed)
+        .when(n > 0, F.array(F.array_min("hs")))
+        .otherwise(F.array().cast("array<bigint>"))
+    )
+    out = hs.select(F.col(id_col), n.cast("long").alias("n_grams"), fps.alias("fps"))
+    return out.select(
+        F.col(id_col),
+        "n_grams",
+        F.size("fps").cast("long").alias("n_fps"),
+        F.array_min("fps").alias("min_fp"),
+    )
+
+
+def winnow_fingerprints_sql(table: str = "documents") -> str:
+    """DuckDB twin of :func:`winnow_fingerprints`."""
+    k, w = WINNOW_K, WINNOW_W
+    grams = TX.word_ngrams_sql(TX.tokenize_sql("text"), k)
+    h = portable_hash64_sql("g")
+    return f"""
+    WITH hs AS (
+      SELECT doc_id, list_transform({grams}, g -> {h}) AS hs FROM {table}
+    ),
+    f AS (
+      SELECT doc_id, len(hs) AS n_grams,
+             CASE
+               WHEN len(hs) >= {w} THEN list_distinct(list_transform(
+                 generate_series(1, len(hs) - {w} + 1),
+                 i -> list_min(list_slice(hs, i, i + {w - 1}))))
+               WHEN len(hs) > 0 THEN [list_min(hs)]
+               ELSE []
+             END AS fps
+      FROM hs
+    )
+    SELECT doc_id, cast(n_grams as bigint) AS n_grams,
+           cast(len(fps) as bigint) AS n_fps,
+           list_min(fps) AS min_fp
+    FROM f
+    """

@@ -1915,6 +1915,51 @@ def q68_frame_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     return MM.sample_frames(MM.with_binary_payload(docs))
 
 
+@register(
+    "q69_bpe_token_stats",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, lang,
+             {TX.tokenize_sql('text')} AS ws,
+             {TX.bpe_tokens_sql('text')} AS bpe
+      FROM documents
+    )
+    SELECT doc_id, lang,
+           cast(len(ws) as bigint) AS n_tokens_ws,
+           cast(len(bpe) as bigint) AS n_tokens_bpe,
+           cast(len(list_distinct(bpe)) as bigint) AS n_distinct_bpe
+    FROM t
+    """,
+)
+def q69_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting both ways — whitespace tokens (of normalized text)
+    vs BPE-ish regex pre-tokens (letter/digit/punct runs of raw text, the
+    subword-tokenizer pre-split shape): the per-document token budget a
+    training pipeline filters and bills on. Single scan, zero shuffle,
+    all codegen (``regexp_extract_all`` is JVM-side — no Python)."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id", "lang",
+        TX.tokenize("text").alias("ws"),
+        TX.bpe_tokens("text").alias("bpe"),
+    )
+    return t.select(
+        "doc_id", "lang",
+        F.size("ws").cast("long").alias("n_tokens_ws"),
+        F.size("bpe").cast("long").alias("n_tokens_bpe"),
+        F.size(F.array_distinct("bpe")).cast("long").alias("n_distinct_bpe"),
+    )
+
+
+@register("q70_winnow_fingerprints", oracle=DD.winnow_fingerprints_sql())
+def q70_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash document fingerprinting via winnowing (MOSS): min
+    gram-hash per sliding window — guaranteed-coverage sketch, per-row
+    array arithmetic, zero shuffle. Complements q23's whole-doc md5 and
+    q26's MinHash. See ``operators/dedup.winnow_fingerprints``."""
+    return DD.winnow_fingerprints(load_table(spark, sf_dir, "documents"))
+
+
 from ..operators import langid as LID  # noqa: E402
 
 
