@@ -402,6 +402,94 @@ def winnow_fingerprints(docs: DataFrame, text_col: str = "text", id_col: str = "
     )
 
 
+def neardup_components(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    max_rounds: int = 25,
+) -> DataFrame:
+    """(doc_id, component, csize): every document labeled with the minimum
+    doc_id reachable in the near-dup candidate graph — the CLUSTERING step
+    a dedup pipeline needs after pair generation (pairs alone don't say
+    which docs to drop; transitive closure does). Documents in no pair are
+    their own singleton component. ``csize`` is the component cardinality,
+    the usual curation filter key ("drop all but one of each cluster").
+
+    The reference stops at candidate pairs (``hw3/hw3.py:159-172``); this
+    closes them into groups with iterative min-label propagation: each
+    round every node takes the min label among itself and its neighbours
+    (one equi-join + one partial-agg shuffle per round), converging within
+    the graph diameter — near-dup clusters are small and dense, so a
+    handful of rounds. Scale properties: edges are materialized ONCE
+    (``localCheckpoint``; swap for reliable ``checkpoint`` on a cluster)
+    so the expensive pair pipeline never re-runs inside the loop; each
+    round's plan is constant-size (labels re-checkpointed); convergence
+    is detected with a single scalar ``sum(comp)`` action — the label sum
+    strictly decreases until fixpoint, so no change-join is needed. This
+    is the standard MapReduce-CC shape (Kiveris et al., "Connected
+    Components in MapReduce and Beyond", SoCC'14 — hash-to-min variant).
+    """
+    # undirected edge list, both directions, materialized once
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .union(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+        .localCheckpoint()
+    )
+    labels = docs.select(
+        F.col(id_col).alias("node"), F.col(id_col).alias("comp")
+    ).localCheckpoint()
+    prev_sum = labels.agg(F.sum("comp")).collect()[0][0]
+    for _ in range(max_rounds):
+        nb_min = (
+            edges.join(labels, edges.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("comp").alias("nb_comp"))
+        )
+        labels = (
+            labels.join(nb_min, labels.node == nb_min.src, "left")
+            .select(
+                "node",
+                F.least(F.col("comp"), F.coalesce("nb_comp", "comp")).alias("comp"),
+            )
+            .localCheckpoint()
+        )
+        cur_sum = labels.agg(F.sum("comp")).collect()[0][0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    else:
+        raise RuntimeError(f"neardup_components: no fixpoint in {max_rounds} rounds")
+    sizes = labels.groupBy("comp").agg(F.count("*").alias("csize"))
+    return (
+        labels.join(sizes, "comp")
+        .select(F.col("node").alias(id_col), F.col("comp").alias("component"), "csize")
+    )
+
+
+def neardup_components_sql(pairs_sql: str, table: str = "documents") -> str:
+    """DuckDB twin of :func:`neardup_components`: transitive closure via a
+    recursive CTE (set-semantics UNION guarantees termination), then the
+    min reachable id per node; singletons seeded from the full table."""
+    return f"""
+    WITH RECURSIVE
+    pairs AS (SELECT doc_a, doc_b FROM ({pairs_sql})),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION ALL
+      SELECT doc_b AS src, doc_a AS dst FROM pairs
+    ),
+    reach(node, comp) AS (
+      SELECT doc_id, doc_id FROM {table}
+      UNION
+      SELECT e.src, r.comp FROM edges e JOIN reach r ON r.node = e.dst
+    ),
+    lbl AS (SELECT node, min(comp) AS component FROM reach GROUP BY node)
+    SELECT node AS doc_id, component,
+           count(*) OVER (PARTITION BY component) AS csize
+    FROM lbl
+    """
+
+
 def winnow_fingerprints_sql(table: str = "documents") -> str:
     """DuckDB twin of :func:`winnow_fingerprints`."""
     k, w = WINNOW_K, WINNOW_W

@@ -130,6 +130,79 @@ def sample_frames(with_payload: DataFrame) -> DataFrame:
     return with_payload.mapInPandas(frames, schema=FRAME_SCHEMA)
 
 
+RESIZE_STRIDE = 4    # "nearest-neighbour resize": keep every 4th sample
+
+#: schema produced by :func:`resize_payloads`
+THUMB_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("orig_chars", T.LongType()),
+        T.StructField("thumb_chars", T.LongType()),
+        T.StructField("thumb_md5", T.StringType()),
+    ]
+)
+
+
+def resize_payloads(with_payload: DataFrame) -> DataFrame:
+    """Decode → resize → re-encode, the image-thumbnail payload path:
+    each binary payload is decoded (STUB: UTF-8 — real deployments plug
+    PIL ``Image.resize`` here) and downsampled by keeping every
+    ``RESIZE_STRIDE``-th sample (the nearest-neighbour analogue on the
+    1-D stand-in), then fingerprinted. 1:1 row mapping, Arrow-batched,
+    zero shuffle — the thumbnail job is a pure map over the payload scan,
+    so at 100 TB it scales with input splits and nothing else."""
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            ids: list[int] = []
+            orig: list[int] = []
+            tlen: list[int] = []
+            md5s: list[str] = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                if payload is None:
+                    continue
+                content = bytes(payload).decode("utf-8")  # stubbed decode
+                thumb = content[::RESIZE_STRIDE]
+                ids.append(doc_id)
+                orig.append(len(content))
+                tlen.append(len(thumb))
+                md5s.append(hashlib.md5(thumb.encode("utf-8")).hexdigest())
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "orig_chars": pd.Series(orig, dtype="int64"),
+                    "thumb_chars": pd.Series(tlen, dtype="int64"),
+                    "thumb_md5": pd.Series(md5s, dtype="object"),
+                }
+            )
+
+    return with_payload.mapInPandas(resize, schema=THUMB_SCHEMA)
+
+
+def resize_payloads_sql(table: str = "documents") -> str:
+    """DuckDB twin of payload→:func:`resize_payloads` (the stubbed decode
+    is UTF-8 chars, so 1-D stride resize is char picking at positions
+    1, 1+s, 1+2s, ...)."""
+    s = RESIZE_STRIDE
+    return f"""
+    WITH d AS (
+      SELECT doc_id, text, length(text) AS n FROM {table} WHERE text IS NOT NULL
+    ),
+    t AS (
+      SELECT doc_id, n,
+             array_to_string(list_transform(
+               generate_series(1, greatest(n, 1), {s}), i -> substr(text, i, 1)), '') AS thumb
+      FROM d
+    )
+    SELECT doc_id, n AS orig_chars,
+           cast(length(thumb) as bigint) AS thumb_chars,
+           md5(thumb) AS thumb_md5
+    FROM t
+    """
+
+
 def sample_frames_sql(table: str = "documents") -> str:
     """DuckDB twin of payload→:func:`sample_frames` (frames are chunks of
     the decoded characters, so the oracle is plain substr arithmetic)."""

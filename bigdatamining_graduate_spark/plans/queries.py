@@ -1973,3 +1973,72 @@ def q66_ngram_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     the three-plan scale design (bounded profile agg, broadcast scoring,
     skew-free per-doc argmax)."""
     return LID.langid_confusion(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "q71_neardup_components",
+    oracle=DD.neardup_components_sql(DD.ngram_jaccard_pairs_sql(0.8)),
+)
+def q71_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS: connected components over the exact-Jaccard
+    candidate pairs (q25's graph, threshold 0.8) via iterative min-label
+    propagation — the transitive-closure step that turns pairs into "keep
+    one per cluster" decisions. Every doc labeled (singletons included)
+    with min reachable doc_id + component size. Oracle is a DuckDB
+    recursive CTE over the same pair SQL. See
+    ``operators/dedup.neardup_components`` for the scale design
+    (edges materialized once, constant-size per-round plans, scalar
+    convergence check)."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = DD.ngram_jaccard_pairs(docs, 0.8)
+    return DD.neardup_components(docs, pairs)
+
+
+@register("q72_thumbnail_payloads", oracle=MM.resize_payloads_sql())
+def q72_thumbnail_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-shaped multimodal path: binary payload → stubbed decode →
+    nearest-neighbour stride resize → thumbnail fingerprint, as 1:1
+    Arrow ``mapInPandas`` over the payload scan (zero shuffle —
+    thumbnailing scales with input splits only). Completes the
+    decode / feature-extract / resize / frame-sample multimodal quartet
+    (q39 / q68 / here). See ``operators/multimodal.resize_payloads``."""
+    docs = load_table(spark, sf_dir, "documents")
+    return MM.resize_payloads(MM.with_binary_payload(docs))
+
+
+# deterministic per-stratum sampling rates (percent kept, by lang) — the
+# training-mix balancing knob: downsample the dominant language, keep the rest
+_STRATA_PCT = {"en": 40}
+_STRATA_DEFAULT_PCT = 100
+
+
+def _strata_case_sql() -> str:
+    whens = " ".join(
+        f"WHEN lang = '{k}' THEN {v}" for k, v in sorted(_STRATA_PCT.items())
+    )
+    return f"CASE {whens} ELSE {_STRATA_DEFAULT_PCT} END"
+
+
+@register(
+    "q73_stratified_sample",
+    oracle=f"""
+    SELECT doc_id, lang, source
+    FROM documents
+    WHERE {portable_hash64_sql("cast(doc_id as varchar)", "strata")} % 100
+          < ({_strata_case_sql()})
+    """,
+)
+def q73_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling — the scale-correct replacement
+    for ``sampleBy``: the keep decision is a pure function of the row key
+    (salted portable hash mod 100 vs a per-stratum rate), so the sample is
+    reproducible across runs/engines/partitionings, needs no shuffle and
+    no stored sample, and composes with q64's hash split (different salt ⇒
+    independent). Training-mix balancing: 'en' kept at 40%, every other
+    language at 100%. Pure pushed-down filter over the scan."""
+    docs = load_table(spark, sf_dir, "documents")
+    rate = F.lit(_STRATA_DEFAULT_PCT)
+    for k, v in sorted(_STRATA_PCT.items()):
+        rate = F.when(F.col("lang") == k, v).otherwise(rate)
+    keep = portable_hash64(F.col("doc_id").cast("string"), salt="strata") % 100 < rate
+    return docs.filter(keep).select("doc_id", "lang", "source")
