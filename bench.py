@@ -39,6 +39,8 @@ HEADLINE = [
     "q47_stream_session_windows",  # streaming session windows
     "q62_clicks_before_error",  # binned interval (range) join
     "q63_curated_corpus",       # end-to-end corpus curation pipeline
+    "q71_neardup_components",   # iterative connected-component dedup clusters
+    "q74_ann_recall",           # ANN recall@k vs brute-force ground truth
 ]
 
 

@@ -435,9 +435,15 @@ def neardup_components(
         .union(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
         .localCheckpoint()
     )
-    labels = docs.select(
-        F.col(id_col).alias("node"), F.col(id_col).alias("comp")
-    ).localCheckpoint()
+    # the loop runs ONLY over pair-incident nodes — typically a small
+    # fraction of the corpus (docs with at least one near-dup); singletons
+    # never enter a round and are attached at the end with one anti-join
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("comp", F.col("node"))
+        .localCheckpoint()
+    )
     prev_sum = labels.agg(F.sum("comp")).collect()[0][0]
     for _ in range(max_rounds):
         nb_min = (
@@ -459,11 +465,19 @@ def neardup_components(
         prev_sum = cur_sum
     else:
         raise RuntimeError(f"neardup_components: no fixpoint in {max_rounds} rounds")
-    sizes = labels.groupBy("comp").agg(F.count("*").alias("csize"))
-    return (
-        labels.join(sizes, "comp")
-        .select(F.col("node").alias(id_col), F.col("comp").alias("component"), "csize")
+    clustered = labels.select(
+        F.col("node").alias(id_col),
+        F.col("comp").alias("component"),
+        F.count("*").over(Window.partitionBy("comp")).cast("long").alias("csize"),
     )
+    singletons = docs.join(
+        labels.select(F.col("node").alias(id_col)), id_col, "left_anti"
+    ).select(
+        F.col(id_col),
+        F.col(id_col).alias("component"),
+        F.lit(1).cast("long").alias("csize"),
+    )
+    return clustered.unionByName(singletons)
 
 
 def neardup_components_sql(pairs_sql: str, table: str = "documents") -> str:

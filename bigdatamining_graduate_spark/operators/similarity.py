@@ -159,6 +159,124 @@ def ann_lsh_pairs(embeddings: DataFrame, min_sim: float) -> DataFrame:
     )
 
 
+def ann_recall(embeddings: DataFrame, query_pred, k: int = 5) -> DataFrame:
+    """Recall@k of the banded sign-LSH path against the exact brute-force
+    ground truth — the "measure, don't guess" evaluation an ANN deployment
+    needs before trusting its index. Per query: how many of the true top-k
+    cosine neighbors the LSH buckets retrieve in THEIR top-k.
+
+    Scale shape: the exact side is the expensive O(queries × corpus)
+    baseline, so recall is evaluated on a query SAMPLE (``query_pred`` —
+    here the same deterministic slice the exact query uses); the approx
+    side reuses the production bucket equi-join, asymmetric (sampled
+    queries × corpus) so it stays linear in corpus size. Output
+    (query_id, n_true, n_hits, recall) — aggregate recall is
+    sum(n_hits)/sum(n_true), left to the reader so per-query misses stay
+    visible."""
+    emb = embeddings.select("vec_id", _as_double("embedding").alias("v"))
+    bucketed = emb.select(
+        "vec_id",
+        "v",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("band"), _band_value_spark(F.col("v"), j).alias("bv")
+                    )
+                    for j in range(ANN_BANDS)
+                ]
+            )
+        ).alias("b"),
+    ).select("vec_id", "v", "b.band", "b.bv")
+    qb = bucketed.filter(query_pred).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), "band", "bv"
+    )
+    nb = bucketed.select(F.col("vec_id").alias("neighbor_id"), F.col("v").alias("nv"), "band", "bv")
+    sim = V.cosine(F.col("qv"), F.col("nv"))
+    cand = (
+        qb.join(nb, ["band", "bv"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", sim.alias("sim"))
+        .distinct()
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    approx = (
+        cand.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id")
+    )
+    truth = knn_bruteforce(embeddings, query_pred, k).select("query_id", "neighbor_id")
+    hits = (
+        truth.join(approx, ["query_id", "neighbor_id"], "left_semi")
+        .groupBy("query_id")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    return (
+        truth.groupBy("query_id")
+        .agg(F.count("*").alias("n_true"))
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            "n_true",
+            F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+            F.round(F.coalesce("n_hits", F.lit(0)) / F.col("n_true"), 6).alias("recall"),
+        )
+    )
+
+
+def ann_recall_sql(query_pred_sql: str, k: int = 5) -> str:
+    """DuckDB twin of :func:`ann_recall` (shares the hyperplane literals
+    and both top-k tiebreaks with the Spark plan)."""
+    cos_t = V.cosine_sql("qv", "nv")
+    band_selects = "\n      UNION ALL ".join(
+        f"SELECT vec_id, v, {j} AS band, {_band_value_sql('v', j)} AS bv FROM emb"
+        for j in range(ANN_BANDS)
+    )
+    return f"""
+    WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM emb WHERE {query_pred_sql}),
+    tpairs AS (
+      SELECT query_id, e.vec_id AS neighbor_id, qv, e.v AS nv
+      FROM q CROSS JOIN emb e WHERE query_id <> e.vec_id
+    ),
+    truth AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY {cos_t} DESC, neighbor_id) AS rnk
+        FROM tpairs)
+      WHERE rnk <= {k}
+    ),
+    bucketed AS ({band_selects}),
+    qb AS (SELECT vec_id AS query_id, v AS qv, band, bv FROM bucketed
+           WHERE {query_pred_sql.replace("query_id", "vec_id")}),
+    cand AS (
+      SELECT DISTINCT query_id, b.vec_id AS neighbor_id, qv, b.v AS nv
+      FROM qb JOIN bucketed b ON qb.band = b.band AND qb.bv = b.bv
+                             AND query_id <> b.vec_id
+    ),
+    approx AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY {cos_t} DESC, neighbor_id) AS rnk
+        FROM cand)
+      WHERE rnk <= {k}
+    ),
+    hits AS (
+      SELECT t.query_id, count(*) AS n_hits
+      FROM truth t JOIN approx a
+        ON t.query_id = a.query_id AND t.neighbor_id = a.neighbor_id
+      GROUP BY 1
+    )
+    SELECT t.query_id, count(*) AS n_true,
+           coalesce(any_value(h.n_hits), 0) AS n_hits,
+           round(coalesce(any_value(h.n_hits), 0) * 1.0 / count(*), 6) AS recall
+    FROM truth t LEFT JOIN hits h ON t.query_id = h.query_id
+    GROUP BY t.query_id
+    """
+
+
 def ann_lsh_pairs_sql(min_sim: float) -> str:
     cos = V.cosine_sql("va", "vb")
     band_selects = "\n      UNION ALL ".join(

@@ -2042,3 +2042,59 @@ def q73_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         rate = F.when(F.col("lang") == k, v).otherwise(rate)
     keep = portable_hash64(F.col("doc_id").cast("string"), salt="strata") % 100 < rate
     return docs.filter(keep).select("doc_id", "lang", "source")
+
+
+@register(
+    "q74_ann_recall",
+    oracle=SIM.ann_recall_sql("query_id % 100 = 0", k=5),
+)
+def q74_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of the sign-LSH ANN path (q30's index geometry) against
+    the exact brute-force top-5 (q29) per sampled query — the evaluation
+    loop a production ANN index needs ("measure, don't guess"). Exact
+    side runs only on the query sample; approx side is the linear
+    bucket equi-join. See ``operators/similarity.ann_recall``."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return SIM.ann_recall(emb, F.col("vec_id") % 100 == 0, k=5)
+
+
+_REP_N = 3  # within-doc repetition gram order
+
+
+@register(
+    "q75_rep_ngram_quality",
+    oracle=f"""
+    WITH g AS (
+      SELECT doc_id,
+             {TX.word_ngrams_sql(TX.tokenize_sql("text"), _REP_N)} AS grams
+      FROM documents
+    )
+    SELECT doc_id,
+           cast(len(grams) as bigint) AS n_grams,
+           cast(len(list_distinct(grams)) as bigint) AS n_distinct,
+           CASE WHEN len(grams) > 0
+                THEN round(1.0 - len(list_distinct(grams)) * 1.0 / len(grams), 6)
+                ELSE 0.0 END AS rep_frac
+    FROM g
+    """,
+)
+def q75_rep_ngram_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition score: fraction of duplicate word
+    3-grams per doc — the repetitious-text quality signal large-corpus
+    curation filters on (degenerate/boilerplate docs score high).
+    Complements q28's surface stats (length/punct/stopword ratios) with a
+    redundancy axis. Pure per-row array arithmetic over the scan — the
+    token array is PROJECTED before the gram transform (projection-
+    boundary rule, ``operators/dedup.doc_grams``) — zero shuffle, so at
+    100 TB it scales with input splits only."""
+    docs = load_table(spark, sf_dir, "documents")
+    tk = docs.select("doc_id", TX.tokenize("text").alias("tk"))
+    g = tk.select("doc_id", TX.word_ngrams(F.col("tk"), _REP_N).alias("grams"))
+    n = F.size("grams")
+    nd = F.size(F.array_distinct("grams"))
+    return g.select(
+        "doc_id",
+        n.cast("long").alias("n_grams"),
+        nd.cast("long").alias("n_distinct"),
+        F.when(n > 0, F.round(F.lit(1.0) - nd / n, 6)).otherwise(F.lit(0.0)).alias("rep_frac"),
+    )
