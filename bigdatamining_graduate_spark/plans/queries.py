@@ -2098,3 +2098,14 @@ def q75_rep_ngram_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         nd.cast("long").alias("n_distinct"),
         F.when(n > 0, F.round(F.lit(1.0) - nd / n, 6)).otherwise(F.lit(0.0)).alias("rep_frac"),
     )
+
+
+@register("q76_stream_late_data", oracle=ST.LATE_DATA_HOURLY_COUNTS_SQL)
+def q76_stream_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic watermark late-data handling: the events table
+    arrives as two out-of-order micro-batches (recent half first); the
+    20-day watermark then DROPS the late rows whose hourly window already
+    closed and ACCEPTS the rest — the exact drop set is a pure function
+    of the fixture, verified against a batch oracle that recomputes the
+    watermark line. See ``streaming.jobs.late_data_hourly_counts``."""
+    return ST.late_data_hourly_counts(spark, sf_dir)

@@ -148,6 +148,107 @@ GROUP BY event_type
 """
 
 
+#: late-data fixture geometry (events span 2024-01-01..30): arrival order
+#: is b0=[16,23) on time, b1=[23,24) buffer, b2=[1,16) LATE, b3=[24,31).
+#: The buffer exists because the late-input filter LAGS the reported
+#: watermark by one micro-batch (measured on this engine version: the
+#: filter for batch N uses event-time stats through batch N−2, while
+#: state eviction/emission uses stats through N−1) — so the late batch
+#: must arrive two batches after the one whose max event time defines its
+#: drop line. With a 7-day watermark: b2 is filtered at
+#: max(b0)−7d ≈ Jan 15.9 (most drops, the last hours survive), and the
+#: final no-data batch emits every window ending ≤ max(all)−7d ≈ Jan 23.9.
+LATE_SPLITS = ["2024-01-16 00:00:00", "2024-01-23 00:00:00", "2024-01-24 00:00:00"]
+LATE_DELAY_DAYS = 7
+
+
+def late_data_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark LATE-DATA semantics, deterministically: the events table
+    is staged as four single-file micro-batches arriving OUT of event-time
+    order (see ``LATE_SPLITS``), streamed with ``maxFilesPerTrigger=1``.
+    The late batch is processed under an already-advanced watermark, so
+    the engine DROPS its rows whose hourly window closed below the line
+    and merges the rest; the trailing batches advance the watermark
+    further so append mode EMITS the finalized windows. Every boundary is
+    a pure function of the fixture, so the drop AND emission sets are
+    exactly reproducible by the batch oracle.
+
+    Mode caveat (measured on this engine version): update-mode
+    aggregation does NOT filter late input — late rows re-create evicted
+    windows — so append is the mode that actually enforces the drop
+    policy; this query pins that behavior.
+
+    Scale: the watermark is what BOUNDS STATE at 100 TB/day — without it
+    every hourly window since the beginning of time stays in the state
+    store; with it, state is O(windows inside the lateness horizon) and
+    the drop policy is explicit and measurable."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    ensure_runtime_confs(spark)
+    raw = (
+        spark.read.schema(_EVENTS_RAW)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir.rstrip("/"))
+    )
+    ts = F.timestamp_micros(F.expr("ts div 1000"))
+    c0, c1, c2 = [F.lit(c).cast("timestamp") for c in LATE_SPLITS]
+    stage = tempfile.mkdtemp(prefix="bdm_late_stream_")
+    indir = os.path.join(stage, "in")
+    os.makedirs(indir)
+    # arrival order != event-time order. File-source batch order follows
+    # modification time (oldest first), pinned explicitly so ordering
+    # never depends on write latency.
+    arrival = [
+        (ts >= c0) & (ts < c1),  # on time: establishes the drop line
+        (ts >= c1) & (ts < c2),  # on-time buffer (filter lags one batch)
+        ts < c0,                 # LATE: filtered at max(b0)-delay
+        ts >= c2,                # advances max; final no-data batch emits
+    ]
+    for i, pred in enumerate(arrival):
+        part_dir = os.path.join(stage, f"part{i}")
+        raw.filter(pred).coalesce(1).write.parquet(part_dir)
+        dst = os.path.join(indir, f"batch{i}.parquet")
+        shutil.move(glob.glob(os.path.join(part_dir, "part-*.parquet"))[0], dst)
+        os.utime(dst, (1_700_000_000 + i * 100, 1_700_000_000 + i * 100))
+    stream = (
+        spark.readStream.schema(_EVENTS_RAW)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(indir)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    agg = (
+        stream.withWatermark("ts", f"{LATE_DELAY_DAYS} days")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count("*").alias("n"))
+        .select(F.unix_timestamp("w.start").alias("window_start"), "n")
+    )
+    return _run_to_memory(agg, mode="append")
+
+
+LATE_DATA_HOURLY_COUNTS_SQL = f"""
+WITH wm AS (
+  SELECT
+    (SELECT max(ts) FROM events
+      WHERE ts >= TIMESTAMP '{LATE_SPLITS[0]}' AND ts < TIMESTAMP '{LATE_SPLITS[1]}')
+      - INTERVAL {LATE_DELAY_DAYS} DAY AS drop_line,
+    (SELECT max(ts) FROM events) - INTERVAL {LATE_DELAY_DAYS} DAY AS emit_line
+),
+kept AS (
+  SELECT e.ts FROM events e, wm
+  WHERE e.ts >= TIMESTAMP '{LATE_SPLITS[0]}'
+     OR date_trunc('hour', e.ts) + INTERVAL 1 HOUR > wm.drop_line
+)
+SELECT cast(epoch(date_trunc('hour', ts)) as bigint) AS window_start,
+       count(*) AS n
+FROM kept, wm
+WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR <= wm.emit_line
+GROUP BY 1
+"""
+
+
 def stream_static_segment_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-static join — the one streaming join class the engine's
     surface was missing: the events STREAM enriched against the static
