@@ -206,20 +206,17 @@ def ann_recall(embeddings: DataFrame, query_pred, k: int = 5) -> DataFrame:
         .select("query_id", "neighbor_id")
     )
     truth = knn_bruteforce(embeddings, query_pred, k).select("query_id", "neighbor_id")
-    hits = (
-        truth.join(approx, ["query_id", "neighbor_id"], "left_semi")
-        .groupBy("query_id")
-        .agg(F.count("*").alias("n_hits"))
-    )
+    # one left join + ONE aggregation: n_true and n_hits come out of the
+    # same pass, so the expensive exact-kNN subtree is planned once (the
+    # semi-join + separate count formulation duplicated it in the plan)
+    hit = approx.withColumn("hit", F.lit(1))
     return (
-        truth.groupBy("query_id")
-        .agg(F.count("*").alias("n_true"))
-        .join(hits, "query_id", "left")
-        .select(
-            "query_id",
-            "n_true",
-            F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
-            F.round(F.coalesce("n_hits", F.lit(0)) / F.col("n_true"), 6).alias("recall"),
+        truth.join(hit, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count("*").alias("n_true"),
+            F.count("hit").alias("n_hits"),
+            F.round(F.count("hit") / F.count("*"), 6).alias("recall"),
         )
     )
 

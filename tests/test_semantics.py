@@ -164,3 +164,27 @@ def test_sample_frames_cardinality_and_fingerprints(spark):
             chunk = t[j * MM.FRAME_CHARS : (j + 1) * MM.FRAME_CHARS]
             want.add((i, j, len(chunk), hashlib.md5(chunk.encode()).hexdigest()))
     assert got == want
+
+
+def test_neardup_components_chain_multi_round(spark):
+    """A 10-node path graph forces ~diameter rounds of min-label
+    propagation (the sf fixtures converge in one round, so this is the
+    only coverage of the deep-iteration path), plus two singletons and a
+    separate triangle; csize and labels must match the closure."""
+    from bigdatamining_graduate_spark.operators.dedup import neardup_components
+
+    docs = spark.createDataFrame([(i,) for i in range(1, 16)], ["doc_id"])
+    chain = [(i, i + 1) for i in range(1, 10)]          # 1-2-...-10
+    tri = [(12, 13), (13, 14), (12, 14)]                # triangle 12-13-14
+    pairs = spark.createDataFrame(chain + tri, ["doc_a", "doc_b"])
+    got = {
+        r.doc_id: (r.component, r.csize)
+        for r in neardup_components(docs, pairs).collect()
+    }
+    assert len(got) == 15
+    for i in range(1, 11):
+        assert got[i] == (1, 10), i
+    for i in (11, 15):
+        assert got[i] == (i, 1), i
+    for i in (12, 13, 14):
+        assert got[i] == (12, 3), i
