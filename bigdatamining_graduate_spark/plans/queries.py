@@ -2109,3 +2109,47 @@ def q76_stream_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
     of the fixture, verified against a batch oracle that recomputes the
     watermark line. See ``streaming.jobs.late_data_hourly_counts``."""
     return ST.late_data_hourly_counts(spark, sf_dir)
+
+
+_INCR_BUCKETS = 10
+_INCR_HIST = 8  # buckets 0-7 = historical corpus, 8-9 = incoming batch
+
+
+@register(
+    "q77_incremental_dedup",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, md5({TX.normalize_text_sql('text')}) AS fp,
+             {portable_hash64_sql("cast(doc_id as varchar)", "incr")} % {_INCR_BUCKETS} AS b
+      FROM documents
+    ),
+    hist AS (SELECT DISTINCT fp FROM base WHERE b < {_INCR_HIST}),
+    new_unique AS (
+      SELECT fp, min(doc_id) AS doc_id
+      FROM base WHERE b >= {_INCR_HIST} GROUP BY fp
+    )
+    SELECT doc_id, fp FROM new_unique
+    WHERE fp NOT IN (SELECT fp FROM hist)
+    """,
+)
+def q77_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental (cross-snapshot) dedup — the continuous-curation shape:
+    an INCOMING batch (deterministic hash slice, 20%) is deduplicated
+    first within itself (min doc_id per content fingerprint) and then
+    against the HISTORICAL corpus's fingerprint set via LEFT ANTI join,
+    so only genuinely-new content survives. At 100 TB the historical side
+    is a persisted fingerprint table bucketed by fp (anti join co-located,
+    no fact re-shuffle) with an optional Bloom-filter pre-prune; the
+    incoming side is one shuffle on fp. Complements q24 (whole-corpus
+    exact dedup) with the day-over-day arrival pattern."""
+    docs = load_table(spark, sf_dir, "documents")
+    b = portable_hash64(F.col("doc_id").cast("string"), salt="incr") % _INCR_BUCKETS
+    fp = F.md5(TX.normalize_text("text"))
+    base = docs.select("doc_id", fp.alias("fp"), b.alias("b"))
+    hist = base.filter(F.col("b") < _INCR_HIST).select("fp").distinct()
+    new_unique = (
+        base.filter(F.col("b") >= _INCR_HIST)
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("doc_id"))
+    )
+    return new_unique.join(hist, "fp", "left_anti").select("doc_id", "fp")

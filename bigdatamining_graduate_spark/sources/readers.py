@@ -75,3 +75,14 @@ def from_pandas(spark: SparkSession, pdf) -> DataFrame:
     """pandas → DataFrame via Arrow (S9, ``hw2/BDM_hw2_final.py:209``);
     the session factory enables ``spark.sql.execution.arrow.pyspark``."""
     return spark.createDataFrame(pdf)
+
+
+def read_jsonl(spark: SparkSession, path: str, schema) -> DataFrame:
+    """JSON-lines reader with an EXPLICIT schema — the interchange format
+    training-data pipelines actually exchange (one JSON doc per line).
+    Never schema-inference: on a 100 TB corpus inference is a full extra
+    pass, and mixed/sparse keys make its result run-dependent. Malformed
+    lines land in the ``_corrupt_record`` pattern only if the schema asks
+    for it; here they null out (PERMISSIVE), matching the reference's
+    tolerant ingestion (SURVEY.md §2.2 P15)."""
+    return spark.read.schema(schema).json(path)

@@ -54,3 +54,10 @@ def write_text(df: DataFrame, path: str, single_file: bool = False, mode: str = 
     """Text sink (S12, ``hw0/hw0_3.py:49`` ``saveAsTextFile``)."""
     out = df.coalesce(1) if single_file else df
     out.write.mode(mode).text(path)
+
+
+def write_jsonl(df: DataFrame, path: str, single_file: bool = False, mode: str = "overwrite") -> None:
+    """JSON-lines sink (one JSON object per row per line) — the export
+    twin of ``readers.read_jsonl``."""
+    out = df.coalesce(1) if single_file else df
+    out.write.mode(mode).json(path)

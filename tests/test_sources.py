@@ -76,3 +76,19 @@ def test_csv_sink_roundtrip(spark, tmp_path):
     sinks.write_csv(df, out, header=True, quote_all=True, single_file=True)
     back = spark.read.option("header", True).option("escape", '"').csv(out)
     assert sorted(tuple(r) for r in back.collect()) == [("1", "x,y"), ("2", 'q"z')]
+
+
+def test_jsonl_roundtrip(spark, tmp_path):
+    from bigdatamining_graduate_spark.sources.catalog import SCHEMAS, load_table
+    from bigdatamining_graduate_spark.sources.readers import read_jsonl
+    from bigdatamining_graduate_spark.sources.sinks import write_jsonl
+    from .conftest import SF_SMOKE
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    p = str(tmp_path / "docs_jsonl")
+    write_jsonl(docs, p)
+    back = read_jsonl(spark, p, SCHEMAS["documents"])
+    assert back.count() == docs.count()
+    a = {tuple(r) for r in docs.collect()}
+    b = {tuple(r) for r in back.collect()}
+    assert a == b
