@@ -2153,3 +2153,69 @@ def q77_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("doc_id").alias("doc_id"))
     )
     return new_unique.join(hist, "fp", "left_anti").select("doc_id", "fp")
+
+
+_PACK_BUCKETS = 32       # stage-1 ranges (at scale: range partitions)
+_PACK_TOKEN_BUDGET = 2000  # tokens per shard
+
+
+@register(
+    "q78_shard_packing",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id,
+             {portable_hash64_sql("cast(doc_id as varchar)", "pack")} % {_PACK_BUCKETS} AS bucket,
+             len({TX.tokenize_sql('text')}) AS n_tokens
+      FROM documents
+    ),
+    cum AS (
+      SELECT doc_id, bucket, n_tokens,
+             sum(n_tokens) OVER (ORDER BY bucket, doc_id
+                                 ROWS UNBOUNDED PRECEDING) AS cum_tokens
+      FROM base
+    )
+    SELECT doc_id, cast(n_tokens as bigint) AS n_tokens,
+           cast((cum_tokens - n_tokens) // {_PACK_TOKEN_BUDGET} as bigint) AS shard
+    FROM cum
+    """,
+)
+def q78_shard_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget shard packing — assembling training shards of
+    ~constant token count from a document pool. Deterministic global
+    order (hash bucket, doc_id); each doc's shard is its RUNNING token
+    total div the budget. Computed with the scalable two-pass prefix-sum
+    pattern, not one global window (a partitionBy-less window drags the
+    whole corpus through a single reducer): pass 1 aggregates per-bucket
+    token sums (tiny: one row per bucket) and turns them into bucket
+    OFFSETS with a broadcast-size window; pass 2 computes within-bucket
+    running sums (window partitioned by bucket — parallel) and adds the
+    offset. At 100 TB: buckets ≈ range partitions, pass-1 table is KB,
+    and the only data-sized shuffle is the per-bucket window sort."""
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        (portable_hash64(F.col("doc_id").cast("string"), salt="pack") % _PACK_BUCKETS).alias("bucket"),
+        F.size(TX.tokenize("text")).cast("long").alias("n_tokens"),
+    )
+    per_bucket = base.groupBy("bucket").agg(F.sum("n_tokens").alias("bucket_tokens"))
+    off_w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = per_bucket.select(
+        "bucket",
+        F.coalesce(F.sum("bucket_tokens").over(off_w), F.lit(0)).alias("offset"),
+    )
+    in_w = (
+        Window.partitionBy("bucket")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        base.join(F.broadcast(offsets), "bucket")
+        .select(
+            "doc_id",
+            "n_tokens",
+            (
+                (F.col("offset") + F.sum("n_tokens").over(in_w) - F.col("n_tokens"))
+                / _PACK_TOKEN_BUDGET
+            ).cast("long").alias("shard"),
+        )
+    )
