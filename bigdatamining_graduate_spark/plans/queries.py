@@ -2219,3 +2219,120 @@ def q78_shard_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("long").alias("shard"),
         )
     )
+
+
+_CHUNK_TOKENS = 128
+_CHUNK_STRIDE = 96  # 32-token overlap between consecutive chunks
+
+
+@register(
+    "q79_context_chunks",
+    oracle=f"""
+    WITH tk AS (
+      SELECT doc_id, {TX.tokenize_sql('text')} AS tk FROM documents
+    ),
+    starts AS (
+      SELECT doc_id, tk, len(tk) AS n,
+             unnest(CASE WHEN len(tk) > 0
+                    THEN generate_series(0, (len(tk) - 1) // {_CHUNK_STRIDE})
+                    ELSE [] END) AS k
+      FROM tk
+    )
+    SELECT doc_id, cast(k as bigint) AS chunk_idx,
+           cast(len(list_slice(tk, k * {_CHUNK_STRIDE} + 1,
+                               k * {_CHUNK_STRIDE} + {_CHUNK_TOKENS})) as bigint) AS chunk_tokens,
+           md5(array_to_string(list_slice(tk, k * {_CHUNK_STRIDE} + 1,
+                                          k * {_CHUNK_STRIDE} + {_CHUNK_TOKENS}), ' ')) AS chunk_md5
+    FROM starts
+    """,
+)
+def q79_context_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking: each document becomes overlapping
+    128-token training sequences with a 96-token stride — the doc→sequence op between curation and tokenizer sharding
+    (q78 packs whole docs; this splits long ones). Pure per-row array
+    arithmetic (tokenize projected first, then sequence+slice explode);
+    zero shuffle, row-expanding like q68. Empty docs yield no chunks on
+    both engines (Spark's ``sequence(0,-1)`` DESCENDS instead of being
+    empty — guarded with an explicit when)."""
+    docs = load_table(spark, sf_dir, "documents")
+    tk = docs.select("doc_id", TX.tokenize("text").alias("tk"))
+    n = F.size("tk")
+    ks = F.when(
+        n > 0, F.sequence(F.lit(0), F.floor((n - 1) / _CHUNK_STRIDE).cast("int"))
+    ).otherwise(F.array().cast("array<int>"))
+    ex = tk.select("doc_id", "tk", F.explode(ks).alias("k"))
+    chunk = F.slice("tk", F.col("k") * _CHUNK_STRIDE + 1, _CHUNK_TOKENS)
+    ex = ex.select("doc_id", F.col("k").cast("long").alias("chunk_idx"), chunk.alias("chunk"))
+    return ex.select(
+        "doc_id",
+        "chunk_idx",
+        F.size("chunk").cast("long").alias("chunk_tokens"),
+        F.md5(F.array_join("chunk", " ")).alias("chunk_md5"),
+    )
+
+
+_DECON_N = 5          # decontamination gram order
+_DECON_MOD = 50       # benchmark slice: ~2% of docs
+
+
+@register(
+    "q80_benchmark_decontaminate",
+    oracle=f"""
+    WITH labeled AS (
+      SELECT doc_id, {TX.tokenize_sql('text')} AS tk,
+             {portable_hash64_sql("cast(doc_id as varchar)", "bench")} % {_DECON_MOD} = 0 AS is_bench
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, is_bench, unnest(list_distinct({TX.word_ngrams_sql('tk', _DECON_N)})) AS gram
+      FROM labeled
+    ),
+    bench AS (SELECT DISTINCT gram FROM grams WHERE is_bench),
+    hits AS (
+      SELECT g.doc_id, count(*) AS n_hits
+      FROM grams g JOIN bench b ON g.gram = b.gram
+      WHERE NOT g.is_bench
+      GROUP BY 1
+    )
+    SELECT l.doc_id, coalesce(h.n_hits, 0) AS n_hits,
+           cast(coalesce(h.n_hits, 0) > 0 as int) AS contaminated
+    FROM labeled l LEFT JOIN hits h ON l.doc_id = h.doc_id
+    WHERE NOT l.is_bench
+    """,
+)
+def q80_benchmark_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag corpus documents sharing any
+    distinct word-5-gram with a held-out benchmark slice (deterministic
+    ~2% hash sample standing in for an eval set) — the overlap check run
+    before training data ships. The benchmark gram set is tiny and
+    BROADCAST, so scoring is a map-side join over the corpus gram stream:
+    no corpus-sized shuffle except the per-doc count. Every corpus doc is
+    emitted (n_hits = 0 rows included) so the output is a complete audit
+    table."""
+    docs = load_table(spark, sf_dir, "documents")
+    is_bench = (
+        portable_hash64(F.col("doc_id").cast("string"), salt="bench") % _DECON_MOD == 0
+    )
+    tk = docs.select("doc_id", TX.tokenize("text").alias("tk"), is_bench.alias("is_bench"))
+    grams = tk.select(
+        "doc_id",
+        "is_bench",
+        F.explode(F.array_distinct(TX.word_ngrams(F.col("tk"), _DECON_N))).alias("gram"),
+    )
+    bench = grams.filter("is_bench").select("gram").distinct()
+    hits = (
+        grams.filter(~F.col("is_bench"))
+        .join(F.broadcast(bench), "gram")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    return (
+        tk.filter(~F.col("is_bench"))
+        .select("doc_id")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+            (F.coalesce("n_hits", F.lit(0)) > 0).cast("int").alias("contaminated"),
+        )
+    )
