@@ -2336,3 +2336,54 @@ def q80_benchmark_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.coalesce("n_hits", F.lit(0)) > 0).cast("int").alias("contaminated"),
         )
     )
+
+
+_MIX_RES = 1_000_000  # keep-rate resolution (parts per million)
+
+
+@register(
+    "q81_balanced_mixture",
+    oracle=f"""
+    WITH counts AS (
+      SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang
+    ),
+    thresh AS (
+      SELECT lang, n_docs,
+             cast(({_MIX_RES} * (SELECT min(n_docs) FROM counts)) // n_docs as bigint) AS keep_ppm
+      FROM counts
+    )
+    SELECT t.lang, t.n_docs, t.keep_ppm,
+           cast(count(*) FILTER (
+             WHERE {portable_hash64_sql("cast(d.doc_id as varchar)", "mix")} % {_MIX_RES} < t.keep_ppm
+           ) as bigint) AS n_kept
+    FROM documents d JOIN thresh t ON d.lang = t.lang
+    GROUP BY 1, 2, 3
+    """,
+)
+def q81_balanced_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-DEPENDENT mixture balancing: per-language keep rates computed
+    from the corpus itself (downsample every language to the size of the
+    smallest — the equal-mix special case of temperature sampling), then
+    applied as a deterministic hash threshold. Two passes: the per-group
+    count table is tiny and BROADCAST back onto the scan, so the sample
+    decision stays a pushed-down-style map filter — no corpus shuffle
+    beyond the audit aggregate. Complements q73 (static rates): here the
+    rates move with the data, the real production shape. Output is the
+    audit table (lang, n_docs, keep_ppm, n_kept)."""
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("lang").agg(F.count("*").alias("n_docs"))
+    min_n = counts.agg(F.min("n_docs").alias("mn"))
+    thresh = counts.crossJoin(F.broadcast(min_n)).select(
+        "lang",
+        "n_docs",
+        F.floor(_MIX_RES * F.col("mn") / F.col("n_docs")).cast("long").alias("keep_ppm"),
+    )
+    keep = (
+        portable_hash64(F.col("doc_id").cast("string"), salt="mix") % _MIX_RES
+        < F.col("keep_ppm")
+    )
+    return (
+        docs.join(F.broadcast(thresh), "lang")
+        .groupBy("lang", "n_docs", "keep_ppm")
+        .agg(F.sum(keep.cast("long")).cast("long").alias("n_kept"))
+    )

@@ -1,0 +1,33 @@
+"""Physical-plan guards: the scale claims in SCALE.md §2 ("never a raw
+cross join") held once — this keeps them held. Every registered query's
+plan is audited for CartesianProduct / BroadcastNestedLoopJoin; the only
+allowed occurrences are 1-row broadcast aggregates (bounds / corpus
+size / mixture minimum), the documented exact-kNN baselines, and MLlib's
+internal ALS recommend-for-all cartesian."""
+
+from __future__ import annotations
+
+from bigdatamining_graduate_spark.plans.queries import QUERIES
+
+from .conftest import SF_SMOKE
+
+#: queries whose nested-loop/cartesian is intentional and documented
+ALLOWED = {
+    "q03_minmax_normalize",      # 1-row global-bounds broadcast
+    "q29_knn_bruteforce",        # exact similarity baseline (documented)
+    "q31_tfidf_top_terms",       # 1-row corpus-size broadcast
+    "q32_als_recommendations",   # MLlib-internal recommendForAllUsers
+    "q74_ann_recall",            # contains the exact baseline side
+    "q81_balanced_mixture",      # 1-row min-count broadcast
+}
+
+
+def test_no_accidental_cross_joins(spark):
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    offenders = {}
+    for name, fn in sorted(QUERIES.items()):
+        plan = fn(spark, SF_SMOKE)._jdf.queryExecution().explainString(mode)
+        flags = [k for k in ("CartesianProduct", "BroadcastNestedLoopJoin") if k in plan]
+        if flags and name not in ALLOWED:
+            offenders[name] = flags
+    assert not offenders, f"unexpected nested-loop joins: {offenders}"
