@@ -12,6 +12,8 @@ from pyspark.sql import functions as F
 
 from bigdatamining_graduate_spark.functions import text as TX
 
+from .conftest import SF_SMOKE
+
 
 @given(st.lists(st.floats(min_value=-1e6, max_value=1e6, allow_nan=False), min_size=2, max_size=20))
 @settings(max_examples=10, deadline=None)
@@ -188,3 +190,52 @@ def test_neardup_components_chain_multi_round(spark):
         assert got[i] == (i, 1), i
     for i in (12, 13, 14):
         assert got[i] == (12, 3), i
+
+
+def test_context_chunks_cover_all_tokens(spark):
+    """Chunking invariants on the fixture: every chunk ≤ 128 tokens;
+    chunk 0 exists for every non-empty doc; consecutive starts differ by
+    the 96-token stride; the union of chunks covers every token (the
+    last chunk reaches the end of the doc)."""
+    from bigdatamining_graduate_spark.plans.queries import QUERIES
+
+    chunks = QUERIES["q79_context_chunks"](spark, SF_SMOKE).collect()
+    docs = (
+        spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+        .select("doc_id", F.size(TX.tokenize("text")).alias("n"))
+        .collect()
+    )
+    n_by_doc = {r.doc_id: r.n for r in docs}
+    by_doc = {}
+    for r in chunks:
+        assert 1 <= r.chunk_tokens <= 128
+        by_doc.setdefault(r.doc_id, []).append((r.chunk_idx, r.chunk_tokens))
+    for doc_id, n in n_by_doc.items():
+        if n == 0:
+            assert doc_id not in by_doc
+            continue
+        got = sorted(by_doc[doc_id])
+        idxs = [i for i, _ in got]
+        assert idxs == list(range(len(got))), doc_id
+        last_idx, last_len = got[-1]
+        assert last_idx * 96 + last_len == n, doc_id  # coverage to the end
+
+
+def test_shard_packing_budget_and_contiguity(spark):
+    """Packing invariants: shard ids start at 0 with no gaps, every
+    shard's token sum stays within budget + one max-doc overhang, and
+    re-running yields identical assignment (determinism)."""
+    from bigdatamining_graduate_spark.plans.queries import QUERIES
+
+    rows = QUERIES["q78_shard_packing"](spark, SF_SMOKE).collect()
+    shards = {}
+    for r in rows:
+        shards.setdefault(r.shard, []).append(r.n_tokens)
+    ids = sorted(shards)
+    assert ids == list(range(len(ids)))
+    budget, max_doc = 2000, max(r.n_tokens for r in rows)
+    for sid in ids[:-1]:
+        assert sum(shards[sid]) + max_doc >= budget, sid  # full up to overhang
+        assert sum(shards[sid]) < budget + max_doc, sid
+    again = {(r.doc_id, r.shard) for r in QUERIES["q78_shard_packing"](spark, SF_SMOKE).collect()}
+    assert again == {(r.doc_id, r.shard) for r in rows}
