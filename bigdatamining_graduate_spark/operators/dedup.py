@@ -437,11 +437,18 @@ def neardup_components(
     )
     # the loop runs ONLY over pair-incident nodes — typically a small
     # fraction of the corpus (docs with at least one near-dup); singletons
-    # never enter a round and are attached at the end with one anti-join
+    # never enter a round and are attached at the end with one anti-join.
+    # Round 1 is FUSED into initialization: comp = least(node, min
+    # neighbour) comes straight off the edge list as one aggregation, so
+    # diameter-1 components (the common dup-cluster shape) need only the
+    # single confirming loop round.
     labels = (
-        edges.select(F.col("src").alias("node"))
-        .distinct()
-        .withColumn("comp", F.col("node"))
+        edges.groupBy("src")
+        .agg(F.min("dst").alias("mn"))
+        .select(
+            F.col("src").alias("node"),
+            F.least(F.col("src"), F.col("mn")).alias("comp"),
+        )
         .localCheckpoint()
     )
     prev_sum = labels.agg(F.sum("comp")).collect()[0][0]
