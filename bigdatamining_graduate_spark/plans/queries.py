@@ -2387,3 +2387,41 @@ def q81_balanced_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang", "n_docs", "keep_ppm")
         .agg(F.sum(keep.cast("long")).cast("long").alias("n_kept"))
     )
+
+
+@register(
+    "q82_onehot_langs",
+    oracle="""
+    WITH c AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY 1)
+    SELECT lang, n_docs,
+           cast(row_number() OVER (ORDER BY n_docs DESC, lang) - 1 as bigint) AS lang_idx,
+           cast((SELECT count(*) FROM c) - 1 as bigint) AS vec_size
+    FROM c
+    """,
+)
+def q82_onehot_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """StringIndexer + OneHotEncoder (SURVEY.md M6 — notebook-only in the
+    reference, ``FinalProject/BDM_Final.ipynb`` cell 68) driven through
+    MLlib, with the parts of its output that ARE engine-independent
+    checked against SQL: the frequency-desc/alphabetical index assignment
+    and the drop-last vector geometry. The category dictionary
+    (`.fit`) is one tiny aggregate; the transform is map-side."""
+    from pyspark.ml.feature import OneHotEncoder, StringIndexer
+    from pyspark.ml.functions import vector_to_array
+
+    docs = load_table(spark, sf_dir, "documents")
+    indexed = (
+        StringIndexer(inputCol="lang", outputCol="lang_idx", stringOrderType="frequencyDesc")
+        .fit(docs)
+        .transform(docs)
+    )
+    encoded = (
+        OneHotEncoder(inputCols=["lang_idx"], outputCols=["lang_vec"])
+        .fit(indexed)
+        .transform(indexed)
+    )
+    return encoded.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.first("lang_idx").cast("long").alias("lang_idx"),
+        F.first(F.size(vector_to_array("lang_vec"))).cast("long").alias("vec_size"),
+    )
