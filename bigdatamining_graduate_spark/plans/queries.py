@@ -2425,3 +2425,72 @@ def q82_onehot_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.first("lang_idx").cast("long").alias("lang_idx"),
         F.first(F.size(vector_to_array("lang_vec"))).cast("long").alias("vec_size"),
     )
+
+
+_PROFILE_NUM = ["o_orderkey", "o_custkey", "o_totalprice"]
+_PROFILE_STR = ["o_orderstatus", "o_orderpriority"]
+
+
+def _profile_oracle() -> str:
+    parts = []
+    for c in _PROFILE_NUM:
+        parts.append(f"""
+        SELECT '{c}' AS col_name, count(*) AS n,
+               count(*) - count({c}) AS n_null,
+               count(DISTINCT {c}) AS n_distinct,
+               round(min({c}) * 1.0, 4) AS min_val,
+               round(max({c}) * 1.0, 4) AS max_val,
+               round(avg(cast({c} as decimal(20,4))), 4) AS avg_val
+        FROM orders""")
+    for c in _PROFILE_STR:
+        parts.append(f"""
+        SELECT '{c}' AS col_name, count(*) AS n,
+               count(*) - count({c}) AS n_null,
+               count(DISTINCT {c}) AS n_distinct,
+               CAST(NULL AS double) AS min_val, CAST(NULL AS double) AS max_val,
+               CAST(NULL AS double) AS avg_val
+        FROM orders""")
+    return " UNION ALL ".join(parts)
+
+
+@register("q83_table_profile", oracle=_profile_oracle())
+def q83_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column data-quality profile (count / nulls / exact distinct /
+    min / max / mean) in long form — the audit table a pipeline emits
+    before training, generalizing the reference's one-off per-column
+    null counting (A15, ``hw2/BDM_hw2_final.py:40-41``, which ran one
+    job per column). All numeric metrics for ALL columns come from a
+    SINGLE aggregate pass (multi-column count_distinct plans as one
+    Expand + aggregate, not N jobs); means go through exact decimals so
+    the profile is partitioning-independent. At 100 TB swap exact
+    count_distinct for approx_count_distinct (one pass, no Expand) —
+    the structure is otherwise unchanged."""
+    orders = load_table(spark, sf_dir, "orders")
+    aggs = []
+    for c in _PROFILE_NUM + _PROFILE_STR:
+        aggs += [
+            F.count("*").alias(f"{c}__n"),
+            (F.count("*") - F.count(c)).alias(f"{c}__n_null"),
+            F.count_distinct(F.col(c)).alias(f"{c}__n_distinct"),
+        ]
+    for c in _PROFILE_NUM:
+        aggs += [
+            F.round(F.min(c).cast("double"), 4).alias(f"{c}__min"),
+            F.round(F.max(c).cast("double"), 4).alias(f"{c}__max"),
+            F.round(F.avg(F.col(c).cast("decimal(20,4)")).cast("double"), 4).alias(f"{c}__avg"),
+        ]
+    wide = orders.agg(*aggs)
+    null_d = F.lit(None).cast("double")
+    rows = [
+        F.struct(
+            F.lit(c).alias("col_name"),
+            F.col(f"{c}__n").alias("n"),
+            F.col(f"{c}__n_null").alias("n_null"),
+            F.col(f"{c}__n_distinct").alias("n_distinct"),
+            (F.col(f"{c}__min") if c in _PROFILE_NUM else null_d).alias("min_val"),
+            (F.col(f"{c}__max") if c in _PROFILE_NUM else null_d).alias("max_val"),
+            (F.col(f"{c}__avg") if c in _PROFILE_NUM else null_d).alias("avg_val"),
+        )
+        for c in _PROFILE_NUM + _PROFILE_STR
+    ]
+    return wide.select(F.explode(F.array(*rows)).alias("p")).select("p.*")
