@@ -2494,3 +2494,12 @@ def q83_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         for c in _PROFILE_NUM + _PROFILE_STR
     ]
     return wide.select(F.explode(F.array(*rows)).alias("p")).select("p.*")
+
+
+@register("q84_stream_stream_join", oracle=ST.STREAM_STREAM_CLICK_ERRORS_SQL)
+def q84_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join with event-time bounds (clicks × errors
+    within 30 min per user) — the remaining streaming join class, with
+    watermarks on both sides so the join state is evictable. See
+    ``streaming.jobs.stream_stream_click_errors``."""
+    return ST.stream_stream_click_errors(spark, sf_dir)

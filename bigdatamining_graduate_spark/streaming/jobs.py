@@ -348,3 +348,68 @@ SELECT {RATE_START_MS // 1000} + (i // {RATE_ROWS_PER_BATCH}) * {RATE_ADVANCE_MS
 FROM (SELECT range AS i FROM range(0, {RATE_BATCHES * RATE_ROWS_PER_BATCH}))
 GROUP BY 1, 2
 """
+
+
+SS_JOIN_WINDOW_MIN = 30  # error must follow the click within this many minutes
+
+
+def stream_stream_click_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STREAM inner join with event-time bounds: each user's click
+    stream joined to their error stream where the error lands within
+    ``SS_JOIN_WINDOW_MIN`` minutes AFTER the click — the funnel/causality
+    join (q62's batch range join, streaming form). Both sides carry
+    watermarks and the join predicate carries the time range, which is
+    what lets the state store evict: a buffered click can be dropped once
+    the error-side watermark passes click.ts + window, so state is
+    O(events inside the lateness horizon), never the full history.
+
+    With an availableNow drain (single batch) an INNER time-bounded join
+    emits exactly the batch-join result, so the oracle is plain SQL.
+    Scale: the join shuffles both sides once on user_id; the time range
+    is enforced inside the state store, not as a post-join filter over a
+    wider product."""
+    clicks = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            "user_id",
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "2 hours")
+    )
+    errors = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "error")
+        .select(
+            F.col("event_id").alias("error_id"),
+            F.col("user_id").alias("e_user_id"),
+            F.col("ts").alias("error_ts"),
+        )
+        .withWatermark("error_ts", "2 hours")
+    )
+    joined = clicks.join(
+        errors,
+        (F.col("user_id") == F.col("e_user_id"))
+        & (F.col("error_ts") >= F.col("click_ts"))
+        & (F.col("error_ts") < F.col("click_ts") + F.expr(f"INTERVAL {SS_JOIN_WINDOW_MIN} MINUTES")),
+        "inner",
+    )
+    out = joined.select(
+        "user_id",
+        "click_id",
+        "error_id",
+        (F.unix_timestamp("error_ts") - F.unix_timestamp("click_ts")).alias("gap_sec"),
+    )
+    return _run_to_memory(out, mode="append")
+
+
+STREAM_STREAM_CLICK_ERRORS_SQL = f"""
+SELECT c.user_id, c.event_id AS click_id, e.event_id AS error_id,
+       cast(epoch(date_trunc('second', e.ts)) - epoch(date_trunc('second', c.ts)) as bigint) AS gap_sec
+FROM events c JOIN events e
+  ON c.user_id = e.user_id
+ AND e.ts >= c.ts
+ AND e.ts < c.ts + INTERVAL {SS_JOIN_WINDOW_MIN} MINUTE
+WHERE c.event_type = 'click' AND e.event_type = 'error'
+"""
