@@ -41,6 +41,8 @@ HEADLINE = [
     "q63_curated_corpus",       # end-to-end corpus curation pipeline
     "q71_neardup_components",   # iterative connected-component dedup clusters
     "q74_ann_recall",           # ANN recall@k vs brute-force ground truth
+    "q78_shard_packing",        # token-budget packing via two-pass prefix sum
+    "q80_benchmark_decontaminate",  # n-gram overlap vs held-out benchmark
 ]
 
 

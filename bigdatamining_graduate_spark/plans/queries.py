@@ -2196,7 +2196,8 @@ def q78_shard_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         (portable_hash64(F.col("doc_id").cast("string"), salt="pack") % _PACK_BUCKETS).alias("bucket"),
         F.size(TX.tokenize("text")).cast("long").alias("n_tokens"),
-    )
+    ).localCheckpoint()  # both passes (bucket totals + final join) read this
+    # 3-scalar projection once, instead of re-tokenizing the corpus per branch
     per_bucket = base.groupBy("bucket").agg(F.sum("n_tokens").alias("bucket_tokens"))
     off_w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
     offsets = per_bucket.select(
