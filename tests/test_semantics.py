@@ -239,3 +239,26 @@ def test_shard_packing_budget_and_contiguity(spark):
         assert sum(shards[sid]) < budget + max_doc, sid
     again = {(r.doc_id, r.shard) for r in QUERIES["q78_shard_packing"](spark, SF_SMOKE).collect()}
     assert again == {(r.doc_id, r.shard) for r in rows}
+
+
+def test_hll_estimate_within_tolerance(spark):
+    """q54's HLL++ estimates (rsd=0.02) must land within 5x the declared
+    relative error of the exact per-type distinct counts — validating the
+    sketch the engine substitutes for exact distinct at scale."""
+    from bigdatamining_graduate_spark.plans.queries import QUERIES
+    from bigdatamining_graduate_spark.sources.catalog import load_table
+
+    approx = {
+        r.event_type: r.approx_users
+        for r in QUERIES["q54_approx_distinct_users"](spark, SF_SMOKE).collect()
+    }
+    exact = {
+        r.event_type: r.exact
+        for r in load_table(spark, SF_SMOKE, "events")
+        .groupBy("event_type")
+        .agg(F.count_distinct("user_id").alias("exact"))
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for t, ex in exact.items():
+        assert abs(approx[t] - ex) <= max(1, 0.10 * ex), (t, approx[t], ex)
