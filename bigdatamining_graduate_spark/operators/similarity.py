@@ -31,9 +31,15 @@ EMBED_DIM = 64
 #: corpus sizes raise bits-per-band to shrink buckets.
 ANN_BANDS = 4
 BITS_PER_BAND = 4
-N_PLANES = ANN_BANDS * BITS_PER_BAND
+#: the WIDE geometry (same band count, 8-bit bands → 16× smaller buckets)
+#: — the dial position for larger corpora; see SCALE.md §5 measurements
+WIDE_BITS_PER_BAND = 8
+N_PLANES = ANN_BANDS * WIDE_BITS_PER_BAND
 _rng = np.random.RandomState(42)
-#: fixed hyperplanes, rounded so the SQL literals are exact decimals
+#: fixed hyperplane POOL, rounded so the SQL literals are exact decimals.
+#: Geometries slice a prefix: the first 16 planes are draw-order identical
+#: to the original 4x4 layout, so the default geometry's results are
+#: unchanged by the pool extension.
 HYPERPLANES: list[list[float]] = [
     [round(float(x), 6) for x in _rng.randn(EMBED_DIM)] for _ in range(N_PLANES)
 ]
@@ -93,11 +99,11 @@ def knn_bruteforce_sql(query_pred_sql: str, k: int = 5) -> str:
     """
 
 
-def _band_value_spark(vcol, band: int) -> "F.Column":
+def _band_value_spark(vcol, band: int, bits: int = BITS_PER_BAND) -> "F.Column":
     """Packed sign bits of one band's hyperplanes."""
     out = None
-    for k in range(BITS_PER_BAND):
-        plane = HYPERPLANES[band * BITS_PER_BAND + k]
+    for k in range(bits):
+        plane = HYPERPLANES[band * bits + k]
         p = F.array(*[F.lit(x) for x in plane])
         bit = F.when(V.dot(vcol, p) >= 0, F.lit(1 << k).cast("bigint")).otherwise(
             F.lit(0).cast("bigint")
@@ -106,10 +112,10 @@ def _band_value_spark(vcol, band: int) -> "F.Column":
     return out
 
 
-def _band_value_sql(vexpr: str, band: int) -> str:
+def _band_value_sql(vexpr: str, band: int, bits: int = BITS_PER_BAND) -> str:
     parts = []
-    for k in range(BITS_PER_BAND):
-        plane = HYPERPLANES[band * BITS_PER_BAND + k]
+    for k in range(bits):
+        plane = HYPERPLANES[band * bits + k]
         lit = "[" + ", ".join(repr(x) for x in plane) + "]"
         d = f"list_sum(list_transform(list_zip({vexpr}, {lit}), p -> p[1] * p[2]))"
         parts.append(
@@ -118,11 +124,17 @@ def _band_value_sql(vexpr: str, band: int) -> str:
     return "(" + " + ".join(parts) + ")"
 
 
-def ann_lsh_pairs(embeddings: DataFrame, min_sim: float) -> DataFrame:
+def ann_lsh_pairs(
+    embeddings: DataFrame, min_sim: float, bits: int = BITS_PER_BAND
+) -> DataFrame:
     """Approximate near-neighbor pairs via banded sign-LSH: score only
     pairs agreeing on ALL bits of SOME band. Candidate generation is an
     equi-join on (band, band_value) — the 100 TB-safe formulation of the
-    reference's all-pairs theta join (``hw4/hw4.py:104-110``)."""
+    reference's all-pairs theta join (``hw4/hw4.py:104-110``). ``bits``
+    is the bucket-size dial: expected bucket population is n/2^bits, and
+    per-band candidate work is quadratic IN THE BUCKET, so bits must grow
+    ~log2(n) to keep total work near-linear (measured: 20k uniform
+    vectors, 4-bit bands 81 s vs 8-bit bands — see SCALE.md §5)."""
     emb = embeddings.select("vec_id", _as_double("embedding").alias("v"))
     bucketed = emb.select(
         "vec_id",
@@ -131,7 +143,8 @@ def ann_lsh_pairs(embeddings: DataFrame, min_sim: float) -> DataFrame:
             F.array(
                 *[
                     F.struct(
-                        F.lit(j).alias("band"), _band_value_spark(F.col("v"), j).alias("bv")
+                        F.lit(j).alias("band"),
+                        _band_value_spark(F.col("v"), j, bits).alias("bv"),
                     )
                     for j in range(ANN_BANDS)
                 ]
@@ -274,10 +287,10 @@ def ann_recall_sql(query_pred_sql: str, k: int = 5) -> str:
     """
 
 
-def ann_lsh_pairs_sql(min_sim: float) -> str:
+def ann_lsh_pairs_sql(min_sim: float, bits: int = BITS_PER_BAND) -> str:
     cos = V.cosine_sql("va", "vb")
     band_selects = "\n      UNION ALL ".join(
-        f"SELECT vec_id, v, {j} AS band, {_band_value_sql('v', j)} AS bv FROM emb"
+        f"SELECT vec_id, v, {j} AS band, {_band_value_sql('v', j, bits)} AS bv FROM emb"
         for j in range(ANN_BANDS)
     )
     return f"""

@@ -2504,3 +2504,19 @@ def q84_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     watermarks on both sides so the join state is evictable. See
     ``streaming.jobs.stream_stream_click_errors``."""
     return ST.stream_stream_click_errors(spark, sf_dir)
+
+
+@register(
+    "q85_ann_lsh_wide",
+    oracle=SIM.ann_lsh_pairs_sql(0.4, bits=SIM.WIDE_BITS_PER_BAND),
+)
+def q85_ann_lsh_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q30's sign-LSH at the WIDE geometry (4 bands × 8 bits): 16× smaller
+    expected buckets, so per-band candidate work — quadratic in the
+    bucket — stays near-linear as the corpus grows (measured at 20k
+    vectors: 81 s → 8 s vs the 4-bit layout; SCALE.md §5). Lower recall
+    per band is the price; both dial positions are oracle-verified so
+    the trade-off is a config choice, not a correctness risk."""
+    return SIM.ann_lsh_pairs(
+        load_table(spark, sf_dir, "embeddings"), 0.4, bits=SIM.WIDE_BITS_PER_BAND
+    )
