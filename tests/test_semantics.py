@@ -262,3 +262,18 @@ def test_hll_estimate_within_tolerance(spark):
     assert set(approx) == set(exact)
     for t, ex in exact.items():
         assert abs(approx[t] - ex) <= max(1, 0.10 * ex), (t, approx[t], ex)
+
+
+def test_minhash_lsh_recall_of_exact_pairs(spark):
+    """Cross-operator consistency: the MinHash+LSH candidate set (q26,
+    estimated J ≥ 0.5) must recover nearly all exact-Jaccard ≥ 0.8 pairs
+    (q25) — the sketch's reason to exist. Deterministic md5-based hashes
+    make this a stable bound, not a flaky probabilistic one (measured
+    1.00 on both fixture SFs; asserted ≥ 0.85 for slack)."""
+    from bigdatamining_graduate_spark.plans.queries import QUERIES
+
+    exact = {(r.doc_a, r.doc_b) for r in QUERIES["q25_ngram_jaccard_pairs"](spark, SF_SMOKE).collect()}
+    lsh = {(r.doc_a, r.doc_b) for r in QUERIES["q26_minhash_lsh_pairs"](spark, SF_SMOKE).collect()}
+    assert exact, "fixture should contain near-dup pairs"
+    recall = len(exact & lsh) / len(exact)
+    assert recall >= 0.85, recall
