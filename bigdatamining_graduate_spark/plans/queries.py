@@ -2520,3 +2520,196 @@ def q85_ann_lsh_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.ann_lsh_pairs(
         load_table(spark, sf_dir, "embeddings"), 0.4, bits=SIM.WIDE_BITS_PER_BAND
     )
+
+
+# --------------------------------------------------------------------------
+# Data layout & boilerplate removal (training-pipeline extensions)
+# --------------------------------------------------------------------------
+
+_BP_LINE = 8      # tokens per fixed-width "line" segment
+_BP_MIN_DOCS = 2  # segment seen in >= this many distinct docs => boilerplate
+
+
+@register(
+    "q86_boilerplate_lines",
+    oracle=f"""
+    WITH tk AS (
+      SELECT doc_id, {TX.tokenize_sql('text')} AS tk FROM documents
+    ),
+    lines AS (
+      SELECT doc_id, tk,
+             unnest(CASE WHEN len(tk) > 0
+                    THEN generate_series(0, (len(tk) - 1) // {_BP_LINE})
+                    ELSE [] END) AS k
+      FROM tk
+    ),
+    fps AS (
+      SELECT doc_id, k AS line_idx,
+             len(list_slice(tk, k * {_BP_LINE} + 1, k * {_BP_LINE} + {_BP_LINE})) AS line_tokens,
+             array_to_string(list_slice(tk, k * {_BP_LINE} + 1, k * {_BP_LINE} + {_BP_LINE}), ' ') AS line_str
+      FROM lines
+    ),
+    hashed AS (SELECT *, md5(line_str) AS fp FROM fps),
+    bp AS (
+      SELECT fp FROM hashed GROUP BY fp HAVING count(DISTINCT doc_id) >= {_BP_MIN_DOCS}
+    ),
+    flagged AS (
+      SELECT h.*, (b.fp IS NOT NULL) AS is_bp
+      FROM hashed h LEFT JOIN bp b USING (fp)
+    )
+    SELECT doc_id,
+           count(*) AS n_lines,
+           cast(sum(CASE WHEN is_bp THEN 1 ELSE 0 END) as bigint) AS n_boilerplate,
+           cast(sum(CASE WHEN is_bp THEN 0 ELSE line_tokens END) as bigint) AS kept_tokens,
+           md5(coalesce(string_agg(CASE WHEN NOT is_bp THEN line_str END, ' '
+                                   ORDER BY line_idx), '')) AS clean_md5
+    FROM flagged GROUP BY doc_id
+    """,
+)
+def q86_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4/RefinedWeb-style LINE-level boilerplate removal: segment every
+    document into fixed-width 8-token lines, fingerprint each line, and
+    drop lines whose fingerprint occurs in >= 2 distinct documents
+    (nav bars, footers, license blurbs in a real web corpus). Output is
+    the per-doc audit row: line counts, surviving token count, and the
+    md5 of the REASSEMBLED cleaned text (order-pinned via sort_array of
+    (line_idx, line) structs), so removal AND reconstruction semantics
+    are both oracle-checked. Finer-grained than q24/q77 (whole-doc
+    fingerprints) and q79 (chunking without dedup).
+
+    Scale: one shuffle to count per-fingerprint doc-frequency, then the
+    boilerplate set — tiny relative to the corpus by construction (only
+    repeated lines) — broadcasts back onto the line stream, so the
+    doc-side rows shuffle once (final per-doc agg). At 100 TB the
+    fingerprint count is the same plan as exact dedup (q24); if the
+    boilerplate set outgrows broadcast, co-partition both sides on fp.
+
+    Reference lineage: generalizes hw3's doc-level shingle dedup
+    (``hw3/hw3.py:84-90``) from whole-document to intra-document units.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tk = docs.select("doc_id", TX.tokenize("text").alias("tk"))
+    n = F.size("tk")
+    ks = F.when(
+        n > 0, F.sequence(F.lit(0), F.floor((n - 1) / _BP_LINE).cast("int"))
+    ).otherwise(F.array().cast("array<int>"))
+    seg = F.slice("tk", F.col("k") * _BP_LINE + 1, _BP_LINE)
+    lines = (
+        tk.select("doc_id", "tk", F.explode(ks).alias("k"))
+        .select(
+            "doc_id",
+            F.col("k").cast("long").alias("line_idx"),
+            F.size(seg).alias("line_tokens"),
+            F.array_join(seg, " ").alias("line_str"),
+        )
+        .withColumn("fp", F.md5("line_str"))
+    )
+    bp = (
+        lines.groupBy("fp")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= _BP_MIN_DOCS)
+        .select("fp", F.lit(1).alias("is_bp"))
+    )
+    flagged = lines.join(F.broadcast(bp), "fp", "left")
+    kept_struct = F.when(
+        F.col("is_bp").isNull(), F.struct(F.col("line_idx"), F.col("line_str"))
+    )
+    return flagged.groupBy("doc_id").agg(
+        F.count("*").alias("n_lines"),
+        F.sum(F.when(F.col("is_bp").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_boilerplate"),
+        F.sum(F.when(F.col("is_bp").isNull(), F.col("line_tokens")).otherwise(0))
+        .cast("long")
+        .alias("kept_tokens"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list(kept_struct)), lambda s: s.line_str
+                ),
+                " ",
+            )
+        ).alias("clean_md5"),
+    )
+
+
+_Z_BITS = 5        # bits per dimension (user bucket 0-31, hour 0-23)
+_Z_FILE_ROWS = 512  # rows per output "file" in the layout audit
+
+
+def _z_interleave_sql(x: str, y: str, bits: int) -> str:
+    """Morton/Z-order bit interleave as pure integer arithmetic — the
+    same fragment runs under Spark SQL and DuckDB (no engine-specific
+    bit operators)."""
+    terms = []
+    for i in range(bits):
+        terms.append(
+            f"cast(floor(({x}) / {1 << i}) as bigint) % 2 * {1 << (2 * i + 1)}"
+        )
+        terms.append(f"cast(floor(({y}) / {1 << i}) as bigint) % 2 * {1 << (2 * i)}")
+    return " + ".join(terms)
+
+
+_Z_SQL = _z_interleave_sql("ux", "hy", _Z_BITS)
+
+
+@register(
+    "q87_zorder_layout",
+    oracle=f"""
+    WITH dims AS (
+      SELECT event_id, user_id % {1 << _Z_BITS} AS ux, hour(ts) AS hy FROM events
+    ),
+    zed AS (
+      SELECT event_id, ux, hy, {_Z_SQL} AS z FROM dims
+    ),
+    filed AS (
+      SELECT ux, hy,
+             (row_number() OVER (ORDER BY z, event_id) - 1) // {_Z_FILE_ROWS} AS file_id
+      FROM zed
+    )
+    SELECT file_id, count(*) AS n_rows,
+           min(ux) AS min_user_bucket, max(ux) AS max_user_bucket,
+           min(hy) AS min_hour, max(hy) AS max_hour,
+           cast((max(ux) - min(ux) + 1) * (max(hy) - min(hy) + 1) as bigint) AS bbox
+    FROM filed GROUP BY file_id
+    """,
+)
+def q87_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton-curve) data layout audit — the multi-dimensional
+    clustering step a 100 TB table needs so parquet min/max stats prune
+    on BOTH query dimensions (user AND hour) at once. Each event gets a
+    z-value interleaving the bits of its user bucket and hour; rows are
+    laid out in z order into fixed-size files; the output is each
+    file's bounding box (min/max per dimension) — the exact statistics
+    a data-skipping reader would consult, so tight bboxes == effective
+    pruning. Both engines compute the interleave from ONE shared
+    arithmetic SQL fragment (no bitwise-operator dialect drift).
+
+    Scale: the audit uses a global row_number to make file assignment
+    deterministic and oracle-checkable; the production write path is
+    ``repartitionByRange(z)`` + ``sortWithinPartitions(z)`` + write —
+    a single range-shuffle sort, no global window. The reference's only
+    layout decision is a flat ``repartition(100,'hash')``
+    (``hw3/hw3.py:162``, M13), which clusters on NO dimension; this is
+    the idiomatic replacement.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        (F.col("user_id") % (1 << _Z_BITS)).alias("ux"),
+        F.hour("ts").alias("hy"),
+    )
+    zed = ev.withColumn("z", F.expr(_Z_SQL))
+    w = Window.orderBy("z", "event_id")
+    filed = zed.select(
+        "ux", "hy", F.floor((F.row_number().over(w) - 1) / _Z_FILE_ROWS).alias("file_id")
+    )
+    return filed.groupBy("file_id").agg(
+        F.count("*").alias("n_rows"),
+        F.min("ux").alias("min_user_bucket"),
+        F.max("ux").alias("max_user_bucket"),
+        F.min("hy").alias("min_hour"),
+        F.max("hy").alias("max_hour"),
+        ((F.max("ux") - F.min("ux") + 1) * (F.max("hy") - F.min("hy") + 1))
+        .cast("long")
+        .alias("bbox"),
+    )
