@@ -277,3 +277,73 @@ def test_minhash_lsh_recall_of_exact_pairs(spark):
     assert exact, "fixture should contain near-dup pairs"
     recall = len(exact & lsh) / len(exact)
     assert recall >= 0.85, recall
+
+
+def test_boilerplate_reassembly_identity(spark):
+    """q86: for documents where NO line was removed, the reassembled
+    clean_md5 must equal md5 of the normalized full text — pins that
+    fixed-width segmentation + ordered rejoin is lossless."""
+    from bigdatamining_graduate_spark.plans.queries import QUERIES
+    from bigdatamining_graduate_spark.sources.catalog import load_table
+
+    out = QUERIES["q86_boilerplate_lines"](spark, SF_SMOKE)
+    docs = load_table(spark, SF_SMOKE, "documents").select(
+        "doc_id", F.md5(TX.normalize_text("text")).alias("full_md5")
+    )
+    joined = out.filter(F.col("n_boilerplate") == 0).join(docs, "doc_id")
+    n = joined.count()
+    assert n > 0  # fixture must contain untouched docs
+    assert joined.filter(F.col("clean_md5") != F.col("full_md5")).count() == 0
+
+
+def test_boilerplate_token_conservation(spark):
+    """q86: kept_tokens never exceeds the doc's token count, and equals it
+    exactly when nothing was flagged."""
+    from bigdatamining_graduate_spark.plans.queries import QUERIES
+    from bigdatamining_graduate_spark.sources.catalog import load_table
+
+    out = QUERIES["q86_boilerplate_lines"](spark, SF_SMOKE)
+    docs = load_table(spark, SF_SMOKE, "documents").select(
+        "doc_id", TX.token_count("text").alias("n_tokens")
+    )
+    j = out.join(docs, "doc_id")
+    assert j.filter(F.col("kept_tokens") > F.col("n_tokens")).count() == 0
+    assert (
+        j.filter(
+            (F.col("n_boilerplate") == 0) & (F.col("kept_tokens") != F.col("n_tokens"))
+        ).count()
+        == 0
+    )
+
+
+def test_zorder_beats_insertion_order_locality(spark):
+    """q87: the WHOLE POINT of the z-order layout is tighter per-file
+    bounding boxes than the naive insertion-order layout. Compare mean
+    bbox area of z-ordered files vs files cut from event_id order."""
+    from bigdatamining_graduate_spark.plans import queries as Q
+    from bigdatamining_graduate_spark.sources.catalog import load_table
+
+    z_bbox = (
+        Q.QUERIES["q87_zorder_layout"](spark, SF_SMOKE)
+        .agg(F.avg("bbox").alias("b"))
+        .collect()[0]["b"]
+    )
+    ev = load_table(spark, SF_SMOKE, "events").select(
+        "event_id",
+        (F.col("user_id") % (1 << Q._Z_BITS)).alias("ux"),
+        F.hour("ts").alias("hy"),
+    )
+    w = Window.orderBy("event_id")
+    naive = (
+        ev.select(
+            "ux", "hy",
+            F.floor((F.row_number().over(w) - 1) / Q._Z_FILE_ROWS).alias("file_id"),
+        )
+        .groupBy("file_id")
+        .agg(
+            ((F.max("ux") - F.min("ux") + 1) * (F.max("hy") - F.min("hy") + 1)).alias("bbox")
+        )
+        .agg(F.avg("bbox").alias("b"))
+        .collect()[0]["b"]
+    )
+    assert z_bbox < naive, (z_bbox, naive)
