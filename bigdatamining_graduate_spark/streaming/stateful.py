@@ -94,3 +94,104 @@ SELECT user_id,
 FROM events
 GROUP BY user_id
 """
+
+
+def state_v2_available() -> bool:
+    """True when the transformWithState (state API v2) Python protocol can
+    run: it requires ``google.protobuf``, which Spark does not bundle."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def user_type_counts_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user per-event-type running counts via ``transformWithState``
+    (the state API v2 successor to ``applyInPandasWithState``): a
+    composite state layout — MapState(event_type → count) plus a
+    ValueState user total — that the v1 single-tuple GroupState cannot
+    express without packing/unpacking. Each input batch updates the map
+    and emits the user's FULL current snapshot (one row per seen type),
+    so an availableNow drain in update mode equals the batch
+    groupBy(user, type) aggregate and the oracle is a plain SQL window.
+
+    Scale: state lives in the RocksDB state store (required by the v2
+    API; set per-session below — runtime-settable, so the external
+    driver's vanilla session works), which spills off-heap and
+    checkpoints incrementally — per-key state no longer needs to fit in
+    executor memory, the main operational limit of the v1 HDFS-backed
+    store at 100 TB/day.
+
+    Environment gate: PySpark's transformWithState protocol talks to the
+    JVM over protobuf; ``google.protobuf`` is not installed in every
+    deployment (not in this test container), so the operator probes for
+    it and raises a clear error instead of crashing the streaming query
+    mid-plan. It is therefore NOT in the declared query registry; the
+    v1 path (``running_user_totals``, q48) covers the driver contract.
+    """
+    if not state_v2_available():
+        raise NotImplementedError(
+            "transformWithState requires the google.protobuf package, "
+            "which is not installed in this environment; use "
+            "running_user_totals (applyInPandasWithState, q48) instead"
+        )
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    # class defined INSIDE the function: cloudpickle ships it by value,
+    # so executors don't need this package on PYTHONPATH (same reasoning
+    # as the closure note in running_user_totals above).
+    class TypeCounts(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self.counts = handle.getMapState("counts", "event_type string", "n bigint")
+            self.total = handle.getValueState("total", "t bigint")
+
+        def handleInputRows(self, key, rows, timerValues):
+            for pdf in rows:
+                for etype, n in pdf["event_type"].value_counts().items():
+                    prev = (
+                        self.counts.getValue((etype,))[0]
+                        if self.counts.containsKey((etype,))
+                        else 0
+                    )
+                    self.counts.updateValue((etype,), (prev + int(n),))
+                t = (self.total.get()[0] if self.total.exists() else 0) + len(pdf)
+                self.total.update((t,))
+            snap = [(k[0], v[0]) for k, v in self.counts.iterator()]
+            tot = self.total.get()[0]
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]] * len(snap),
+                    "event_type": [s[0] for s in snap],
+                    "n_events": [s[1] for s in snap],
+                    "user_total": [tot] * len(snap),
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    ev = read_events_stream(spark, sf_dir).select("user_id", "event_type")
+    out = ev.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=TypeCounts(),
+        outputStructType="user_id bigint, event_type string, n_events bigint, user_total bigint",
+        outputMode="Update",
+        timeMode="None",
+    )
+    return _run_to_memory(out, mode="update")
+
+
+USER_TYPE_COUNTS_V2_SQL = """
+SELECT user_id, event_type, count(*) AS n_events,
+       cast(sum(count(*)) OVER (PARTITION BY user_id) as bigint) AS user_total
+FROM events
+GROUP BY user_id, event_type
+"""

@@ -187,3 +187,23 @@ def test_final_tweets_eda_cached(spark, tmp_path):
     out = final_tweets.eda_summary(df)
     assert out["sentiment"] == 2 and out["top_tweets"] == 2
     assert df.storageLevel.useMemory is False  # unpersisted after the run
+
+
+def test_state_v2_operator(spark):
+    """transformWithState (state API v2) — runs the full MapState +
+    ValueState operator when the environment has google.protobuf;
+    otherwise pins the graceful capability gate."""
+    import pytest as _pytest
+
+    from bigdatamining_graduate_spark.streaming import stateful as S
+
+    from .conftest import SF_SMOKE
+
+    if not S.state_v2_available():
+        with _pytest.raises(NotImplementedError, match="transformWithState"):
+            S.user_type_counts_v2(spark, SF_SMOKE)
+        _pytest.skip("google.protobuf not installed; gate verified")
+    from .oracle import assert_matches
+
+    df = S.user_type_counts_v2(spark, SF_SMOKE)
+    assert_matches(df, S.USER_TYPE_COUNTS_V2_SQL, SF_SMOKE)
