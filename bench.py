@@ -43,6 +43,8 @@ HEADLINE = [
     "q74_ann_recall",           # ANN recall@k vs brute-force ground truth
     "q78_shard_packing",        # token-budget packing via two-pass prefix sum
     "q80_benchmark_decontaminate",  # n-gram overlap vs held-out benchmark
+    "q86_boilerplate_lines",    # line-level boilerplate removal + reassembly
+    "q87_zorder_layout",        # Z-order multi-dim layout audit
 ]
 
 
