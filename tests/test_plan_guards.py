@@ -31,3 +31,16 @@ def test_no_accidental_cross_joins(spark):
         if flags and name not in ALLOWED:
             offenders[name] = flags
     assert not offenders, f"unexpected nested-loop joins: {offenders}"
+
+
+def test_boilerplate_flagback_is_broadcast(spark):
+    """q86's flag-back join (line stream x boilerplate set) must stay a
+    BroadcastHashJoin — if it ever degrades to sort-merge, the widest
+    relation in the plan re-shuffles (SCALE.md q86 note)."""
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    plan = (
+        QUERIES["q86_boilerplate_lines"](spark, SF_SMOKE)
+        ._jdf.queryExecution()
+        .explainString(mode)
+    )
+    assert "BroadcastHashJoin" in plan, plan
