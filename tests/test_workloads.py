@@ -207,3 +207,28 @@ def test_state_v2_operator(spark):
 
     df = S.user_type_counts_v2(spark, SF_SMOKE)
     assert_matches(df, S.USER_TYPE_COUNTS_V2_SQL, SF_SMOKE)
+
+
+def test_feature_matrix_arrow_export(spark):
+    """M15 boundary (SURVEY §2.11): the engine's job ends at the feature
+    matrix; external learners consume it via the Arrow-accelerated
+    toPandas export (replacing the reference's collect()->torch.tensor,
+    FinalProject/BDM_Final.py:692-693). Pins the VectorAssembler+
+    MinMaxScaler pipeline (M3/M4) and that the export round-trips to a
+    dense numpy matrix with scaler guarantees intact."""
+    import numpy as np
+
+    from bigdatamining_graduate_spark.ml.pipelines import scaled_feature_matrix
+    from bigdatamining_graduate_spark.sources.catalog import load_table
+
+    from .conftest import SF_SMOKE
+
+    customer = load_table(spark, SF_SMOKE, "customer")
+    out = scaled_feature_matrix(customer)
+    pdf = out.toPandas()  # Arrow path (session factory enables it)
+    assert len(pdf) == customer.count()
+    mat = np.vstack([v.toArray() for v in pdf["scaled"]])
+    assert mat.shape == (len(pdf), 2)
+    assert float(mat.min()) >= 0.0 and float(mat.max()) <= 1.0
+    # MinMaxScaler must hit both ends of the range in every column
+    assert np.allclose(mat.min(axis=0), 0.0) and np.allclose(mat.max(axis=0), 1.0)
