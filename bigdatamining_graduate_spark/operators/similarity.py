@@ -305,3 +305,73 @@ def ann_lsh_pairs_sql(min_sim: float, bits: int = BITS_PER_BAND) -> str:
     SELECT vec_a, vec_b, round(sim, 6) AS cos_sim
     FROM scored WHERE sim >= {min_sim}
     """
+
+
+def ivf_knn(
+    embeddings: DataFrame,
+    query_pred,
+    k: int = 5,
+    n_cells: int = 8,
+    nprobe: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF-style ANN: a seeded KMeans coarse quantizer partitions the
+    corpus into ``n_cells`` inverted lists; each query searches the
+    ``nprobe`` nearest cells. nprobe is THE recall/cost dial (nprobe =
+    n_cells degenerates to brute force): measured on the fixture
+    embeddings at sf0.01, recall@5 is 0.20 / 0.52 / 0.88 at nprobe
+    1 / 3 / 5 (see SCALE.md §5) — cosine neighbors routinely sit just
+    across a Voronoi boundary, so single-cell search is never enough.
+
+    Scale shape: after fit, the centroids are DRIVER-SIDE LITERALS, so
+    probe selection is a row-expanding projection (posexplode of a
+    constant array, ×n_cells per query then pruned to nprobe by a
+    per-query window) — no centroid join exists in the plan. Candidate
+    generation is the cell-id equi-join (queries × their nprobe inverted
+    lists); corpus vectors keep their single euclidean-nearest cell from
+    ``model.transform``, so candidates are naturally distinct. At 100 TB:
+    n_cells grows to ~sqrt(corpus), the centroid literal becomes a
+    broadcast lookup table, and the inverted lists are bucketed storage.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    emb = embeddings.select("vec_id", _as_double("embedding").alias("v"))
+    feats = emb.withColumn("features", array_to_vector("v"))
+    model = KMeans(k=n_cells, seed=seed, featuresCol="features").fit(feats)
+    centers = [[float(x) for x in c] for c in model.clusterCenters()]
+    assigned = model.transform(feats).select(
+        "vec_id", "v", F.col("prediction").alias("cell")
+    )
+    corpus = assigned.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("v").alias("nv"), "cell"
+    )
+    cent_lit = F.array(*[F.array(*[F.lit(x) for x in cc]) for cc in centers])
+    q0 = assigned.filter(query_pred).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    probes = q0.select(
+        "query_id", "qv", F.posexplode(cent_lit).alias("cell", "cv")
+    )
+    d2 = F.aggregate(
+        F.zip_with("qv", "cv", lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.asc("d2"), F.asc("cell"))
+    probed = (
+        probes.select("query_id", "qv", "cell", d2.alias("d2"))
+        .withColumn("pr", F.row_number().over(wq))
+        .filter(F.col("pr") <= nprobe)
+        .select("query_id", "qv", "cell")
+    )
+    sim = V.cosine(F.col("qv"), F.col("nv"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        probed.join(corpus, "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", sim.alias("sim"))
+        .withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", F.round("sim", 6).alias("cos_sim"), "rnk")
+    )

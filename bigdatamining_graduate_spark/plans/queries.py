@@ -1460,39 +1460,21 @@ def q54_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("q55_ivf_knn")  # KMeans coarse quantizer: no SQL oracle
 def q55_ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-style ANN: seeded KMeans(k=8) coarse quantizer assigns every
-    vector to a cell; queries search ONLY their own cell (nprobe=1).
-    The second scale path for similarity search next to sign-LSH (q30):
-    at 100 TB the cell assignment is a broadcast of k centroids and the
-    per-cell search is an equi-join on cell id. Seeded → deterministic
-    rows; no SQL oracle (centroids aren't SQL-expressible)."""
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector, vector_to_array
-
-    from ..functions import vectors as V
+    """IVF-style ANN with multi-cell probing (nprobe=3): the second scale
+    path for similarity search next to sign-LSH (q30). See
+    ``operators/similarity.ivf_knn`` for the plan shape (literal-centroid
+    row-expanding probe selection, cell-id equi-join) and the measured
+    nprobe recall dial (SCALE.md §5). Seeded → deterministic rows; no
+    SQL oracle (KMeans centroids aren't SQL-expressible)."""
     from ..ml.pipelines import SEED
 
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("v")
-    )
-    feats = emb.select("vec_id", "v", array_to_vector("v").alias("features"))
-    model = KMeans(k=8, seed=SEED, featuresCol="features").fit(feats)
-    assigned = model.transform(feats).select(
-        "vec_id", "v", F.col("prediction").alias("cell")
-    )
-    q = assigned.filter(F.col("vec_id") % 100 == 0).select(
-        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), "cell"
-    )
-    c = assigned.select(F.col("vec_id").alias("neighbor_id"), F.col("v").alias("nv"), "cell")
-    sim = V.cosine(F.col("qv"), F.col("nv"))
-    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
-    return (
-        q.join(c, "cell")
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", sim.alias("sim"))
-        .withColumn("rnk", F.row_number().over(w).cast("long"))
-        .filter(F.col("rnk") <= 5)
-        .select("query_id", "neighbor_id", F.round("sim", 6).alias("cos_sim"), "rnk")
+    return SIM.ivf_knn(
+        load_table(spark, sf_dir, "embeddings"),
+        F.col("vec_id") % 100 == 0,
+        k=5,
+        n_cells=8,
+        nprobe=3,
+        seed=SEED,
     )
 
 

@@ -347,3 +347,31 @@ def test_zorder_beats_insertion_order_locality(spark):
         .collect()[0]["b"]
     )
     assert z_bbox < naive, (z_bbox, naive)
+
+
+def test_ivf_nprobe_recall_dial(spark):
+    """IVF ANN (q55): multi-cell probing is the recall/cost dial — pin
+    the measured floors (sf0.001: 0.52 / 0.84 / 1.0 at nprobe 1/3/5) and
+    strict monotonicity, so a quantizer or probe-selection regression
+    can't silently gut the index."""
+    from bigdatamining_graduate_spark.operators.similarity import (
+        ivf_knn,
+        knn_bruteforce,
+    )
+    from bigdatamining_graduate_spark.sources.catalog import load_table
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    pred = F.col("vec_id") % 100 == 0
+    truth = knn_bruteforce(emb, pred, 5).select("query_id", "neighbor_id")
+    recalls = {}
+    for nprobe in (1, 3, 5):
+        approx = ivf_knn(emb, pred, k=5, nprobe=nprobe).select(
+            "query_id", "neighbor_id"
+        )
+        hit = approx.withColumn("hit", F.lit(1))
+        r = truth.join(hit, ["query_id", "neighbor_id"], "left").agg(
+            F.count("*").alias("t"), F.count("hit").alias("h")
+        ).collect()[0]
+        recalls[nprobe] = r["h"] / r["t"]
+    assert recalls[1] < recalls[3] < recalls[5], recalls
+    assert recalls[3] >= 0.8 and recalls[5] >= 0.95, recalls
