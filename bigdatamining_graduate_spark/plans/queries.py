@@ -2695,3 +2695,74 @@ def q87_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("bbox"),
     )
+
+
+_PMI_MIN_SUPPORT = 5   # pair must co-occur in >= this many docs
+_PMI_TOP = 30
+
+
+@register(
+    "q88_pmi_collocations",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(list_distinct({TX.tokenize_sql('text')})) AS word
+      FROM documents
+    ),
+    n_total AS (SELECT count(*) AS n FROM documents),
+    wc AS (SELECT word, count(*) AS n_w FROM tok GROUP BY word),
+    pc AS (
+      SELECT a.word AS w1, b.word AS w2, count(*) AS n_ab
+      FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND a.word < b.word
+      GROUP BY 1, 2
+      HAVING count(*) >= {_PMI_MIN_SUPPORT}
+    )
+    SELECT w1, w2, n_ab,
+           round(ln((n_ab * n.n * 1.0) / (wa.n_w * wb.n_w)), 6) AS pmi
+    FROM pc
+    JOIN wc wa ON wa.word = w1
+    JOIN wc wb ON wb.word = w2
+    CROSS JOIN n_total n
+    ORDER BY pmi DESC, w1, w2
+    LIMIT {_PMI_TOP}
+    """,
+)
+def q88_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining: pointwise mutual information over document-level
+    co-occurrence — the scoring layer on top of q40's raw pair counts
+    (hw2's crosstab matrix, ``hw2/BDM_hw2_final.py:244-245``, stops at
+    counts; PMI is what a text-mining pipeline actually ranks by).
+    PMI = ln(P(a,b) / (P(a)P(b))) with doc-frequency probabilities and a
+    min-support floor so rare-pair noise never surfaces.
+
+    Scale: pair generation is the per-doc self-join bounded by tokens-
+    per-doc (not corpus size); word doc-frequencies are a vocabulary-
+    sized table that BROADCASTS onto the pair stream; the corpus size N
+    is a 1-row broadcast (the q31 pattern). Final global sort feeds a
+    limit → TakeOrderedAndProject, no full-sort shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_total = docs.agg(F.count("*").alias("n"))
+    tok = docs.select(
+        "doc_id", F.explode(F.array_distinct(TX.tokenize("text"))).alias("word")
+    )
+    wc = tok.groupBy("word").agg(F.count("*").alias("n_w"))
+    a, b = tok.alias("a"), tok.alias("b")
+    pc = (
+        a.join(b, "doc_id")
+        .filter(F.col("a.word") < F.col("b.word"))
+        .groupBy(F.col("a.word").alias("w1"), F.col("b.word").alias("w2"))
+        .agg(F.count("*").alias("n_ab"))
+        .filter(F.col("n_ab") >= _PMI_MIN_SUPPORT)
+    )
+    wa = wc.select(F.col("word").alias("w1"), F.col("n_w").alias("n_w1"))
+    wb = wc.select(F.col("word").alias("w2"), F.col("n_w").alias("n_w2"))
+    pmi = F.round(
+        F.log((F.col("n_ab") * F.col("n")) / (F.col("n_w1") * F.col("n_w2"))), 6
+    )
+    return (
+        pc.join(F.broadcast(wa), "w1")
+        .join(F.broadcast(wb), "w2")
+        .crossJoin(F.broadcast(n_total))
+        .select("w1", "w2", "n_ab", pmi.alias("pmi"))
+        .orderBy(F.desc("pmi"), F.asc("w1"), F.asc("w2"))
+        .limit(_PMI_TOP)
+    )

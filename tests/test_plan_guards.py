@@ -19,6 +19,7 @@ ALLOWED = {
     "q32_als_recommendations",   # MLlib-internal recommendForAllUsers
     "q74_ann_recall",            # contains the exact baseline side
     "q81_balanced_mixture",      # 1-row min-count broadcast
+    "q88_pmi_collocations",      # 1-row corpus-size broadcast (q31 pattern)
 }
 
 
