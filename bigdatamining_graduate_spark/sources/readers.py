@@ -86,3 +86,9 @@ def read_jsonl(spark: SparkSession, path: str, schema) -> DataFrame:
     for it; here they null out (PERMISSIVE), matching the reference's
     tolerant ingestion (SURVEY.md §2.2 P15)."""
     return spark.read.schema(schema).json(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC scan — Spark-native columnar source with the same pushdown
+    properties as parquet (filters and projections reach the reader)."""
+    return spark.read.orc(path)

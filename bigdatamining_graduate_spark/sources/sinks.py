@@ -61,3 +61,18 @@ def write_jsonl(df: DataFrame, path: str, single_file: bool = False, mode: str =
     twin of ``readers.read_jsonl``."""
     out = df.coalesce(1) if single_file else df
     out.write.mode(mode).json(path)
+
+
+def write_orc(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """ORC sink (Spark-native columnar alternative to parquet — same
+    predicate-pushdown/column-pruning story; some lakehouse stacks are
+    ORC-standardized). Round-trip twin of ``readers.read_orc``."""
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.orc(path)

@@ -45,3 +45,17 @@ def test_boilerplate_flagback_is_broadcast(spark):
         .explainString(mode)
     )
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_star_join_stays_broadcast(spark):
+    """q06's three dimension joins (customer→nation→region side) must all
+    plan as BroadcastHashJoin — a sort-merge fallback means the fact
+    table re-shuffles per dim (SCALE.md §2)."""
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    plan = (
+        QUERIES["q06_revenue_by_nation"](spark, SF_SMOKE)
+        ._jdf.queryExecution()
+        .explainString(mode)
+    )
+    assert plan.count("BroadcastHashJoin") >= 3, plan
+    assert "SortMergeJoin" not in plan, plan

@@ -92,3 +92,27 @@ def test_jsonl_roundtrip(spark, tmp_path):
     a = {tuple(r) for r in docs.collect()}
     b = {tuple(r) for r in back.collect()}
     assert a == b
+
+
+def test_orc_roundtrip_with_pushdown(spark, tmp_path):
+    """ORC source/sink round-trip, plus proof the scan keeps parquet-class
+    optimizations: the filter appears as a PushedFilters entry in the
+    physical plan."""
+    from pyspark.sql import functions as F
+
+    from bigdatamining_graduate_spark.sources.readers import read_orc
+    from bigdatamining_graduate_spark.sources.sinks import write_orc
+
+    df = spark.range(100).select(
+        F.col("id"), (F.col("id") % 5).alias("g"), (F.col("id") * 2.0).alias("v")
+    )
+    path = str(tmp_path / "orc_out")
+    write_orc(df, path, partition_by=["g"])
+    back = read_orc(spark, path)
+    assert back.count() == 100
+    assert {r["id"] for r in back.collect()} == set(range(100))
+    plan = back.filter(F.col("id") > 90)._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(id), GreaterThan(id,90)]" in plan, plan
+    # partition pruning: only one of five hive partitions scanned
+    pruned = back.filter(F.col("g") == 3)
+    assert pruned.count() == 20
