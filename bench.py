@@ -45,6 +45,7 @@ HEADLINE = [
     "q80_benchmark_decontaminate",  # n-gram overlap vs held-out benchmark
     "q86_boilerplate_lines",    # line-level boilerplate removal + reassembly
     "q87_zorder_layout",        # Z-order multi-dim layout audit
+    "q88_pmi_collocations",     # PMI-scored collocation mining
 ]
 
 
