@@ -118,15 +118,28 @@ def table_path(sf_dir: str, name: str) -> str:
     return f"{sf_dir.rstrip('/')}/{name}.parquet"
 
 
+def normalize_events_ts(df: DataFrame) -> DataFrame:
+    """Normalize ``events.ts`` to ``TimestampType`` whatever the fixture's
+    physical encoding. Generations of the fixture have stored it as
+    TIMESTAMP(NANOS) (readable only as bigint under
+    ``legacy.parquet.nanosAsLong``) and as TIMESTAMP(MICROS,
+    isAdjustedToUTC=false) (read as TIMESTAMP_NTZ by Spark's default
+    ``parquet.inferTimestampNTZ``). Every downstream consumer —
+    ``unix_micros``, ``window()``, watermarks — requires plain TIMESTAMP,
+    so the conversion lives here, once. The session timezone is pinned to
+    UTC, so the NTZ→TZ cast is value-preserving (wall clock == instant)."""
+    dt = dict(df.dtypes).get("ts")
+    if dt == "bigint":
+        # integer div — double division would lose precision on 1.7e18 nanos
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif dt == "timestamp_ntz":
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one fixture table. Plain ``spark.read.parquet`` so Catalyst
-    gets full pushdown/pruning against the parquet scan.
-
-    ``events.ts`` is stored as parquet TIMESTAMP(NANOS), which Spark only
-    reads via ``legacy.parquet.nanosAsLong`` (set in the session factory);
-    convert the bigint nanos to a micros timestamp here — same truncation
-    DuckDB applies, so oracle comparisons agree.
-    """
+    gets full pushdown/pruning against the parquet scan."""
     if name not in SCHEMAS:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
     # the driver hands us ITS session — pin correctness confs on it
@@ -134,7 +147,6 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
     ensure_runtime_confs(spark)
     df = spark.read.parquet(table_path(sf_dir, name))
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        # integer div — double division would lose precision on 1.7e18 nanos
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if name == "events":
+        df = normalize_events_ts(df)
     return df

@@ -18,37 +18,30 @@ import itertools
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
 
 from ..session import ensure_runtime_confs
-
-#: schema of the events parquet AS STORED (ts = TIMESTAMP(NANOS) read as
-#: bigint under legacy.parquet.nanosAsLong)
-_EVENTS_RAW = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+from ..sources.catalog import normalize_events_ts, table_path
 
 _sink_ids = itertools.count()
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.parquet as a stream with proper event-time ``ts``."""
+    """events.parquet as a stream with proper event-time ``ts``.
+
+    The stream source needs an explicit schema; it must match the file's
+    PHYSICAL encoding (fixture generations have stored ``ts`` as bigint
+    nanos and as TIMESTAMP_NTZ micros), so take it from the parquet footer
+    via a zero-row batch read, then normalize ``ts`` to TimestampType."""
     ensure_runtime_confs(spark)
+    stored = spark.read.parquet(table_path(sf_dir, "events")).schema
     # the file source wants a DIRECTORY; select just events.parquet from
     # the fixture dir via glob filter
     raw = (
-        spark.readStream.schema(_EVENTS_RAW)
+        spark.readStream.schema(stored)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir.rstrip("/"))
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return normalize_events_ts(raw)
 
 
 def _run_to_memory(result: DataFrame, mode: str = "complete") -> DataFrame:
@@ -188,12 +181,8 @@ def late_data_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     ensure_runtime_confs(spark)
-    raw = (
-        spark.read.schema(_EVENTS_RAW)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir.rstrip("/"))
-    )
-    ts = F.timestamp_micros(F.expr("ts div 1000"))
+    raw = normalize_events_ts(spark.read.parquet(table_path(sf_dir, "events")))
+    ts = F.col("ts")
     c0, c1, c2 = [F.lit(c).cast("timestamp") for c in LATE_SPLITS]
     stage = tempfile.mkdtemp(prefix="bdm_late_stream_")
     indir = os.path.join(stage, "in")
@@ -213,11 +202,12 @@ def late_data_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         dst = os.path.join(indir, f"batch{i}.parquet")
         shutil.move(glob.glob(os.path.join(part_dir, "part-*.parquet"))[0], dst)
         os.utime(dst, (1_700_000_000 + i * 100, 1_700_000_000 + i * 100))
+    # staged files were written by Spark with ts already TimestampType, so
+    # the stream schema is exactly the normalized batch schema
     stream = (
-        spark.readStream.schema(_EVENTS_RAW)
+        spark.readStream.schema(raw.schema)
         .option("maxFilesPerTrigger", "1")
         .parquet(indir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     )
     agg = (
         stream.withWatermark("ts", f"{LATE_DELAY_DAYS} days")
