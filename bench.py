@@ -46,6 +46,7 @@ HEADLINE = [
     "q86_boilerplate_lines",    # line-level boilerplate removal + reassembly
     "q87_zorder_layout",        # Z-order multi-dim layout audit
     "q88_pmi_collocations",     # PMI-scored collocation mining
+    "q89_frequent_itemsets",    # FPGrowth association mining
 ]
 
 

@@ -183,3 +183,191 @@ def scaled_feature_matrix(customer: DataFrame) -> DataFrame:
     ).transform(customer.na.fill(0.0, ["c_acctbal"]))
     model = MinMaxScaler(inputCol="raw", outputCol="scaled").fit(assembled)
     return model.transform(assembled).select("c_custkey", "scaled")
+
+
+def brand_baskets(lineitem: DataFrame, part: DataFrame) -> DataFrame:
+    """Market baskets for frequent-itemset mining: one basket per order,
+    items = the DISTINCT part brands in it (FPGrowth requires unique items
+    per transaction). The brand dimension join broadcasts (part ≪ fact);
+    the single shuffle is the per-order collect_set."""
+    return (
+        lineitem.join(part, lineitem.l_partkey == part.p_partkey)
+        .groupBy("l_orderkey")
+        .agg(F.collect_set("p_brand").alias("items"))
+    )
+
+
+def frequent_itemsets(
+    lineitem: DataFrame,
+    part: DataFrame,
+    min_support: float = 0.02,
+    max_size: int = 2,
+) -> DataFrame:
+    """FPGrowth frequent itemsets over order→brand baskets — the classic
+    association-mining operator of a "big data mining" engine (extension:
+    the reference's mining surface stops at LSH/ALS/clustering, SURVEY.md
+    §2.11). Output restricted to itemsets of size ≤ ``max_size`` with the
+    items sorted and joined, so the result is fully SQL-oracle-checkable
+    (freq(singleton)/freq(pair) are plain group-bys; MLlib's threshold is
+    ``ceil(min_support * n_baskets)``).
+
+    Scale: FPGrowth is the distributed counterpart of the a-priori loop —
+    one pass counts singletons, conditional FP-trees shuffle by suffix
+    item; with a bounded item vocabulary (brands) tree depth ≈ basket
+    size, so memory stays flat as baskets scale 1000×."""
+    from pyspark.ml.fpm import FPGrowth
+
+    baskets = brand_baskets(lineitem, part)
+    model = FPGrowth(
+        itemsCol="items", minSupport=min_support, minConfidence=0.1
+    ).fit(baskets)
+    return (
+        model.freqItemsets.filter(F.size("items") <= max_size)
+        .select(
+            F.concat_ws(",", F.array_sort("items")).alias("items_str"),
+            F.col("freq").cast("bigint").alias("freq"),
+        )
+    )
+
+
+def frequent_itemsets_sql(min_support: float = 0.02) -> str:
+    """DuckDB oracle for ``frequent_itemsets`` (size ≤ 2)."""
+    return f"""
+    WITH basket_items AS (
+      SELECT DISTINCT l_orderkey, p_brand
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+    ),
+    n AS (SELECT count(DISTINCT l_orderkey) AS n_baskets FROM basket_items),
+    minc AS (SELECT cast(ceil({min_support} * n_baskets) as bigint) AS m FROM n),
+    s1 AS (SELECT p_brand AS items_str, count(*) AS freq FROM basket_items GROUP BY 1),
+    s2 AS (SELECT a.p_brand || ',' || b.p_brand AS items_str, count(*) AS freq
+           FROM basket_items a
+           JOIN basket_items b
+             ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+           GROUP BY 1)
+    SELECT items_str, cast(freq as bigint) AS freq FROM s1, minc WHERE freq >= m
+    UNION ALL
+    SELECT items_str, cast(freq as bigint) AS freq FROM s2, minc WHERE freq >= m
+    """
+
+
+def association_rules(
+    lineitem: DataFrame,
+    part: DataFrame,
+    min_support: float = 0.02,
+    min_confidence: float = 0.3,
+) -> DataFrame:
+    """FPGrowth association rules restricted to 1→1 (antecedent and
+    consequent both single items), which keeps every output column —
+    confidence = freq(ab)/freq(a), lift = confidence/(freq(b)/n),
+    support = freq(ab)/n — exactly reproducible in SQL (the arithmetic is
+    plain IEEE double division of two counts, bit-identical across
+    engines)."""
+    from pyspark.ml.fpm import FPGrowth
+
+    baskets = brand_baskets(lineitem, part)
+    model = FPGrowth(
+        itemsCol="items", minSupport=min_support, minConfidence=min_confidence
+    ).fit(baskets)
+    return (
+        model.associationRules.filter(
+            (F.size("antecedent") == 1) & (F.size("consequent") == 1)
+        )
+        .select(
+            F.element_at("antecedent", 1).alias("antecedent"),
+            F.element_at("consequent", 1).alias("consequent"),
+            "confidence",
+            "lift",
+            "support",
+        )
+    )
+
+
+def association_rules_sql(min_support: float = 0.02, min_confidence: float = 0.3) -> str:
+    """DuckDB oracle for ``association_rules`` (1→1 rules)."""
+    return f"""
+    WITH basket_items AS (
+      SELECT DISTINCT l_orderkey, p_brand
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+    ),
+    n AS (SELECT count(DISTINCT l_orderkey) AS n_baskets FROM basket_items),
+    minc AS (SELECT cast(ceil({min_support} * n_baskets) as bigint) AS m FROM n),
+    s1 AS (SELECT p_brand, count(*) AS freq FROM basket_items GROUP BY 1),
+    s2 AS (SELECT a.p_brand AS ba, b.p_brand AS bb, count(*) AS freq
+           FROM basket_items a
+           JOIN basket_items b
+             ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+           GROUP BY 1, 2),
+    freq_pairs AS (
+      -- both orientations of each frequent pair (rule a→b and b→a)
+      SELECT ba AS a, bb AS b, freq FROM s2, minc WHERE freq >= m
+      UNION ALL
+      SELECT bb AS a, ba AS b, freq FROM s2, minc WHERE freq >= m
+    )
+    SELECT p.a AS antecedent, p.b AS consequent,
+           cast(p.freq as double) / fa.freq AS confidence,
+           (cast(p.freq as double) / fa.freq) / (cast(fb.freq as double) / n.n_baskets) AS lift,
+           cast(p.freq as double) / n.n_baskets AS support
+    FROM freq_pairs p
+    JOIN s1 fa ON fa.p_brand = p.a
+    JOIN s1 fb ON fb.p_brand = p.b
+    CROSS JOIN n CROSS JOIN minc
+    WHERE fa.freq >= minc.m
+      AND cast(p.freq as double) / fa.freq >= {min_confidence}
+    """
+
+
+def lang_classifier_eval(docs: DataFrame) -> DataFrame:
+    """Distributed multinomial logistic regression classifying a document's
+    ``lang`` from its token counts — the Spark-native closing of the
+    FinalProject classification loop (M15): the reference exports features
+    to driver-side PyTorch (``FinalProject/BDM_Final.py:692-926``); here
+    the whole train→predict→evaluate path stays distributed. Deterministic
+    hash split (80/20 by doc_id), seeded LR; returns per-language test
+    counts and accuracy (the reference's own acceptance metric shape —
+    BASELINE.md CNN/LSTM accuracy rows).
+
+    Fixture caveat: the synthetic documents share one vocabulary across
+    languages, so token counts carry near-chance language signal (the
+    char-trigram heuristic in ``operators/langid.py`` confuses the same
+    pairs). Class-balanced weights keep the fit honest (≈chance on every
+    class) instead of collapsing to the majority class; on a real corpus
+    the same pipeline learns the separable signal."""
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.feature import StringIndexer
+
+    base = docs.select("doc_id", F.lower(F.col("text")).alias("text"), "lang").filter(
+        F.col("text").isNotNull() & F.col("lang").isNotNull()
+    )
+    train = base.filter(F.pmod(F.xxhash64("doc_id"), F.lit(5)) < 4)
+    test = base.filter(F.pmod(F.xxhash64("doc_id"), F.lit(5)) == 4)
+    # class-balanced sample weights: the corpus is majority-English, and an
+    # unweighted fit degenerates to the majority class on minority langs
+    counts = train.groupBy("lang").agg(F.count("*").alias("n_lang"))
+    n_train = train.count()
+    n_class = counts.count()
+    train = train.join(F.broadcast(counts), "lang").withColumn(
+        "weight", F.lit(float(n_train)) / (F.lit(float(n_class)) * F.col("n_lang"))
+    )
+    pipe = Pipeline(
+        stages=[
+            Tokenizer(inputCol="text", outputCol="words"),
+            CountVectorizer(inputCol="words", outputCol="features", vocabSize=2000, minDF=2.0),
+            StringIndexer(inputCol="lang", outputCol="label", handleInvalid="keep"),
+            LogisticRegression(
+                maxIter=50, regParam=0.001, family="multinomial", weightCol="weight"
+            ),
+        ]
+    )
+    model = pipe.fit(train)
+    pred = model.transform(test)
+    return (
+        pred.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_test"),
+            F.sum((F.col("label") == F.col("prediction")).cast("int"))
+            .cast("bigint")
+            .alias("n_correct"),
+        )
+        .withColumn("accuracy", F.round(F.col("n_correct") / F.col("n_test"), 4))
+    )

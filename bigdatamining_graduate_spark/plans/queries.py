@@ -2766,3 +2766,59 @@ def q88_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("pmi"), F.asc("w1"), F.asc("w2"))
         .limit(_PMI_TOP)
     )
+
+
+# --------------------------------------------------------------------------
+# Association mining (FPGrowth) + distributed classification
+# --------------------------------------------------------------------------
+
+_FPM_MIN_SUPPORT = 0.02
+#: below the measured max pair confidence (~0.19 on brand baskets) so the
+#: rule set is non-empty at every fixture SF
+_FPM_MIN_CONFIDENCE = 0.1
+
+
+@register(
+    "q89_frequent_itemsets",
+    oracle=ML.frequent_itemsets_sql(_FPM_MIN_SUPPORT),
+)
+def q89_frequent_itemsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FPGrowth frequent itemsets over order→brand market baskets — the
+    association-mining operator the reference's mining surface stops short
+    of (it covers LSH/ALS/KMeans, SURVEY.md §2.11; a "Big Data Mining"
+    engine needs a-priori/FP-growth too). Itemsets of size ≤2 with sorted
+    item strings, so MLlib's output hash-matches the exact SQL counts
+    (threshold = ceil(minSupport·n_baskets), MLlib's own rule)."""
+    return ML.frequent_itemsets(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "part"),
+        min_support=_FPM_MIN_SUPPORT,
+    )
+
+
+@register(
+    "q90_association_rules",
+    oracle=ML.association_rules_sql(_FPM_MIN_SUPPORT, _FPM_MIN_CONFIDENCE),
+)
+def q90_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FPGrowth association rules (1→1) with confidence/lift/support —
+    every column is two-bigint IEEE division, so the MLlib result is
+    bit-reproducible in SQL. The 1→1 restriction is what keeps the oracle
+    closed-form; larger antecedents come free from the same model."""
+    return ML.association_rules(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "part"),
+        min_support=_FPM_MIN_SUPPORT,
+        min_confidence=_FPM_MIN_CONFIDENCE,
+    )
+
+
+@register("q91_lang_classifier")  # MLlib iterative training: rows-only check
+def q91_lang_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed multinomial logistic regression predicting a document's
+    language from token counts, evaluated per language — the Spark-native
+    counterpart of the FinalProject's driver-side PyTorch classifiers
+    (M15, ``FinalProject/BDM_Final.py:692-926``): same
+    Tokenizer→CountVectorizer feature path (M1/M2), but train→predict→
+    evaluate stays distributed instead of crossing the collect boundary."""
+    return ML.lang_classifier_eval(load_table(spark, sf_dir, "documents"))
