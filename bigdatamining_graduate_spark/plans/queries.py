@@ -2822,3 +2822,84 @@ def q91_lang_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     Tokenizer→CountVectorizer feature path (M1/M2), but train→predict→
     evaluate stays distributed instead of crossing the collect boundary."""
     return ML.lang_classifier_eval(load_table(spark, sf_dir, "documents"))
+
+
+# --------------------------------------------------------------------------
+# Reshaping (unpivot/melt) + distribution windows (ntile/percent_rank)
+# --------------------------------------------------------------------------
+
+_MELT_MEASURES = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+@register(
+    "q92_unpivot_measures",
+    oracle=f"""
+    WITH long AS (
+      {" UNION ALL ".join(f"SELECT '{m}' AS measure, {m} AS value FROM lineitem" for m in _MELT_MEASURES)}
+    )
+    SELECT measure,
+           count(*) AS n,
+           cast(sum(cast(value as decimal(20,6))) as double) AS sum_value,
+           min(value) AS min_value,
+           max(value) AS max_value
+    FROM long
+    GROUP BY measure
+    """,
+)
+def q92_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long reshaping via ``unpivot`` (melt) + per-measure stats —
+    the inverse of q22's pivot and the idiomatic form of hw2's
+    TS1..TS144 wide layout (SURVEY.md §1.1: 144 wide columns the
+    reference rolls up with 48 hand-written column expressions,
+    ``hw2/BDM_hw2_final.py:149-180``; melting makes the measure axis a
+    ROW dimension ordinary group-bys handle).
+
+    Scale: unpivot is a zero-shuffle Expand node (each input row emits k
+    measure rows map-side); the only shuffle is the k-group aggregate,
+    partial-agged down to k rows before exchange. Decimal sums keep the
+    per-measure totals associative-exact, so the result is engine- and
+    partitioning-independent."""
+    li = load_table(spark, sf_dir, "lineitem")
+    long = li.unpivot(
+        ids=[], values=_MELT_MEASURES, variableColumnName="measure", valueColumnName="value"
+    )
+    return long.groupBy("measure").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("value").cast("decimal(20,6)")).cast("double").alias("sum_value"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+    )
+
+
+@register(
+    "q93_order_quartiles",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority,
+           ntile(4)       OVER w AS quartile,
+           percent_rank() OVER w AS pct_rank,
+           cume_dist()    OVER w AS cume
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+    """,
+)
+def q93_order_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions — ``ntile``/``percent_rank``/
+    ``cume_dist`` per priority class, none present in the reference
+    (SURVEY.md §2.5 covers only row_number/rank). The orderBy carries the
+    unique o_orderkey tiebreak so every function is a pure function of
+    the data (W-trap #3, SURVEY.md §7.4); percent_rank's (rank-1)/(n-1)
+    is the same IEEE division in both engines, so values hash-match
+    exactly.
+
+    Scale: one shuffle on the partition key; all three functions ride a
+    single Window node (same spec), so the sort within partitions is
+    paid once."""
+    od = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return od.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+    )
