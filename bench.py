@@ -47,6 +47,7 @@ HEADLINE = [
     "q87_zorder_layout",        # Z-order multi-dim layout audit
     "q88_pmi_collocations",     # PMI-scored collocation mining
     "q89_frequent_itemsets",    # FPGrowth association mining
+    "q94_shipping_priority",    # TPC-H Q3 selective star join
 ]
 
 

@@ -2903,3 +2903,120 @@ def q93_order_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percent_rank().over(w).alias("pct_rank"),
         F.cume_dist().over(w).alias("cume"),
     )
+
+
+# --------------------------------------------------------------------------
+# TPC-H classic join shapes (Q3 / Q18 analogues on the fixture star schema)
+# --------------------------------------------------------------------------
+
+_Q94_CUT = "1998-06-01"
+_Q94_SEGMENT = "BUILDING"
+
+
+@register(
+    "q94_shipping_priority",
+    oracle=f"""
+    SELECT l_orderkey,
+           cast(sum({N.revenue_sql('l_extendedprice', 'l_discount')}) as double) AS revenue,
+           strftime(o_orderdate, '%Y-%m-%d') AS order_date, o_orderpriority
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = '{_Q94_SEGMENT}'
+      AND o_orderdate < TIMESTAMP '{_Q94_CUT}'
+      AND l_shipdate  > TIMESTAMP '{_Q94_CUT}'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, order_date, l_orderkey
+    LIMIT 10
+    """,
+)
+def q94_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape (shipping priority): segment-filtered customers ⋈
+    orders ⋈ lineitem with opposing date predicates, top-10 unshipped
+    orders by exact-decimal revenue. The classic selective-star-join
+    planner benchmark — none of the reference's joins carry non-key
+    predicates on both fact sides (SURVEY.md §2.3).
+
+    Scale: both date filters and the segment filter push to the parquet
+    scans; the filtered customer side is far under the broadcast
+    threshold, so lineitem⋈orders is the only shuffle; sort+limit
+    compiles to TakeOrderedAndProject (no global sort)."""
+    cut = F.lit(_Q94_CUT).cast("timestamp")
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == _Q94_SEGMENT)
+        .select("c_custkey")
+    )
+    od = load_table(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cut)
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cut)
+    return (
+        li.join(od, li.l_orderkey == od.o_orderkey)
+        .join(F.broadcast(cust), od.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.sum(N.revenue(F.col("l_extendedprice"), F.col("l_discount")))
+            .cast("double")
+            .alias("revenue")
+        )
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+            "o_orderpriority",
+        )
+        .orderBy(F.desc("revenue"), F.asc("order_date"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+_Q95_MIN_QTY = 150
+
+
+@register(
+    "q95_large_volume_customers",
+    oracle=f"""
+    SELECT c_name, c_custkey, o_orderkey, o_totalprice,
+           cast(sum(cast(l_quantity as decimal(20,2))) as double) AS sum_qty
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderkey IN (
+      SELECT l_orderkey FROM lineitem
+      GROUP BY l_orderkey
+      HAVING sum(cast(l_quantity as decimal(20,2))) > {_Q95_MIN_QTY}
+    )
+    GROUP BY c_name, c_custkey, o_orderkey, o_totalprice
+    """,
+)
+def q95_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape (large-volume customers): orders whose total line
+    quantity exceeds a threshold, re-joined to their customers — the
+    aggregated-IN-subquery pattern (a HAVING-filtered aggregate used as a
+    semi-join filter), absent from the reference's join inventory
+    (SURVEY.md §2.3 lists only equi/theta/anti).
+
+    Scale: the subquery is a partial+final agg on l_orderkey; its
+    HAVING-filtered output is small (heavy orders are rare) and joins
+    back as a LEFT SEMI on the same key — with AQE this converts to a
+    broadcast semi join, so lineitem shuffles once (for its own agg) and
+    the fact⋈fact filter costs no second exchange."""
+    li = load_table(spark, sf_dir, "lineitem")
+    od = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    heavy = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(20,2)")).alias("q"))
+        .filter(F.col("q") > _Q95_MIN_QTY)
+        .select("l_orderkey")
+    )
+    return (
+        li.join(heavy, "l_orderkey", "left_semi")
+        .join(od, li.l_orderkey == od.o_orderkey)
+        .join(F.broadcast(cust), od.o_custkey == cust.c_custkey)
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_totalprice")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(20,2)"))
+            .cast("double")
+            .alias("sum_qty")
+        )
+    )
