@@ -3020,3 +3020,57 @@ def q95_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("sum_qty")
         )
     )
+
+
+_ROLL_DAYS = 7
+
+
+@register(
+    "q96_rolling_distinct_users",
+    oracle=f"""
+    WITH du AS (
+      SELECT DISTINCT cast(ts as date) AS day, user_id FROM events
+    ),
+    days AS (SELECT DISTINCT day FROM du),
+    expanded AS (
+      SELECT DISTINCT du.day + to_days(cast(o.off as int)) AS w_day, du.user_id
+      FROM du CROSS JOIN (SELECT unnest(range(0, {_ROLL_DAYS})) AS off) o
+    )
+    SELECT strftime(d.day, '%Y-%m-%d') AS day,
+           count(*) AS active_users
+    FROM days d JOIN expanded e ON e.w_day = d.day
+    GROUP BY d.day
+    """,
+)
+def q96_rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7-day distinct active users per day — the rolling-
+    count-distinct problem every activity dashboard needs and no window
+    frame can express (COUNT(DISTINCT) OVER RANGE is unsupported in both
+    engines). Rewritten as bounded fan-out: each (day, user) pair is
+    EXPLODED into the ≤7 window-end days it covers, deduped, and counted
+    — turning an O(days × history) re-scan into one distinct + one
+    7×-wide map-side expand + one count per day.
+
+    Scale: the expand multiplies the DAILY-DISTINCT pairs (not raw
+    events) by the window width, so state is bounded by 7·|daily active
+    users|; both distincts and the final count shuffle on (day, user) /
+    day — no per-day self-joins, no count-distinct state across the full
+    history. The same shape computes any trailing-K-distinct metric by
+    changing the sequence bound."""
+    ev = load_table(spark, sf_dir, "events")
+    du = ev.select(F.to_date("ts").alias("day"), "user_id").distinct()
+    days = du.select("day").distinct()
+    expanded = (
+        du.select(
+            F.explode(F.sequence(F.lit(0), F.lit(_ROLL_DAYS - 1))).alias("off"),
+            "day",
+            "user_id",
+        )
+        .select(F.date_add("day", F.col("off")).alias("w_day"), "user_id")
+        .distinct()
+    )
+    return (
+        expanded.join(days, expanded.w_day == days.day)
+        .groupBy(F.date_format("day", "yyyy-MM-dd").alias("day"))
+        .agg(F.count("*").alias("active_users"))
+    )
