@@ -375,3 +375,52 @@ def test_ivf_nprobe_recall_dial(spark):
         recalls[nprobe] = r["h"] / r["t"]
     assert recalls[1] < recalls[3] < recalls[5], recalls
     assert recalls[3] >= 0.8 and recalls[5] >= 0.95, recalls
+
+
+def test_rolling_distinct_counts_user_once_per_window(spark):
+    """q96 semantics: a user active on several days inside one trailing
+    window is counted ONCE for that window day, and days with no events
+    never appear as output rows (the fan-out join keeps only real days)."""
+    import datetime as dt
+
+    rows = [
+        # user 1 active on day 1 and day 3; user 2 only day 1; day 2 empty
+        (dt.datetime(2024, 1, 1, 10), 1),
+        (dt.datetime(2024, 1, 3, 10), 1),
+        (dt.datetime(2024, 1, 1, 11), 2),
+        (dt.datetime(2024, 1, 20, 10), 3),  # outside every 7-day window above
+    ]
+    ev = spark.createDataFrame(rows, "ts timestamp, user_id long")
+    du = ev.select(F.to_date("ts").alias("day"), "user_id").distinct()
+    days = du.select("day").distinct()
+    expanded = (
+        du.select(
+            F.explode(F.sequence(F.lit(0), F.lit(6))).alias("off"), "day", "user_id"
+        )
+        .select(F.date_add("day", F.col("off")).alias("w_day"), "user_id")
+        .distinct()
+    )
+    got = {
+        r["day"]: r["n"]
+        for r in expanded.join(days, expanded.w_day == days.day)
+        .groupBy(F.date_format("day", "yyyy-MM-dd").alias("day"))
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    # Jan 1: users {1,2}; Jan 3: users {1 (twice in window -> once), 2};
+    # Jan 2 emits NO row; Jan 20: user 3 only (window from Jan 13)
+    assert got == {"2024-01-01": 2, "2024-01-03": 2, "2024-01-20": 1}
+
+
+def test_unpivot_conserves_rows_and_values(spark):
+    """q92 semantics: melt emits exactly rows x measures output rows and
+    per-measure sums equal the wide-column sums (nulls preserved)."""
+    df = spark.createDataFrame(
+        [(1.0, 10.0), (2.0, None), (3.0, 30.0)], "a double, b double"
+    )
+    long = df.unpivot(
+        ids=[], values=["a", "b"], variableColumnName="m", valueColumnName="v"
+    )
+    assert long.count() == 6  # 3 rows x 2 measures, null kept as a row
+    sums = {r["m"]: r["s"] for r in long.groupBy("m").agg(F.sum("v").alias("s")).collect()}
+    assert sums == {"a": 6.0, "b": 40.0}
