@@ -2999,7 +2999,12 @@ def q95_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     HAVING-filtered output is small (heavy orders are rare) and joins
     back as a LEFT SEMI on the same key — with AQE this converts to a
     broadcast semi join, so lineitem shuffles once (for its own agg) and
-    the fact⋈fact filter costs no second exchange."""
+    the fact⋈fact filter costs no second exchange. The orders side is
+    hinted ``shuffle_merge``: orders is a FACT table that at mid-scale
+    slips under the raised 64 MB broadcast threshold, and building a
+    million-row hash table costs more than the merge join (measured
+    11.1→3.3 s warm on a synthetic sf1; at 100 TB the stats reach the
+    same SMJ plan on their own — the hint removes the mid-scale cliff)."""
     li = load_table(spark, sf_dir, "lineitem")
     od = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer")
@@ -3009,6 +3014,7 @@ def q95_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("q") > _Q95_MIN_QTY)
         .select("l_orderkey")
     )
+    od = od.hint("shuffle_merge")
     return (
         li.join(heavy, "l_orderkey", "left_semi")
         .join(od, li.l_orderkey == od.o_orderkey)
