@@ -48,6 +48,7 @@ HEADLINE = [
     "q88_pmi_collocations",     # PMI-scored collocation mining
     "q89_frequent_itemsets",    # FPGrowth association mining
     "q94_shipping_priority",    # TPC-H Q3 selective star join
+    "q95_large_volume_customers",  # TPC-H Q18 HAVING-subquery semi join
 ]
 
 
