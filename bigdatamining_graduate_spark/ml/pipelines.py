@@ -217,10 +217,15 @@ def frequent_itemsets(
     size, so memory stays flat as baskets scale 1000×."""
     from pyspark.ml.fpm import FPGrowth
 
-    baskets = brand_baskets(lineitem, part)
+    # FP-growth is a TWO-pass algorithm (singleton counts, then
+    # conditional trees) — without a cache the basket join+collect_set
+    # recomputes per pass (measured ~25% of the query at sf0.1; on a
+    # cluster this is a persist-to-memory-and-disk on the basket table)
+    baskets = brand_baskets(lineitem, part).cache()
     model = FPGrowth(
         itemsCol="items", minSupport=min_support, minConfidence=0.1
     ).fit(baskets)
+    baskets.unpersist()
     return (
         model.freqItemsets.filter(F.size("items") <= max_size)
         .select(
@@ -265,10 +270,11 @@ def association_rules(
     engines)."""
     from pyspark.ml.fpm import FPGrowth
 
-    baskets = brand_baskets(lineitem, part)
+    baskets = brand_baskets(lineitem, part).cache()  # two-pass fit, see above
     model = FPGrowth(
         itemsCol="items", minSupport=min_support, minConfidence=min_confidence
     ).fit(baskets)
+    baskets.unpersist()
     return (
         model.associationRules.filter(
             (F.size("antecedent") == 1) & (F.size("consequent") == 1)

@@ -3080,3 +3080,51 @@ def q96_rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.date_format("day", "yyyy-MM-dd").alias("day"))
         .agg(F.count("*").alias("active_users"))
     )
+
+
+_WS_K = 100          # sample size
+_WS_SCALE = 60       # uniform denominator bits (portable_hash64 range)
+
+
+@register(
+    "q97_weighted_sample",
+    oracle=f"""
+    WITH keyed AS (
+      SELECT doc_id, n_chars,
+             ln(({portable_hash64_sql("cast(doc_id as varchar)", salt="ws:")} + 1.0)
+                / {2 ** _WS_SCALE + 1}.0) / n_chars AS k
+      FROM documents
+      WHERE n_chars > 0
+    )
+    SELECT doc_id, n_chars, round(k, 9) AS sample_key
+    FROM keyed
+    ORDER BY k DESC, doc_id
+    LIMIT {_WS_K}
+    """,
+)
+def q97_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed weighted sampling WITHOUT replacement (top-k of the
+    Efraimidis-Spirakis key u^(1/w), compared as ln(u)/w): sample
+    k=100 documents proportional to length — the mixture-construction
+    primitive a training pipeline uses to up/down-weight sources while
+    staying a one-pass, mergeable top-k. The uniform u derives from the
+    portable md5 hash (``functions/hashing.py``), so the SAMPLE ITSELF is
+    deterministic and engine-reproducible — a seeded ``rand()`` would be
+    Spark-private (SURVEY.md §7.4 risk 3: all randomness seeded AND
+    portable here).
+
+    Scale: no shuffle at all — the key is a map-side expression and the
+    sort+limit compiles to TakeOrderedAndProject (per-partition top-k,
+    driver merge of k·P rows). Weighted-sampling a 100 TB corpus costs
+    exactly one scan."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    u = (portable_hash64(F.col("doc_id").cast("string"), salt="ws:") + F.lit(1.0)) / F.lit(
+        float(2 ** _WS_SCALE + 1)
+    )
+    k = F.log(u) / F.col("n_chars")
+    return (
+        docs.select("doc_id", "n_chars", k.alias("k"))
+        .orderBy(F.desc("k"), F.asc("doc_id"))
+        .limit(_WS_K)
+        .select("doc_id", "n_chars", F.round("k", 9).alias("sample_key"))
+    )
