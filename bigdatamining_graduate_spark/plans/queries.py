@@ -3128,3 +3128,80 @@ def q97_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(_WS_K)
         .select("doc_id", "n_chars", F.round("k", 9).alias("sample_key"))
     )
+
+
+@register(
+    "q98_funnel_conversion",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, min(ts) AS t FROM events WHERE event_type = 'view' GROUP BY 1
+    ),
+    c AS (
+      SELECT e.user_id, min(e.ts) AS t
+      FROM events e JOIN v ON e.user_id = v.user_id
+       AND e.ts > v.t AND e.ts <= v.t + INTERVAL 1 HOUR
+      WHERE e.event_type = 'click'
+      GROUP BY 1
+    ),
+    p AS (
+      SELECT e.user_id, min(e.ts) AS t
+      FROM events e JOIN c ON e.user_id = c.user_id
+       AND e.ts > c.t AND e.ts <= c.t + INTERVAL 1 HOUR
+      WHERE e.event_type = 'purchase'
+      GROUP BY 1
+    )
+    SELECT (SELECT count(*) FROM v) AS n_view,
+           (SELECT count(*) FROM c) AS n_click,
+           (SELECT count(*) FROM p) AS n_purchase,
+           cast((SELECT count(*) FROM c) as double) / (SELECT count(*) FROM v) AS view_to_click,
+           cast((SELECT count(*) FROM p) as double) / (SELECT count(*) FROM c) AS click_to_purchase
+    """,
+)
+def q98_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-bounded conversion funnel (first view → click within 1h →
+    purchase within 1h): the event-analytics staple on top of the
+    engine's event operators — q18 sessionizes, q62 range-joins pairs;
+    this chains ORDERED stages with per-stage deadlines and reports
+    stage populations + conversion rates (exact bigint division, so the
+    doubles are bit-identical across engines).
+
+    Scale: each stage is one aggregate on user_id; the stage frontier
+    (one row per surviving user) BROADCASTS into the next stage's
+    filter, so the events table is scanned per stage with a pushed
+    event_type filter but never self-joined at full width — stage cost
+    is O(|events of that type|), state is O(|users|)."""
+    ev = load_table(spark, sf_dir, "events")
+    hour = F.expr("INTERVAL 1 HOUR")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("vt"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(F.broadcast(v), "user_id")
+        .filter((F.col("ts") > F.col("vt")) & (F.col("ts") <= F.col("vt") + hour))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("ct"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(F.broadcast(c), "user_id")
+        .filter((F.col("ts") > F.col("ct")) & (F.col("ts") <= F.col("ct") + hour))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("pt"))
+    )
+    nv = v.agg(F.count("*").alias("n_view"))
+    nc = c.agg(F.count("*").alias("n_click"))
+    np_ = p.agg(F.count("*").alias("n_purchase"))
+    return (
+        nv.crossJoin(nc)
+        .crossJoin(np_)
+        .select(
+            "n_view",
+            "n_click",
+            "n_purchase",
+            (F.col("n_click").cast("double") / F.col("n_view")).alias("view_to_click"),
+            (F.col("n_purchase").cast("double") / F.col("n_click")).alias("click_to_purchase"),
+        )
+    )

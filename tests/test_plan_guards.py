@@ -20,6 +20,7 @@ ALLOWED = {
     "q74_ann_recall",            # contains the exact baseline side
     "q81_balanced_mixture",      # 1-row min-count broadcast
     "q88_pmi_collocations",      # 1-row corpus-size broadcast (q31 pattern)
+    "q98_funnel_conversion",     # 1-row stage-count crossJoins (3 x 1-row)
 }
 
 
