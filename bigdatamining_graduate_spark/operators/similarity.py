@@ -323,15 +323,19 @@ def ivf_knn(
     1 / 3 / 5 (see SCALE.md §5) — cosine neighbors routinely sit just
     across a Voronoi boundary, so single-cell search is never enough.
 
-    Scale shape: after fit, the centroids are DRIVER-SIDE LITERALS, so
-    probe selection is a row-expanding projection (posexplode of a
-    constant array, ×n_cells per query then pruned to nprobe by a
-    per-query window) — no centroid join exists in the plan. Candidate
-    generation is the cell-id equi-join (queries × their nprobe inverted
-    lists); corpus vectors keep their single euclidean-nearest cell from
-    ``model.transform``, so candidates are naturally distinct. At 100 TB:
-    n_cells grows to ~sqrt(corpus), the centroid literal becomes a
-    broadcast lookup table, and the inverted lists are bucketed storage.
+    Scale shape: after fit, the centroids become an n_cells-row BROADCAST
+    TABLE; probe selection is a broadcast nested-loop of each query
+    against it (×n_cells per query, then pruned to nprobe by a per-query
+    window). A broadcast table — not a plan literal — because n_cells
+    grows to ~sqrt(corpus) at scale (tens of thousands of cells at
+    100 TB) and embedding-width × n_cells literals would blow up the
+    serialized plan / Janino codegen; a few-MB broadcast is the right
+    physical shape and keeps the probe join a broadcast at any n_cells.
+    Candidate generation is the cell-id equi-join (queries × their
+    nprobe inverted lists); corpus vectors keep their single
+    euclidean-nearest cell from ``model.transform``, so candidates are
+    naturally distinct. At 100 TB the inverted lists are bucketed
+    storage.
     """
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
@@ -346,13 +350,13 @@ def ivf_knn(
     corpus = assigned.select(
         F.col("vec_id").alias("neighbor_id"), F.col("v").alias("nv"), "cell"
     )
-    cent_lit = F.array(*[F.array(*[F.lit(x) for x in cc]) for cc in centers])
+    cent_df = embeddings.sparkSession.createDataFrame(
+        list(enumerate(centers)), "cell int, cv array<double>"
+    )
     q0 = assigned.filter(query_pred).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
     )
-    probes = q0.select(
-        "query_id", "qv", F.posexplode(cent_lit).alias("cell", "cv")
-    )
+    probes = q0.crossJoin(F.broadcast(cent_df))
     d2 = F.aggregate(
         F.zip_with("qv", "cv", lambda a, b: (a - b) * (a - b)),
         F.lit(0.0),

@@ -10,6 +10,9 @@ small outputs, never for fact tables).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.layout import z_interleave_sql
 
 
 def write_csv(
@@ -47,6 +50,43 @@ def write_parquet(
     w = df.write.mode(mode)
     if partition_by:
         w = w.partitionBy(*partition_by)
+    w.parquet(path)
+
+
+def zorder_write(
+    df: DataFrame,
+    path: str,
+    dims: list[str],
+    bits: int = 8,
+    num_files: int | None = None,
+    max_records_per_file: int | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Z-order-clustered parquet sink — the PRODUCTION layout path whose
+    audit twin is ``plans.queries.q87_zorder_layout``. ``dims`` are
+    non-negative integer columns, each bounded to ``[0, 2**bits)`` (bucket
+    wider domains first, e.g. ``user_id % 2**bits``); rows are clustered
+    along the Morton curve of those dims so every written file gets a
+    tight per-dimension bounding box and parquet min/max stats prune on
+    ALL the dims at once.
+
+    Scale shape: ONE range shuffle (``repartitionByRange`` on the
+    z-value, sampled range boundaries keep files even under skew) + a
+    per-partition sort — never a global ``Window.orderBy`` (q87's audit
+    uses one only for oracle determinism; this is the path you run on a
+    cluster). ``max_records_per_file`` bounds file size within a
+    partition via the writer option; the z column itself is dropped
+    before writing (projection preserves the per-partition order)."""
+    z = F.expr(z_interleave_sql(dims, bits)).alias("__z")
+    clustered = df.select("*", z)
+    if num_files is not None:
+        clustered = clustered.repartitionByRange(num_files, "__z")
+    else:
+        clustered = clustered.repartitionByRange("__z")
+    clustered = clustered.sortWithinPartitions("__z").drop("__z")
+    w = clustered.write.mode(mode)
+    if max_records_per_file is not None:
+        w = w.option("maxRecordsPerFile", max_records_per_file)
     w.parquet(path)
 
 

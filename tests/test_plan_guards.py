@@ -21,6 +21,7 @@ ALLOWED = {
     "q81_balanced_mixture",      # 1-row min-count broadcast
     "q88_pmi_collocations",      # 1-row corpus-size broadcast (q31 pattern)
     "q98_funnel_conversion",     # 1-row stage-count crossJoins (3 x 1-row)
+    "q55_ivf_knn",               # n_cells-row broadcast centroid probe table
 }
 
 

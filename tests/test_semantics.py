@@ -377,6 +377,31 @@ def test_ivf_nprobe_recall_dial(spark):
     assert recalls[3] >= 0.8 and recalls[5] >= 0.95, recalls
 
 
+def test_ivf_many_cells_probe_stays_broadcast(spark):
+    """IVF at production cell counts: n_cells grows to ~sqrt(corpus), so
+    the centroids must be a BROADCAST TABLE, not a plan literal (plan /
+    codegen size blows up otherwise). At n_cells=64 the probe join must
+    plan as a broadcast nested-loop against the centroid table — never a
+    shuffled CartesianProduct — and the output contract must hold."""
+    from bigdatamining_graduate_spark.operators.similarity import ivf_knn
+    from bigdatamining_graduate_spark.sources.catalog import load_table
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    pred = F.col("vec_id") % 100 == 0
+    df = ivf_knn(emb, pred, k=5, n_cells=64, nprobe=8)
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    plan = df._jdf.queryExecution().explainString(mode)
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    per_q = df.groupBy("query_id").agg(
+        F.count("*").alias("n"), F.max("rnk").alias("mx")
+    )
+    bad = per_q.filter((F.col("n") > 5) | (F.col("mx") > 5)).count()
+    assert bad == 0
+
+
 def test_rolling_distinct_counts_user_once_per_window(spark):
     """q96 semantics: a user active on several days inside one trailing
     window is counted ONCE for that window day, and days with no events

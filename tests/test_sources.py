@@ -116,3 +116,50 @@ def test_orc_roundtrip_with_pushdown(spark, tmp_path):
     # partition pruning: only one of five hive partitions scanned
     pruned = back.filter(F.col("g") == 3)
     assert pruned.count() == 20
+
+
+def test_zorder_write_tightens_file_bboxes(spark, tmp_path):
+    """``zorder_write`` is the production twin of q87's layout audit: the
+    FILES ON DISK (not a simulated cut) must carry tighter per-file
+    (user-bucket, hour) bounding boxes than the same rows written in
+    insertion order — that bbox is exactly the parquet min/max stat a
+    data-skipping reader prunes on."""
+    from pyspark.sql import functions as F
+
+    from bigdatamining_graduate_spark.sources.catalog import load_table
+
+    ev = (
+        load_table(spark, "/root/testdata/sf0.001", "events")
+        .select(
+            "event_id",
+            (F.col("user_id") % 32).alias("ux"),
+            F.hour("ts").alias("hy"),
+        )
+    )
+
+    def mean_file_bbox(path: str) -> float:
+        got = spark.read.parquet(path).select(
+            F.input_file_name().alias("f"), "ux", "hy"
+        )
+        return (
+            got.groupBy("f")
+            .agg(
+                (
+                    (F.max("ux") - F.min("ux") + 1)
+                    * (F.max("hy") - F.min("hy") + 1)
+                ).alias("bbox")
+            )
+            .agg(F.avg("bbox"))
+            .collect()[0][0]
+        )
+
+    zpath = str(tmp_path / "zorder")
+    sinks.zorder_write(ev, zpath, dims=["ux", "hy"], bits=5, num_files=8)
+    naive_path = str(tmp_path / "naive")
+    ev.repartitionByRange(8, "event_id").sortWithinPartitions(
+        "event_id"
+    ).write.parquet(naive_path)
+
+    z_bbox = mean_file_bbox(zpath)
+    naive_bbox = mean_file_bbox(naive_path)
+    assert z_bbox < naive_bbox, (z_bbox, naive_bbox)
