@@ -49,6 +49,8 @@ HEADLINE = [
     "q89_frequent_itemsets",    # FPGrowth association mining
     "q94_shipping_priority",    # TPC-H Q3 selective star join
     "q95_large_volume_customers",  # TPC-H Q18 HAVING-subquery semi join
+    "q99_gopher_quality_rules", # composite quality-rule scan (zero shuffle)
+    "q101_shared_passages",     # verbatim-passage dedup (inverted index)
 ]
 
 

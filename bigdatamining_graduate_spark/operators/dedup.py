@@ -47,7 +47,12 @@ CHUNK_MASK = (1 << CHUNK_BITS) - 1
 
 # -- shared building blocks -------------------------------------------------
 
-def doc_grams(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+def doc_grams(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = NGRAM_N,
+) -> DataFrame:
     """(id, gram) pairs: DISTINCT word n-grams of the normalized text.
 
     The tokenization is PROJECTED FIRST so the n-gram higher-order
@@ -56,12 +61,17 @@ def doc_grams(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     regex-normalize+split chain per n-gram position (observed 15s for
     5k docs at sf0.1 → ~0.5s with the projection boundary)."""
     tk = docs.select(F.col(id_col), TX.tokenize(text_col).alias("tk"))
-    grams = F.array_distinct(TX.word_ngrams(F.col("tk"), NGRAM_N))
+    grams = F.array_distinct(TX.word_ngrams(F.col("tk"), n))
     return tk.select(F.col(id_col), F.explode(grams).alias("gram"))
 
 
-def doc_grams_sql(text_col: str = "text", id_col: str = "doc_id", table: str = "documents") -> str:
-    ng = TX.word_ngrams_sql(TX.tokenize_sql(text_col), NGRAM_N)
+def doc_grams_sql(
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    table: str = "documents",
+    n: int = NGRAM_N,
+) -> str:
+    ng = TX.word_ngrams_sql(TX.tokenize_sql(text_col), n)
     return (
         f"SELECT {id_col}, unnest(list_distinct({ng})) AS gram FROM {table}"
     )
@@ -535,4 +545,62 @@ def winnow_fingerprints_sql(table: str = "documents") -> str:
            cast(len(fps) as bigint) AS n_fps,
            list_min(fps) AS min_fp
     FROM f
+    """
+
+
+# -- verbatim shared passages (exact-substring dedup) -----------------------
+
+PASSAGE_N = 8          # tokens per passage window
+PASSAGE_MAX_DF = 50    # boilerplate passages generate O(df^2) pairs, no signal
+
+
+def shared_passage_pairs(
+    docs: DataFrame, n: int = PASSAGE_N, min_shared: int = 1
+) -> DataFrame:
+    """Document pairs sharing VERBATIM n-token passages — the exact-
+    substring dedup signal (Lee et al. 2021, "Deduplicating Training Data
+    Makes Language Models Better": long verbatim overlaps mark copies
+    that set-similarity misses once surrounding text diverges). A window
+    of ``n`` consecutive tokens is a passage; any passage appearing in
+    two documents makes them a candidate pair, scored by how many
+    distinct passages they share.
+
+    Scale: the same inverted-index shape as :func:`ngram_jaccard_pairs`
+    — one aggregation per passage, postings capped at ``PASSAGE_MAX_DF``
+    (a passage pasted into everything is boilerplate, which is q86's job,
+    not dedup's), pairs emitted by posexplode over the posting list.
+    Never a doc⋈doc self-join; fanout bounded at C(max_df, 2) per
+    passage. Unlike a true suffix-array pass this is windowed (overlap
+    length resolution = n), which is the standard distributed
+    approximation — windows ARE the suffix-array buckets."""
+    grams = doc_grams(docs, n=n)
+    postings = (
+        grams.groupBy("gram")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("docs"))
+        .filter((F.size("docs") >= 2) & (F.size("docs") <= PASSAGE_MAX_DF))
+    )
+    pe = postings.select(F.posexplode("docs").alias("i", "doc_a"), F.col("docs"))
+    return (
+        pe.select(
+            "doc_a",
+            F.explode(F.slice("docs", F.col("i") + 2, F.size("docs"))).alias("doc_b"),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+
+
+def shared_passage_pairs_sql(n: int = PASSAGE_N, min_shared: int = 1) -> str:
+    return f"""
+    WITH grams AS ({doc_grams_sql(n=n)}),
+    capped AS (
+      SELECT doc_id, gram FROM (
+        SELECT doc_id, gram, count(*) OVER (PARTITION BY gram) AS df FROM grams)
+      WHERE df BETWEEN 2 AND {PASSAGE_MAX_DF}
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+    FROM capped a JOIN capped b ON a.gram = b.gram AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    HAVING count(*) >= {min_shared}
     """

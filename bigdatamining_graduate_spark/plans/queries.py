@@ -3215,6 +3215,226 @@ def q98_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Gopher-style composite quality rules (Rae et al. 2021, "Scaling Language
+# Models: ... Gopher", table A1 — public). Thresholds shared Spark/oracle.
+_GQ_MIN_WORDS, _GQ_MAX_WORDS = 50, 100_000
+_GQ_MIN_MWL, _GQ_MAX_MWL = 3.0, 10.0
+_GQ_MAX_SYMBOL_RATIO = 0.1
+_GQ_MAX_BULLET_FRAC = 0.9
+_GQ_MAX_ELLIPSIS_FRAC = 0.3
+_GQ_MIN_ALPHA_FRAC = 0.8
+#: "required word" rule: at least 2 distinct hits from this set
+_GQ_REQ_WORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+_GQ_REQ_SQL = "[" + ", ".join(f"'{w}'" for w in _GQ_REQ_WORDS) + "]"
+
+
+@register(
+    "q99_gopher_quality_rules",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(coalesce(text, ''), '\\s+'), x -> x <> '') AS words,
+             list_filter(string_split(coalesce(text, ''), chr(10)), x -> trim(x) <> '') AS lines,
+             {TX.tokenize_sql('text')} AS tk,
+             coalesce(text, '') AS t
+      FROM documents
+    ), m AS (
+      SELECT doc_id,
+             cast(len(words) as bigint) AS n_words,
+             list_sum(list_transform(words, w -> length(w))) AS char_sum,
+             cast(len(list_filter(words, w -> regexp_matches(w, '[A-Za-z]'))) as bigint) AS n_alpha,
+             cast(length(t) - length(replace(t, '#', '')) as bigint)
+               + cast((length(t) - length(replace(t, '...', ''))) // 3 as bigint) AS n_symbols,
+             cast(len(lines) as bigint) AS n_lines,
+             cast(len(list_filter(lines, l -> list_contains(['-', '*'], substr(ltrim(l), 1, 1)))) as bigint) AS n_bullet,
+             cast(len(list_filter(lines, l -> ends_with(rtrim(l), '...'))) as bigint) AS n_ellipsis,
+             cast(len(list_intersect(tk, {_GQ_REQ_SQL})) as bigint) AS n_req
+      FROM base
+    )
+    SELECT doc_id, n_words,
+           round(char_sum * 1.0 / n_words, 6) AS mean_word_len,
+           round(n_symbols * 1.0 / n_words, 6) AS symbol_ratio,
+           round(n_alpha * 1.0 / n_words, 6) AS alpha_frac,
+           round(n_bullet * 1.0 / n_lines, 6) AS bullet_frac,
+           round(n_ellipsis * 1.0 / n_lines, 6) AS ellipsis_frac,
+           n_req,
+           cast(
+             n_words BETWEEN {_GQ_MIN_WORDS} AND {_GQ_MAX_WORDS}
+             AND char_sum * 1.0 / n_words BETWEEN {_GQ_MIN_MWL} AND {_GQ_MAX_MWL}
+             AND n_symbols * 1.0 / n_words < {_GQ_MAX_SYMBOL_RATIO}
+             AND n_bullet * 1.0 / n_lines < {_GQ_MAX_BULLET_FRAC}
+             AND n_ellipsis * 1.0 / n_lines < {_GQ_MAX_ELLIPSIS_FRAC}
+             AND n_alpha * 1.0 / n_words > {_GQ_MIN_ALPHA_FRAC}
+             AND n_req >= 2
+           as int) AS keep
+    FROM m WHERE n_words > 0 AND n_lines > 0
+    """,
+)
+def q99_gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style composite quality filter (Rae et al. 2021 §A1.1, the
+    public rule set every LLM data pipeline starts from): word-count
+    bounds, mean-word-length band, symbol-to-word ratio (# and ...),
+    bullet-/ellipsis-line fractions, alphabetic-word fraction, and the
+    required-stopword rule, combined into one keep/drop verdict per
+    document. Complements q28 (generic token stats) with the
+    production-named rule battery; the metric columns are emitted so a
+    pipeline can re-threshold without re-scanning.
+
+    Scale: single scan, zero shuffles — every rule is a built-in array /
+    string expression inside whole-stage codegen (no UDFs), so at 100 TB
+    this runs at parquet-scan speed with full column pruning (only
+    ``doc_id, text`` read)."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.coalesce(F.col("text"), F.lit(""))
+    words = F.filter(F.split(t, r"\s+"), lambda x: x != F.lit(""))
+    lines = F.filter(F.split(t, "\n"), lambda x: F.trim(x) != F.lit(""))
+    bullet_lead = F.array(F.lit("-"), F.lit("*"))
+    req = F.array(*[F.lit(w) for w in _GQ_REQ_WORDS])
+    m = docs.select(
+        "doc_id",
+        F.size(words).cast("long").alias("n_words"),
+        F.aggregate(words, F.lit(0).cast("long"), lambda a, w: a + F.length(w)).alias(
+            "char_sum"
+        ),
+        F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]")))
+        .cast("long")
+        .alias("n_alpha"),
+        (
+            (F.length(t) - F.length(F.replace(t, F.lit("#"), F.lit(""))))
+            + F.floor(
+                (F.length(t) - F.length(F.replace(t, F.lit("..."), F.lit("")))) / 3
+            )
+        )
+        .cast("long")
+        .alias("n_symbols"),
+        F.size(lines).cast("long").alias("n_lines"),
+        F.size(
+            F.filter(
+                lines,
+                lambda line: F.array_contains(
+                    bullet_lead, F.substring(F.ltrim(line), 1, 1)
+                ),
+            )
+        )
+        .cast("long")
+        .alias("n_bullet"),
+        F.size(F.filter(lines, lambda line: F.endswith(F.rtrim(line), F.lit("..."))))
+        .cast("long")
+        .alias("n_ellipsis"),
+        F.size(F.array_intersect(TX.tokenize("text"), req)).cast("long").alias("n_req"),
+    )
+    mwl = F.col("char_sum") / F.col("n_words")
+    sym = F.col("n_symbols") / F.col("n_words")
+    alpha = F.col("n_alpha") / F.col("n_words")
+    bullet = F.col("n_bullet") / F.col("n_lines")
+    ell = F.col("n_ellipsis") / F.col("n_lines")
+    keep = (
+        F.col("n_words").between(_GQ_MIN_WORDS, _GQ_MAX_WORDS)
+        & mwl.between(_GQ_MIN_MWL, _GQ_MAX_MWL)
+        & (sym < _GQ_MAX_SYMBOL_RATIO)
+        & (bullet < _GQ_MAX_BULLET_FRAC)
+        & (ell < _GQ_MAX_ELLIPSIS_FRAC)
+        & (alpha > _GQ_MIN_ALPHA_FRAC)
+        & (F.col("n_req") >= 2)
+    )
+    return (
+        m.filter((F.col("n_words") > 0) & (F.col("n_lines") > 0))
+        .select(
+            "doc_id",
+            "n_words",
+            F.round(mwl, 6).alias("mean_word_len"),
+            F.round(sym, 6).alias("symbol_ratio"),
+            F.round(alpha, 6).alias("alpha_frac"),
+            F.round(bullet, 6).alias("bullet_frac"),
+            F.round(ell, 6).alias("ellipsis_frac"),
+            "n_req",
+            keep.cast("int").alias("keep"),
+        )
+    )
+
+
+#: PII patterns — RE2-safe (no lookarounds) so the identical pattern runs
+#: under Java regex (Spark) and RE2 (DuckDB).
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_PHONE = r"\b\d{3}[-.]\d{3}[-.]\d{4}\b"
+_PII_IP = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+
+@register(
+    "q100_pii_redaction",
+    oracle=f"""
+    WITH base AS (SELECT doc_id, coalesce(text, '') AS t FROM documents),
+    counted AS (
+      SELECT doc_id,
+             cast(len(regexp_extract_all(t, '{_PII_EMAIL}')) as bigint) AS n_emails,
+             cast(len(regexp_extract_all(t, '{_PII_PHONE}')) as bigint) AS n_phones,
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(t, '{_PII_EMAIL}', '<EMAIL>', 'g'),
+                 '{_PII_PHONE}', '<PHONE>', 'g'),
+               '{_PII_IP}', '<IP>', 'g') AS redacted
+      FROM base
+    )
+    SELECT doc_id, n_emails, n_phones,
+           cast(length(redacted) as bigint) AS n_chars_redacted,
+           md5(redacted) AS redacted_md5
+    FROM counted
+    """,
+)
+def q100_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing — the compliance pass every training-data pipeline
+    runs before anything else: redact emails, phone numbers, and IPv4
+    addresses with typed placeholders, and report per-document match
+    counts. Patterns are lookaround-free so the SAME regex runs under
+    Java (Spark) and RE2 (DuckDB); the redacted text is emitted as an
+    md5 so the full transform — not just the counts — is hash-checked
+    cross-engine without shipping wide strings through the comparator.
+    Redaction order (email → phone → IP) is part of the contract:
+    placeholders never partially re-match a later pattern.
+
+    Scale: single scan, zero shuffles, all codegen'd string expressions;
+    the fixture corpus contains no planted PII (counts are honest zeros
+    here) — ``tests/test_semantics.py`` pins the redaction behavior on
+    synthetic positives."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.coalesce(F.col("text"), F.lit(""))
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(t, _PII_EMAIL, "<EMAIL>"), _PII_PHONE, "<PHONE>"
+        ),
+        _PII_IP,
+        "<IP>",
+    )
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(t, F.lit(_PII_EMAIL), F.lit(0)))
+        .cast("long")
+        .alias("n_emails"),
+        F.size(F.regexp_extract_all(t, F.lit(_PII_PHONE), F.lit(0)))
+        .cast("long")
+        .alias("n_phones"),
+        F.length(redacted).cast("long").alias("n_chars_redacted"),
+        F.md5(redacted).alias("redacted_md5"),
+    )
+
+
+@register(
+    "q101_shared_passages",
+    oracle=DD.shared_passage_pairs_sql(min_shared=2),
+)
+def q101_shared_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Verbatim shared-passage pairs (8-token windows appearing in both
+    documents, ≥2 shared) — the exact-substring dedup signal of Lee et
+    al. 2021, complementing the SET-similarity family (q25-q27): two
+    documents that each paste the same long quote are caught here even
+    when their overall token sets diverge below every Jaccard threshold.
+    Inverted-index shape, postings capped at ``PASSAGE_MAX_DF`` — see
+    ``operators.dedup.shared_passage_pairs``."""
+    return DD.shared_passage_pairs(
+        load_table(spark, sf_dir, "documents"), min_shared=2
+    )
+
+
 # --------------------------------------------------------------------------
 # Driver-window rotation
 # --------------------------------------------------------------------------

@@ -449,3 +449,104 @@ def test_unpivot_conserves_rows_and_values(spark):
     assert long.count() == 6  # 3 rows x 2 measures, null kept as a row
     sums = {r["m"]: r["s"] for r in long.groupBy("m").agg(F.sum("v").alias("s")).collect()}
     assert sums == {"a": 6.0, "b": 40.0}
+
+
+def test_pii_redaction_on_planted_positives(spark):
+    """q100's fixture corpus contains no PII (counts are honest zeros),
+    so the redaction semantics are pinned here on planted positives:
+    every email/phone/IP is replaced by its typed placeholder, counts
+    match, and clean text passes through byte-identical."""
+    from bigdatamining_graduate_spark.plans import queries as Q
+
+    rows = [
+        (1, "contact Jane.Doe+spam@example.co.uk or call 555-123-4567 now"),
+        (2, "server at 10.0.255.3 responded; mail root@host.org"),
+        (3, "no pii here, just 1234 and a.b notation."),
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    t = F.coalesce(F.col("text"), F.lit(""))
+    red = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(t, Q._PII_EMAIL, "<EMAIL>"), Q._PII_PHONE, "<PHONE>"
+        ),
+        Q._PII_IP,
+        "<IP>",
+    )
+    out = {r["doc_id"]: r["red"] for r in df.select("doc_id", red.alias("red")).collect()}
+    assert out[1] == "contact <EMAIL> or call <PHONE> now"
+    assert out[2] == "server at <IP> responded; mail <EMAIL>"
+    assert out[3] == "no pii here, just 1234 and a.b notation."
+    assert out[4] == ""
+
+
+def test_gopher_rules_fire_on_crafted_docs(spark):
+    """q99 rule semantics on crafted documents: a clean prose doc passes,
+    and each violation (too short, bullet-dominated, ellipsis-heavy,
+    symbol-heavy) flips keep to 0 for its own reason."""
+    from bigdatamining_graduate_spark.plans import queries as Q
+
+    prose = (
+        "the quick brown fox jumps over that lazy dog and it runs off "
+        "with the bone to a den of foxes that have all kinds of loot "
+    ) * 3  # ~66 words, stopword-rich, no symbols
+    bullets = "\n".join(f"- item {i} of the list that we have" for i in range(10))
+    ellipsis = "\n".join(f"the line {i} of that text trails off..." for i in range(10))
+    symbols = "the " + "# " * 60 + "of that and have with be to"
+    rows = [
+        (1, prose),
+        (2, "too short to keep"),
+        (3, bullets),
+        (4, ellipsis),
+        (5, symbols),
+    ]
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            [(i, t, "en", "unit", len(t)) for i, t in rows],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        ).write.parquet(f"{d}/documents.parquet")
+        got = {
+            r["doc_id"]: r
+            for r in Q.QUERIES["q99_gopher_quality_rules"](spark, d).collect()
+        }
+    assert got[1]["keep"] == 1, got[1]
+    assert got[2]["keep"] == 0 and got[2]["n_words"] < 50
+    assert got[3]["keep"] == 0 and got[3]["bullet_frac"] >= 0.9
+    assert got[4]["keep"] == 0 and got[4]["ellipsis_frac"] >= 0.3
+    assert got[5]["keep"] == 0 and got[5]["symbol_ratio"] >= 0.1
+
+
+def test_shared_passages_catch_what_jaccard_misses(spark):
+    """q101 semantics: two long documents sharing ONE verbatim 10-token
+    quote are far below any Jaccard threshold (token sets mostly
+    disjoint) yet must be flagged as a shared-passage pair; unrelated
+    docs must not pair; and a passage pasted into MORE than
+    PASSAGE_MAX_DF docs is boilerplate and emits no pairs."""
+    from bigdatamining_graduate_spark.operators import dedup as DD
+
+    quote = "to be or not to be that is the question"  # 10 tokens
+    filler_a = " ".join(f"alpha{i}" for i in range(60))
+    filler_b = " ".join(f"beta{i}" for i in range(60))
+    rows = [
+        (1, f"{filler_a} {quote}"),
+        (2, f"{quote} {filler_b}"),
+        (3, " ".join(f"gamma{i}" for i in range(40))),
+    ]
+    # boilerplate passage pasted into many docs: over the df cap, no pairs
+    boiler = "all rights reserved contact the site admin for details now"
+    rows += [(100 + i, f"{boiler} delta{i}") for i in range(DD.PASSAGE_MAX_DF + 5)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in DD.shared_passage_pairs(docs, min_shared=1).collect()
+    }
+    assert (1, 2) in pairs
+    assert all(3 not in p for p in pairs)
+    assert not any(a >= 100 and b >= 100 for a, b in pairs)
+
+    # the same two docs are invisible to set similarity at dedup thresholds
+    jac = DD.ngram_jaccard_pairs(docs.filter(F.col("doc_id") < 100), 0.5)
+    assert jac.count() == 0
