@@ -1,0 +1,91 @@
+#!/usr/bin/env python
+"""Regenerate the engine-BENCH table in BASELINE.md from a bench JSON.
+
+Hand-editing the recorded table row-by-row invites transcription drift;
+this rewrites the whole block between the table header and the
+``**headline_queries_total**`` row from ``bench.py`` output, keeping the
+per-query plan notes (which are facts about the plan, not the run) in
+one place here.
+
+Usage: python bench.py | tail -1 > /tmp/bench.json
+       python tools/refresh_baseline.py /tmp/bench.json [--date YYYY-MM-DD]
+"""
+
+from __future__ import annotations
+
+import argparse
+import datetime
+import json
+import re
+
+NOTES = {
+    "q01_pricing_summary": "pushed shipdate filter, 1 shuffle",
+    "q03_minmax_normalize": "broadcast bounds, no window",
+    "q06_revenue_by_nation": "3x broadcast-hash star join",
+    "q14_top5_words_per_lang": "pre-agg before window rank",
+    "q15_best_order_per_customer": "row_number top-1",
+    "q17_hourly_event_stats": "one-pass rollup (vs 48 joins in ref)",
+    "q20_wordcount_top100": "TakeOrderedAndProject(100)",
+    "q25_ngram_jaccard_pairs": "postings + chained posexplode pair emission",
+    "q26_minhash_lsh_pairs": "1 md5/gram + affine mixing",
+    "q29_knn_bruteforce": "queries x corpus, zip_with dot",
+    "q31_tfidf_top_terms": "broadcast corpus-size agg",
+    "q36_stream_hourly_counts": "availableNow drain, memory sink",
+    "q44_last_signup_asof": "as-of via running conditional max",
+    "q47_stream_session_windows": "streaming session windows",
+    "q62_clicks_before_error": "binned range join (equi-join on time-bin)",
+    "q63_curated_corpus": "quality -> exact dedup -> LSH near-dup removal",
+    "q71_neardup_components": "fused-init min-label CC over pair graph",
+    "q74_ann_recall": "single-pass recall vs exact ground truth",
+    "q78_shard_packing": "two-pass prefix sum, checkpointed base",
+    "q80_benchmark_decontaminate": "broadcast benchmark gram set",
+    "q86_boilerplate_lines": "line-fp df count + broadcast flag-back",
+    "q87_zorder_layout": "shared-arithmetic Morton interleave",
+    "q88_pmi_collocations": "broadcast df tables onto pair stream",
+    "q89_frequent_itemsets": "FPGrowth, bounded item vocabulary",
+    "q94_shipping_priority": "all-pushed filters, TakeOrderedAndProject",
+    "q95_large_volume_customers": "HAVING semi filter; hinted SMJ on orders",
+    "q99_gopher_quality_rules": "zero-shuffle rule battery, 2-col scan",
+    "q101_shared_passages": "capped inverted index, 8-token windows",
+}
+
+TABLE_HEAD = "| Query | sf | sec (warm) | sec (cold) | Notes | Run date |"
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("bench_json")
+    ap.add_argument("--date", default=str(datetime.date.today()))
+    ap.add_argument("--baseline", default="BASELINE.md")
+    args = ap.parse_args()
+
+    with open(args.bench_json) as f:
+        bench = json.loads(f.read().strip().splitlines()[-1])
+    sf = bench["sf"]
+    rows = [TABLE_HEAD, "|---|---|---|---|---|---|"]
+    for q, warm in bench["queries"].items():
+        cold = bench["queries_cold"].get(q, "")
+        note = NOTES.get(q, "")
+        rows.append(f"| {q} | {sf} | {warm:.2f} | {cold:.2f} | {note} | {args.date} |")
+    rows.append(
+        f"| **headline_queries_total** | {sf} | **{bench['value']:.2f}** "
+        f"| **{bench['cold_total']:.2f}** ({len(bench['queries'])} queries) "
+        f"| warm = median of 3 | {args.date} |"
+    )
+    table = "\n".join(rows)
+
+    with open(args.baseline) as f:
+        text = f.read()
+    pattern = re.compile(
+        re.escape(TABLE_HEAD) + r".*?\*\*headline_queries_total\*\*[^\n]*\n",
+        re.S,
+    )
+    if not pattern.search(text):
+        raise SystemExit("BENCH table block not found in BASELINE.md")
+    with open(args.baseline, "w") as f:
+        f.write(pattern.sub(table + "\n", text, count=1))
+    print(f"refreshed {args.baseline}: {len(bench['queries'])} rows, sf={sf}")
+
+
+if __name__ == "__main__":
+    main()
