@@ -3419,6 +3419,59 @@ def q100_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q102_canonical_docs",
+    oracle=f"""
+    WITH comp AS ({DD.neardup_components_sql(DD.ngram_jaccard_pairs_sql(0.8))}),
+    scored AS (
+      SELECT c.doc_id, c.component, c.csize,
+             cast(len({TX.tokenize_sql('d.text')}) as bigint) AS n_tokens
+      FROM comp c JOIN documents d ON d.doc_id = c.doc_id
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY component ORDER BY n_tokens DESC, doc_id ASC
+      ) AS rn FROM scored
+    )
+    SELECT doc_id, component, csize, n_tokens,
+           cast(rn = 1 as int) AS keep
+    FROM ranked
+    """,
+)
+def q102_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-document selection — the KEEP policy that finishes a
+    dedup pipeline: after clustering near-dups (q71's connected
+    components over q25's 0.8-Jaccard pairs), each cluster keeps its
+    LONGEST member (most tokens; min doc_id breaks ties), the standard
+    curation heuristic — near-dup clusters usually contain truncated or
+    clipped variants of one underlying document, and token count picks
+    the most complete one deterministically in both engines. Every doc
+    is emitted with its verdict so the drop set is auditable.
+
+    Scale: the CC loop is q71's audited shape (edges materialized once,
+    constant-size rounds, scalar convergence); the scoring join shuffles
+    on doc_id once and the per-component ranking window partitions by
+    component — cluster sizes are bounded by construction (the pair
+    graph's df caps), so no window partition is ever large."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = DD.ngram_jaccard_pairs(docs, 0.8)
+    comp = DD.neardup_components(docs, pairs)
+    scored = comp.join(
+        docs.select("doc_id", F.size(TX.tokenize("text")).cast("long").alias("n_tokens")),
+        "doc_id",
+    )
+    w = Window.partitionBy("component").orderBy(
+        F.desc("n_tokens"), F.asc("doc_id")
+    )
+    return scored.select(
+        "doc_id",
+        "component",
+        "csize",
+        "n_tokens",
+        (F.row_number().over(w) == 1).cast("int").alias("keep"),
+    )
+
+
+@register(
     "q101_shared_passages",
     oracle=DD.shared_passage_pairs_sql(min_shared=2),
 )
@@ -3432,6 +3485,64 @@ def q101_shared_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``operators.dedup.shared_passage_pairs``."""
     return DD.shared_passage_pairs(
         load_table(spark, sf_dir, "documents"), min_shared=2
+    )
+
+
+@register(
+    "q103_unigram_logprob",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({TX.tokenize_sql('text')}) AS token FROM documents
+    ),
+    lm AS (
+      SELECT token, count(*) AS tf FROM tok GROUP BY 1
+    ),
+    n AS (SELECT sum(tf) AS total FROM lm),
+    scored AS (
+      SELECT t.doc_id, ln(l.tf / n.total) AS lp
+      FROM tok t JOIN lm l ON l.token = t.token CROSS JOIN n
+    )
+    SELECT doc_id,
+           cast(count(*) as bigint) AS n_tokens,
+           round(avg(lp), 6) AS avg_logprob,
+           round(min(lp), 6) AS min_logprob
+    FROM scored GROUP BY doc_id
+    """,
+)
+def q103_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM quality scoring — the perplexity-proxy filter (CCNet /
+    Wenzek et al. 2020 score documents with a language model and drop the
+    worst tail; the distributed skeleton is identical whatever the LM).
+    Pass 1 builds the corpus unigram LM (token → ln p(token)); pass 2
+    scores every document by its mean and worst token log-probability —
+    low ``avg_logprob`` marks gibberish/rare-token documents, very low
+    ``min_logprob`` marks single out-of-vocabulary junk tokens.
+
+    Scale: the LM is a vocabulary-bounded aggregation (the same shuffle
+    class as wordcount), and scoring re-joins it onto the token stream
+    BY TOKEN — a broadcast join at any realistic vocabulary — then one
+    per-doc aggregate. Two data-sized shuffles end-to-end (LM build,
+    per-doc agg); the corpus-total and LM-broadcast exchanges are 1-row /
+    vocabulary-sized.
+    At 100 TB the LM table is a few hundred MB (natural-language
+    vocabulary growth is sublinear) and stays broadcastable; if it ever
+    isn't, the token join key is uniformly distributed, the benign
+    shuffle case. ln() of an exact integer ratio is IEEE-deterministic,
+    so the doubles hash-match across engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(TX.tokenize("text")).alias("token"))
+    lm = tok.groupBy("token").agg(F.count("*").alias("tf"))
+    total = lm.agg(F.sum("tf").alias("total"))
+    lp = F.log(F.col("tf") / F.col("total"))
+    scored = tok.join(F.broadcast(lm), "token").crossJoin(F.broadcast(total))
+    return (
+        scored.select("doc_id", lp.alias("lp"))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.round(F.avg("lp"), 6).alias("avg_logprob"),
+            F.round(F.min("lp"), 6).alias("min_logprob"),
+        )
     )
 
 

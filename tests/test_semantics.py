@@ -550,3 +550,66 @@ def test_shared_passages_catch_what_jaccard_misses(spark):
     # the same two docs are invisible to set similarity at dedup thresholds
     jac = DD.ngram_jaccard_pairs(docs.filter(F.col("doc_id") < 100), 0.5)
     assert jac.count() == 0
+
+
+def test_canonical_selection_keeps_longest_then_min_id(spark):
+    """q102 keep policy: exactly one keep per component; the longest
+    member wins; a tie falls to the smaller doc_id; singletons keep
+    themselves."""
+    import tempfile
+
+    from bigdatamining_graduate_spark.plans import queries as Q
+
+    base = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    rows = [
+        (1, base),                       # cluster {1,2,3}: 3 is longest
+        (2, base + " kilo"),
+        (3, base + " kilo lima mike"),
+        (10, "unrelated words entirely distinct vocabulary here okay"),
+        (20, "zulu yankee xray whiskey victor uniform tango sierra"),  # singleton
+        (21, "zulu yankee xray whiskey victor uniform tango sierra"),  # tie: same text
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            [(i, t, "en", "unit", len(t)) for i, t in rows],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        ).write.parquet(f"{d}/documents.parquet")
+        got = {r["doc_id"]: r for r in Q.QUERIES["q102_canonical_docs"](spark, d).collect()}
+
+    by_comp = {}
+    for r in got.values():
+        by_comp.setdefault(r["component"], []).append(r)
+    for comp, members in by_comp.items():
+        assert sum(m["keep"] for m in members) == 1, (comp, members)
+    cluster = [got[i] for i in (1, 2, 3)]
+    assert len({m["component"] for m in cluster}) == 1
+    assert got[3]["keep"] == 1 and got[1]["keep"] == 0 and got[2]["keep"] == 0
+    assert got[10]["keep"] == 1 and got[10]["csize"] == 1
+    # exact duplicates tie on n_tokens -> min doc_id wins
+    assert got[20]["keep"] == 1 and got[21]["keep"] == 0
+
+
+def test_unigram_logprob_hand_computed(spark):
+    """q103 on a 2-doc corpus small enough to compute by hand: doc 1 =
+    'a a b', doc 2 = 'b c'. LM: p(a)=2/5, p(b)=2/5, p(c)=1/5."""
+    import math
+    import tempfile
+
+    from bigdatamining_graduate_spark.plans import queries as Q
+
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            [(1, "a a b", "en", "unit", 5), (2, "b c", "en", "unit", 3)],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        ).write.parquet(f"{d}/documents.parquet")
+        got = {r["doc_id"]: r for r in Q.QUERIES["q103_unigram_logprob"](spark, d).collect()}
+
+    lp_a = math.log(2 / 5)
+    lp_b = math.log(2 / 5)
+    lp_c = math.log(1 / 5)
+    assert got[1]["n_tokens"] == 3
+    assert abs(got[1]["avg_logprob"] - round((2 * lp_a + lp_b) / 3, 6)) < 2e-6
+    assert abs(got[1]["min_logprob"] - round(lp_a, 6)) < 2e-6
+    assert got[2]["n_tokens"] == 2
+    assert abs(got[2]["avg_logprob"] - round((lp_b + lp_c) / 2, 6)) < 2e-6
+    assert abs(got[2]["min_logprob"] - round(lp_c, 6)) < 2e-6
