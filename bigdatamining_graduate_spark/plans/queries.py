@@ -3546,6 +3546,21 @@ def q103_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q104_stream_incremental_dedup",
+    oracle=ST.stream_incremental_dedup_sql(),
+)
+def q104_stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming incremental dedup: new documents arrive as a stream,
+    anti-join the static historical fingerprint corpus per micro-batch,
+    dedup within the stream, count new-unique docs per language — the
+    crawl-ingestion twin of q77's batch operator. availableNow drain
+    makes stream = batch, so this holds a full DuckDB oracle. See
+    ``streaming.jobs.stream_incremental_dedup`` for the state-bounding
+    story."""
+    return ST.stream_incremental_dedup(spark, sf_dir)
+
+
 # --------------------------------------------------------------------------
 # Driver-window rotation
 # --------------------------------------------------------------------------

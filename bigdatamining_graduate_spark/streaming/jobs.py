@@ -403,3 +403,57 @@ FROM events c JOIN events e
  AND e.ts < c.ts + INTERVAL {SS_JOIN_WINDOW_MIN} MINUTE
 WHERE c.event_type = 'click' AND e.event_type = 'error'
 """
+
+
+def stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming incremental dedup — the crawl-ingestion shape: NEW
+    documents arrive as a stream, are fingerprinted, anti-joined against
+    the STATIC historical corpus fingerprints (q77's batch operator, now
+    per micro-batch), deduped within the stream itself, and counted per
+    language. History = even doc_ids, stream = odd doc_ids (the
+    deterministic, sf-independent split).
+
+    Scale: the static fingerprint side is loaded once and joined into
+    every micro-batch (broadcast while it fits; at 100 TB it becomes a
+    bucketed table and the anti-join co-locates on the fingerprint).
+    The STREAM's dedup state holds only fingerprints seen in this run —
+    bounded by ingest volume, not corpus size — which is exactly why
+    incremental dedup scales where re-running global dedup doesn't."""
+    from ..functions.text import normalize_text
+
+    ensure_runtime_confs(spark)
+    stored = spark.read.parquet(table_path(sf_dir, "documents")).schema
+    raw = (
+        spark.readStream.schema(stored)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir.rstrip("/"))
+    )
+    fp = F.md5(normalize_text("text")).alias("fp")
+    new = raw.filter(F.col("doc_id") % 2 == 1).select(fp, "lang")
+    hist = (
+        spark.read.parquet(table_path(sf_dir, "documents"))
+        .filter(F.col("doc_id") % 2 == 0)
+        .select(F.md5(normalize_text("text")).alias("fp"))
+        .distinct()
+    )
+    kept = new.join(hist, "fp", "left_anti").dropDuplicates(["fp", "lang"])
+    agg = kept.groupBy("lang").agg(F.count("*").alias("n_new"))
+    return _run_to_memory(agg)
+
+
+def stream_incremental_dedup_sql() -> str:
+    from ..functions.text import normalize_text_sql
+
+    norm = normalize_text_sql("text")
+    return f"""
+    WITH hist AS (
+      SELECT DISTINCT md5({norm}) AS fp FROM documents WHERE doc_id % 2 = 0
+    ),
+    new AS (
+      SELECT DISTINCT md5({norm}) AS fp, lang FROM documents WHERE doc_id % 2 = 1
+    )
+    SELECT lang, count(*) AS n_new
+    FROM new n
+    WHERE NOT EXISTS (SELECT 1 FROM hist h WHERE h.fp = n.fp)
+    GROUP BY lang
+    """

@@ -32,3 +32,26 @@ def test_entry_smoke(spark):
     df = e.entry(spark)
     assert df.count() > 0
     assert set(e.oracle_sql()) <= set(e.queries())
+
+
+def test_driver_window_prioritizes_unverified_queries():
+    """The driver's correctness gate samples the FIRST 50 registry
+    entries; rounds 1-2 verified q01-q50, so the rotation must keep
+    every not-yet-driver-verified query ahead of all verified ones —
+    otherwise a round burns its oracle window re-checking known-good
+    queries."""
+    from bigdatamining_graduate_spark.plans.queries import (
+        _DRIVER_VERIFIED,
+        ORACLE,
+        QUERIES,
+    )
+
+    names = list(QUERIES)
+    verified_flags = [n.split("_", 1)[0] in _DRIVER_VERIFIED for n in names]
+    first_verified = verified_flags.index(True)
+    assert all(verified_flags[first_verified:]), (
+        "verified queries must form a contiguous tail"
+    )
+    assert not any(verified_flags[:first_verified])
+    # every name still has its callable, and oracles only for registered names
+    assert set(ORACLE) <= set(QUERIES)
