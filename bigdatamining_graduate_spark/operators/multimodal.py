@@ -218,3 +218,118 @@ def sample_frames_sql(table: str = "documents") -> str:
     FROM d, unnest(generate_series(0, cast((n-1)//{fc} as bigint))) AS u(i)
     WHERE u.i % {st} = 0
     """
+
+
+# -- binary chunk-level dedup (blob-storage CDC shape) ----------------------
+
+CHUNK_BYTES = 64       # fixed-size chunk width
+CHUNK_MAX_DF = 50      # boilerplate chunks emit O(df^2) pairs, no signal
+
+
+def payload_chunk_pairs(
+    with_payload: DataFrame, chunk_bytes: int = CHUNK_BYTES, min_shared: int = 2
+) -> DataFrame:
+    """Binary-payload pairs sharing content CHUNKS — dedup for the BINARY
+    modality: payloads are cut into fixed-size chunks, each chunk md5'd,
+    and payloads sharing ≥ ``min_shared`` distinct chunk fingerprints
+    become candidate duplicate pairs scored by containment
+    (shared / smaller side's chunk count). This is the fixed-width
+    approximation of content-defined chunking every blob dedup store
+    uses; swapping in a rolling-hash boundary chooser changes only the
+    chunking expression, not the join shape.
+
+    All chunking/hashing is built-in expressions on the ``binary``
+    column (JVM-side, no decode); pair generation is the same capped
+    inverted index as the text dedup family — one aggregation per chunk
+    fingerprint, postings bounded by ``CHUNK_MAX_DF``, never a
+    payload⋈payload self-join."""
+    n_chunks = F.floor((F.length("payload") + chunk_bytes - 1) / chunk_bytes).cast(
+        "int"
+    )
+    idx = F.sequence(F.lit(0), n_chunks - 1)
+    chunks = (
+        with_payload.filter(F.length("payload") > 0)
+        .select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(
+                    F.transform(
+                        idx,
+                        lambda i: F.md5(
+                            F.substring(
+                                F.col("payload"), i * chunk_bytes + 1, chunk_bytes
+                            )
+                        ),
+                    )
+                )
+            ).alias("ch"),
+        )
+    )
+    postings = (
+        chunks.groupBy("ch")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("docs"))
+        .filter((F.size("docs") >= 2) & (F.size("docs") <= CHUNK_MAX_DF))
+    )
+    sizes = chunks.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    pe = postings.select(F.posexplode("docs").alias("i", "doc_a"), F.col("docs"))
+    common = (
+        pe.select(
+            "doc_a",
+            F.explode(F.slice("docs", F.col("i") + 2, F.size("docs"))).alias("doc_b"),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
+    return (
+        common.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_shared",
+            F.round(
+                F.col("n_shared") / F.least(F.col("sz_a"), F.col("sz_b")), 6
+            ).alias("containment"),
+        )
+    )
+
+
+def payload_chunk_pairs_sql(
+    chunk_bytes: int = CHUNK_BYTES, min_shared: int = 2
+) -> str:
+    """DuckDB twin of :func:`payload_chunk_pairs`. The payload is the
+    UTF-8 encoding of ``text`` (see :func:`with_binary_payload`) and the
+    fixture text is pure ASCII, so chunking the VARCHAR by character is
+    byte-identical to chunking the BLOB — the same equivalence q39's
+    oracle uses."""
+    cb = chunk_bytes
+    return f"""
+    WITH chunks AS (
+      SELECT DISTINCT doc_id,
+             md5(substring(text, (i - 1) * {cb} + 1, {cb})) AS ch
+      FROM documents,
+           unnest(generate_series(1,
+             cast((length(text) + {cb} - 1) // {cb} as int))) t(i)
+      WHERE length(text) > 0
+    ),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM chunks GROUP BY doc_id),
+    capped AS (
+      SELECT doc_id, ch FROM (
+        SELECT doc_id, ch, count(*) OVER (PARTITION BY ch) AS df FROM chunks)
+      WHERE df BETWEEN 2 AND {CHUNK_MAX_DF}
+    ),
+    common AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+      FROM capped a JOIN capped b ON a.ch = b.ch AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+      HAVING count(*) >= {min_shared}
+    )
+    SELECT doc_a, doc_b, n_shared,
+           round(n_shared * 1.0 / least(sa.sz, sb.sz), 6) AS containment
+    FROM common
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    """

@@ -3561,6 +3561,22 @@ def q104_stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame
     return ST.stream_incremental_dedup(spark, sf_dir)
 
 
+@register(
+    "q105_payload_chunk_dedup",
+    oracle=MM.payload_chunk_pairs_sql(),
+)
+def q105_payload_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-modality dedup: payload pairs sharing ≥2 distinct 64-byte
+    content chunks, scored by containment — the blob-storage CDC shape
+    applied to the multimodal payload column (image/audio/video bytes
+    dedup by chunk fingerprint without any decode). Chunking and md5 are
+    built-in expressions on the ``binary`` column; pair generation is
+    the capped inverted index of the text-dedup family. See
+    ``operators/multimodal.payload_chunk_pairs``."""
+    docs = load_table(spark, sf_dir, "documents")
+    return MM.payload_chunk_pairs(MM.with_binary_payload(docs))
+
+
 # --------------------------------------------------------------------------
 # Driver-window rotation
 # --------------------------------------------------------------------------

@@ -613,3 +613,35 @@ def test_unigram_logprob_hand_computed(spark):
     assert got[2]["n_tokens"] == 2
     assert abs(got[2]["avg_logprob"] - round((lp_b + lp_c) / 2, 6)) < 2e-6
     assert abs(got[2]["min_logprob"] - round(lp_c, 6)) < 2e-6
+
+
+def test_payload_chunk_dedup_on_crafted_payloads(spark):
+    """q105 semantics: payloads sharing two aligned 64-byte chunks pair
+    with the right containment; payloads sharing only a misaligned copy
+    of the same bytes do NOT (fixed-width chunking is alignment-
+    sensitive — the documented CDC trade-off); unrelated payloads never
+    pair."""
+    from bigdatamining_graduate_spark.operators import multimodal as MM
+
+    # 128 bytes = exactly 2 DISTINCT chunks (a periodic string would make
+    # both 64-byte chunks hash identically and halve the distinct count)
+    shared = "a" * 64 + "b" * 64
+    rows = [
+        (1, shared + "X" * 40),
+        (2, shared + "Y" * 80),
+        (3, "Z" + shared),              # same bytes, shifted by 1
+        (4, "q" * 200),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r
+        for r in MM.payload_chunk_pairs(
+            MM.with_binary_payload(docs), min_shared=2
+        ).collect()
+    }
+    assert (1, 2) in pairs
+    r = pairs[(1, 2)]
+    # doc 1 has 3 distinct chunks (2 shared + tail), doc 2 has 4
+    assert r["n_shared"] == 2
+    assert abs(r["containment"] - round(2 / 3, 6)) < 1e-9
+    assert all(3 not in p and 4 not in p for p in pairs)
