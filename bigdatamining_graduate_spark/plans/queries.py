@@ -3577,6 +3577,92 @@ def q105_payload_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return MM.payload_chunk_pairs(MM.with_binary_payload(docs))
 
 
+#: BM25 retrieval constants (Robertson/Sparck Jones; Lucene's idf variant)
+_BM25_TERMS = ("spark", "table", "query")
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+_BM25_TOP = 20
+_BM25_TERMS_SQL = "(" + ", ".join(f"'{t}'" for t in _BM25_TERMS) + ")"
+
+
+@register(
+    "q106_bm25_search",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({TX.tokenize_sql('text')}) AS token FROM documents
+    ),
+    dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
+    stats AS (SELECT avg(dl) AS avgdl, count(*) AS n_docs FROM dl),
+    tf AS (
+      SELECT doc_id, token, count(*) AS tf FROM tok
+      WHERE token IN {_BM25_TERMS_SQL} GROUP BY 1, 2
+    ),
+    df AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+    scored AS (
+      SELECT t.doc_id,
+             ln((s.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0)
+               * t.tf * ({_BM25_K1} + 1.0)
+               / (t.tf + {_BM25_K1} * (1.0 - {_BM25_B}
+                   + {_BM25_B} * l.dl / s.avgdl)) AS part
+      FROM tf t
+      JOIN df d ON d.token = t.token
+      JOIN dl l ON l.doc_id = t.doc_id
+      CROSS JOIN stats s
+    )
+    SELECT doc_id, round(sum(part), 6) AS bm25
+    FROM scored GROUP BY doc_id
+    ORDER BY bm25 DESC, doc_id ASC LIMIT {_BM25_TOP}
+    """,
+)
+def q106_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 keyword retrieval (top-20 docs for a fixed multi-term
+    query) — the lexical search operator a training-data platform needs
+    for corpus exploration and RAG-style retrieval, complementing the
+    vector side (q29/q30/q55). Standard Robertson BM25 with Lucene's
+    idf = ln((N-df+0.5)/(df+0.5)+1), k1=1.2, b=0.75; ln of exact integer
+    ratios keeps the doubles cross-engine hash-stable; the limit carries
+    a doc_id tiebreak (total order).
+
+    Scale: document length and avgdl come from one token aggregation;
+    the QUERY-TERM postings are filtered BEFORE any shuffle (token IN
+    (...) prunes the exploded stream to a sliver), so the per-term tf
+    table is tiny and every downstream join is broadcast-sized except
+    the dl lookup, which joins on doc_id once. At 100 TB: dl is a
+    per-doc stat you materialize once per corpus snapshot, and per-query
+    work is proportional to the query terms' posting lists — the
+    inverted-index property, obtained here from a plain filter pushed to
+    the scan."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(TX.tokenize("text")).alias("token"))
+    dl = tok.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    stats = dl.agg(
+        F.avg("dl").alias("avgdl"), F.count("*").alias("n_docs")
+    )
+    tf = (
+        tok.filter(F.col("token").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").alias("tf"))
+    )
+    df_ = tf.groupBy("token").agg(F.count("*").alias("df"))
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    part = idf * F.col("tf") * (_BM25_K1 + 1.0) / (
+        F.col("tf")
+        + _BM25_K1 * (1.0 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl"))
+    )
+    return (
+        tf.join(F.broadcast(df_), "token")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", part.alias("part"))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("part"), 6).alias("bm25"))
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(_BM25_TOP)
+    )
+
+
 # --------------------------------------------------------------------------
 # Driver-window rotation
 # --------------------------------------------------------------------------

@@ -23,6 +23,7 @@ ALLOWED = {
     "q98_funnel_conversion",     # 1-row stage-count crossJoins (3 x 1-row)
     "q55_ivf_knn",               # n_cells-row broadcast centroid probe table
     "q103_unigram_logprob",      # 1-row corpus-total broadcast (q31 pattern)
+    "q106_bm25_search",          # 1-row avgdl/N-docs broadcast (q31 pattern)
 }
 
 

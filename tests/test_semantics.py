@@ -645,3 +645,38 @@ def test_payload_chunk_dedup_on_crafted_payloads(spark):
     assert r["n_shared"] == 2
     assert abs(r["containment"] - round(2 / 3, 6)) < 1e-9
     assert all(3 not in p and 4 not in p for p in pairs)
+
+
+def test_bm25_hand_computed(spark):
+    """q106 on a corpus small enough to score by hand: three docs, query
+    terms ('spark', 'table', 'query'); verify the exact BM25 value of
+    the top doc and the ranking order."""
+    import math
+    import tempfile
+
+    from bigdatamining_graduate_spark.plans import queries as Q
+
+    rows = [
+        (1, "spark spark table alpha beta"),        # dl=5
+        (2, "table gamma delta epsilon"),           # dl=4
+        (3, "zeta eta theta iota kappa lambda"),    # dl=6
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            [(i, t, "en", "unit", len(t)) for i, t in rows],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        ).write.parquet(f"{d}/documents.parquet")
+        got = Q.QUERIES["q106_bm25_search"](spark, d).collect()
+
+    k1, b = Q._BM25_K1, Q._BM25_B
+    n, avgdl = 3, 5.0
+    def idf(df):
+        return math.log((n - df + 0.5) / (df + 0.5) + 1.0)
+    def part(tf, dl, df):
+        return idf(df) * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl))
+    # doc1: spark(tf=2, df=1) + table(tf=1, df=2); doc2: table(tf=1, df=2)
+    exp1 = part(2, 5, 1) + part(1, 5, 2)
+    exp2 = part(1, 4, 2)
+    assert [r["doc_id"] for r in got] == [1, 2]  # doc 3 matches nothing
+    assert abs(got[0]["bm25"] - round(exp1, 6)) < 2e-6
+    assert abs(got[1]["bm25"] - round(exp2, 6)) < 2e-6
