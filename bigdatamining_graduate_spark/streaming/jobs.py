@@ -421,13 +421,23 @@ def stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     incremental dedup scales where re-running global dedup doesn't."""
     from ..functions.text import normalize_text
 
+    import os
+
     ensure_runtime_confs(spark)
-    stored = spark.read.parquet(table_path(sf_dir, "documents")).schema
-    raw = (
-        spark.readStream.schema(stored)
-        .option("pathGlobFilter", "documents.parquet")
-        .parquet(sf_dir.rstrip("/"))
-    )
+    doc_path = table_path(sf_dir, "documents")
+    stored = spark.read.parquet(doc_path).schema
+    if os.path.isdir(doc_path):
+        # directory-parquet layout (e.g. tools/synth_scale.py output):
+        # the dir itself is the stream source
+        raw = spark.readStream.schema(stored).parquet(doc_path)
+    else:
+        # single-file fixture layout: file source needs a directory, so
+        # stream the fixture dir with a glob pinned to this one file
+        raw = (
+            spark.readStream.schema(stored)
+            .option("pathGlobFilter", "documents.parquet")
+            .parquet(sf_dir.rstrip("/"))
+        )
     fp = F.md5(normalize_text("text")).alias("fp")
     new = raw.filter(F.col("doc_id") % 2 == 1).select(fp, "lang")
     hist = (
