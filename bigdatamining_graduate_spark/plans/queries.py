@@ -3663,6 +3663,22 @@ def q106_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+from ..operators import graph as GR  # noqa: E402
+
+
+@register("q107_part_pagerank", oracle=GR.integer_pagerank_sql())
+def q107_part_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the part co-purchase graph (6 exact-integer rounds,
+    damping 0.85) — the canonical iterative graph-mining algorithm,
+    joining connected components (q71) in the engine's iterative class.
+    Rank is fixed-point integer MASS so the result is bit-identical
+    across engines and parallelism levels (float PageRank is not: per-
+    node sums are order-dependent). Oracle unrolls the same recurrence
+    as chained CTEs. See ``operators/graph.py`` for the determinism and
+    edge-bounding design."""
+    return GR.integer_pagerank(load_table(spark, sf_dir, "lineitem"))
+
+
 # --------------------------------------------------------------------------
 # Driver-window rotation
 # --------------------------------------------------------------------------

@@ -680,3 +680,31 @@ def test_bm25_hand_computed(spark):
     assert [r["doc_id"] for r in got] == [1, 2]  # doc 3 matches nothing
     assert abs(got[0]["bm25"] - round(exp1, 6)) < 2e-6
     assert abs(got[1]["bm25"] - round(exp2, 6)) < 2e-6
+
+
+def test_pagerank_star_and_triangle_structure(spark):
+    """q107 semantics on crafted graphs: a star's hub outranks its
+    spokes and equal-degree symmetric nodes (triangle, spokes) tie
+    EXACTLY (integer arithmetic — no float jitter); total mass stays
+    within (floor-loss, TOTAL_MASS]."""
+    from bigdatamining_graduate_spark.operators import graph as GR
+
+    # baskets: three orders {hub, s_i} -> star; one order {a, b, c} -> triangle
+    rows = [
+        (1, 100), (1, 201),
+        (2, 100), (2, 202),
+        (3, 100), (3, 203),
+        (4, 301), (4, 302), (4, 303),
+    ]
+    li = spark.createDataFrame(rows, "l_orderkey long, l_partkey long")
+    got = {r["node"]: r["rank_mass"] for r in GR.integer_pagerank(li).collect()}
+
+    assert len(got) == 7
+    spokes = [got[201], got[202], got[203]]
+    assert len(set(spokes)) == 1, "symmetric spokes must tie exactly"
+    assert got[100] > spokes[0], "hub must outrank spokes"
+    tri = [got[301], got[302], got[303]]
+    assert len(set(tri)) == 1, "triangle nodes must tie exactly"
+    total = sum(got.values())
+    assert total <= GR.TOTAL_MASS
+    assert total > GR.TOTAL_MASS * 0.9, "floor loss must stay small"
