@@ -85,31 +85,34 @@ def integer_pagerank_sql(n_iter: int = N_ITER, top: int | None = None) -> str:
     """DuckDB twin: the same integer recurrence unrolled as chained CTEs.
     ``base`` depends on the node count, so it is computed in SQL from the
     same edge table."""
+    # AS MATERIALIZED: DuckDB inlines plain CTEs, which would re-expand
+    # the 6M-row self-join chain once per unrolled iteration (measured:
+    # minutes at 10x facts vs ~2 s materialized)
     ctes = [
-        f"""op AS (SELECT DISTINCT l_orderkey AS k, l_partkey AS p FROM lineitem),
-    pairs AS (
+        f"""op AS MATERIALIZED (SELECT DISTINCT l_orderkey AS k, l_partkey AS p FROM lineitem),
+    pairs AS MATERIALIZED (
       SELECT DISTINCT a.p AS pa, b.p AS pb
       FROM op a JOIN op b ON a.k = b.k AND a.p < b.p
     ),
-    edges0 AS (
+    edges0 AS MATERIALIZED (
       SELECT pa AS src, pb AS dst FROM pairs
       UNION ALL SELECT pb AS src, pa AS dst FROM pairs
     ),
-    deg AS (SELECT src, count(*) AS deg FROM edges0 GROUP BY src),
-    edges AS (SELECT e.src, e.dst, d.deg FROM edges0 e JOIN deg d ON d.src = e.src),
-    meta AS (
+    deg AS MATERIALIZED (SELECT src, count(*) AS deg FROM edges0 GROUP BY src),
+    edges AS MATERIALIZED (SELECT e.src, e.dst, d.deg FROM edges0 e JOIN deg d ON d.src = e.src),
+    meta AS MATERIALIZED (
       SELECT count(*) AS n,
              ({DAMP_DEN} - {DAMP_NUM}) * {TOTAL_MASS}::BIGINT
                // ({DAMP_DEN} * count(*)) AS base,
              {TOTAL_MASS}::BIGINT // count(*) AS r0
       FROM (SELECT DISTINCT src FROM edges0)
     ),
-    pr0 AS (SELECT src AS node, (SELECT r0 FROM meta) AS r
+    pr0 AS MATERIALIZED (SELECT src AS node, (SELECT r0 FROM meta) AS r
             FROM (SELECT DISTINCT src FROM edges0))"""
     ]
     for k in range(1, n_iter + 1):
         ctes.append(
-            f"""pr{k} AS (
+            f"""pr{k} AS MATERIALIZED (
       SELECT e.dst AS node,
              cast((SELECT base FROM meta)
                + sum(({DAMP_NUM} * p.r) // ({DAMP_DEN} * e.deg)) as bigint) AS r
