@@ -81,6 +81,111 @@ def integer_pagerank(lineitem: DataFrame, n_iter: int = N_ITER) -> DataFrame:
     return ranks.select("node", F.col("r").alias("rank_mass"))
 
 
+def triangle_counts(lineitem: DataFrame) -> DataFrame:
+    """Per-node triangle counts over the co-purchase graph via
+    degree-ordered edge orientation — the standard distributed triangle
+    algorithm (Cohen's MapReduce formulation; also MR-ish in Suri &
+    Vassilvitskii "Counting Triangles and the Curse of the Last Reducer",
+    WWW'11).
+
+    Each undirected edge is oriented from the (degree, id)-smaller
+    endpoint to the larger; every triangle then has exactly ONE node with
+    two out-edges, so counting (u→v, u→w, v→w) triples counts each
+    triangle once.  The wedge self-join fans out per-node by OUT-degree,
+    which orientation bounds by O(sqrt(m)) regardless of hub size — a
+    hub of degree 10^6 contributes no wedges because all its edges point
+    IN.  That is what survives a power-law co-purchase graph at 100 TB;
+    the naive wedge join on raw degree does not.
+
+    Returns (node, deg, tri_cnt) for nodes in >=1 triangle — exact
+    integer counts, hash-stable across engines.
+    """
+    op = lineitem.select("l_orderkey", "l_partkey").distinct()
+    a = op.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pa"))
+    b = op.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pb"))
+    pairs = (
+        a.join(b, "k")
+        .filter(F.col("pa") < F.col("pb"))
+        .select("pa", "pb")
+        .distinct()
+    )
+    deg = (
+        pairs.select(F.col("pa").alias("node"))
+        .unionByName(pairs.select(F.col("pb").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("deg"))
+    )
+    da = deg.select(F.col("node").alias("pa"), F.col("deg").alias("dega"))
+    db = deg.select(F.col("node").alias("pb"), F.col("deg").alias("degb"))
+    lt = (F.col("dega") < F.col("degb")) | (
+        (F.col("dega") == F.col("degb")) & (F.col("pa") < F.col("pb"))
+    )
+    oriented = (
+        pairs.join(da, "pa")
+        .join(db, "pb")
+        .select(
+            F.when(lt, F.col("pa")).otherwise(F.col("pb")).alias("src"),
+            F.when(lt, F.col("pb")).otherwise(F.col("pa")).alias("dst"),
+            F.when(lt, F.col("degb")).otherwise(F.col("dega")).alias("dst_deg"),
+        )
+    )
+    e1 = oriented.select("src", F.col("dst").alias("v"), F.col("dst_deg").alias("v_deg"))
+    e2 = oriented.select("src", F.col("dst").alias("w"), F.col("dst_deg").alias("w_deg"))
+    # wedge (v, w) out of the same src, ordered by the SAME (deg, id)
+    # total order the orientation used, so the closing edge (v -> w) can
+    # only exist in that direction
+    wedges = e1.join(e2, "src").filter(
+        (F.col("v_deg") < F.col("w_deg"))
+        | ((F.col("v_deg") == F.col("w_deg")) & (F.col("v") < F.col("w")))
+    )
+    closing = oriented.select(F.col("src").alias("v"), F.col("dst").alias("w"))
+    tris = wedges.join(closing, ["v", "w"]).select("src", "v", "w")
+    per_node = (
+        tris.select(F.col("src").alias("node"))
+        .unionByName(tris.select(F.col("v").alias("node")))
+        .unionByName(tris.select(F.col("w").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("tri_cnt"))
+    )
+    return per_node.join(deg, "node").select("node", "deg", "tri_cnt")
+
+
+def triangle_counts_sql() -> str:
+    """DuckDB twin: same orientation, same wedge closure."""
+    return """
+    WITH op AS MATERIALIZED (SELECT DISTINCT l_orderkey AS k, l_partkey AS p FROM lineitem),
+    pairs AS MATERIALIZED (
+      SELECT DISTINCT a.p AS pa, b.p AS pb
+      FROM op a JOIN op b ON a.k = b.k AND a.p < b.p
+    ),
+    deg AS MATERIALIZED (
+      SELECT node, count(*) AS deg FROM (
+        SELECT pa AS node FROM pairs UNION ALL SELECT pb AS node FROM pairs
+      ) GROUP BY node
+    ),
+    oriented AS MATERIALIZED (
+      SELECT CASE WHEN (da.deg, pa) < (db.deg, pb) THEN pa ELSE pb END AS src,
+             CASE WHEN (da.deg, pa) < (db.deg, pb) THEN pb ELSE pa END AS dst,
+             CASE WHEN (da.deg, pa) < (db.deg, pb) THEN db.deg ELSE da.deg END AS dst_deg
+      FROM pairs JOIN deg da ON da.node = pa JOIN deg db ON db.node = pb
+    ),
+    tris AS MATERIALIZED (
+      SELECT w.src, w.v, w.w FROM (
+        SELECT e1.src, e1.dst AS v, e2.dst AS w
+        FROM oriented e1 JOIN oriented e2 ON e1.src = e2.src
+        WHERE (e1.dst_deg, e1.dst) < (e2.dst_deg, e2.dst)
+      ) w JOIN oriented c ON c.src = w.v AND c.dst = w.w
+    )
+    SELECT t.node, d.deg, t.tri_cnt FROM (
+      SELECT node, count(*) AS tri_cnt FROM (
+        SELECT src AS node FROM tris
+        UNION ALL SELECT v AS node FROM tris
+        UNION ALL SELECT w AS node FROM tris
+      ) GROUP BY node
+    ) t JOIN deg d ON d.node = t.node
+    """
+
+
 def integer_pagerank_sql(n_iter: int = N_ITER, top: int | None = None) -> str:
     """DuckDB twin: the same integer recurrence unrolled as chained CTEs.
     ``base`` depends on the node count, so it is computed in SQL from the

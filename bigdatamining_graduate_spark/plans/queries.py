@@ -3679,6 +3679,457 @@ def q107_part_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return GR.integer_pagerank(load_table(spark, sf_dir, "lineitem"))
 
 
+@register(
+    "q108_small_qty_revenue",
+    oracle=f"""
+    WITH pavg AS (
+      SELECT l_partkey, {N.exact_avg_sql('l_quantity')} AS avg_qty
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT p.p_brand,
+           cast(sum(cast(l.l_extendedprice as {N.DEC})) as double) / 7.0 AS avg_yearly
+    FROM lineitem l
+    JOIN pavg a ON a.l_partkey = l.l_partkey
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE l.l_quantity < a.avg_qty / 2.0
+    GROUP BY p.p_brand
+    """,
+)
+def q108_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape (correlated scalar-aggregate subquery, decorrelated):
+    revenue from small-quantity line items, where "small" means below half
+    the part's own average quantity — per brand. The correlated subquery
+    becomes a per-part aggregate joined back on the fact's own key.
+
+    Determinism: per-part avg goes through the exact-decimal sum
+    (``plans.numerics``), so the threshold double is bit-identical in both
+    engines and the ``<`` comparisons cannot flip; the revenue sum is a
+    decimal sum cast once at the end.
+
+    Scale: the per-part aggregate is a map-side-combinable hash agg that
+    shrinks lineitem to |part| rows; the join back is on l_partkey, the
+    same key AQE can co-partition with the agg's own shuffle. part is a
+    dimension (broadcast). No window, no second fact shuffle."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    pavg = li.groupBy("l_partkey").agg(
+        N.exact_avg(F.col("l_quantity")).alias("avg_qty")
+    )
+    return (
+        li.join(pavg, "l_partkey")
+        .filter(F.col("l_quantity") < F.col("avg_qty") / 2.0)
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand")
+        .agg((N.exact_sum(F.col("l_extendedprice")) / 7.0).alias("avg_yearly"))
+    )
+
+
+@register(
+    "q109_parts_in_all_regions",
+    oracle="""
+    WITH pr AS (
+      SELECT DISTINCT l.l_partkey, n.n_regionkey
+      FROM lineitem l
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n   ON n.n_nationkey = s.s_nationkey
+    )
+    SELECT p.p_partkey, p.p_name, count(*) AS n_regions
+    FROM pr JOIN part p ON p.p_partkey = pr.l_partkey
+    GROUP BY p.p_partkey, p.p_name
+    HAVING count(*) = (SELECT count(*) FROM region)
+    """,
+)
+def q109_parts_in_all_regions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational division (the FORALL query Codd's algebra needs the
+    division operator for): parts supplied from EVERY region. Expressed
+    the scalable way — distinct (part, region) pairs, count per part,
+    keep counts equal to |region| — instead of nested NOT EXISTS, which
+    engines decorrelate into exactly this shape anyway.
+
+    Scale: the star dimensions (supplier, nation) are broadcast; the
+    distinct collapses the fact to at most |part| x |region| rows BEFORE
+    the counting agg; the divisor |region| is a 1-row scalar broadcast,
+    never a driver-side collect baked into the plan."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    reg = load_table(spark, sf_dir, "region")
+    part = load_table(spark, sf_dir, "part")
+    n_regions = reg.agg(F.count("*").alias("n_regions"))
+    pr = (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
+        .select("l_partkey", "n_regionkey")
+        .distinct()
+    )
+    return (
+        pr.groupBy("l_partkey")
+        .agg(F.count("*").alias("n_regions_hit"))
+        .crossJoin(F.broadcast(n_regions))
+        .filter(F.col("n_regions_hit") == F.col("n_regions"))
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .select(
+            "p_partkey", "p_name", F.col("n_regions_hit").alias("n_regions")
+        )
+    )
+
+
+@register("q110_part_triangles", oracle=GR.triangle_counts_sql())
+def q110_part_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts on the part co-purchase graph via
+    degree-ordered orientation — the third member of the engine's
+    iterative/graph class (with CC q71 and PageRank q107). Orientation
+    bounds the wedge-join fanout by out-degree = O(sqrt(m)) even on
+    power-law graphs; see ``operators/graph.py:triangle_counts`` for the
+    scale argument. Exact integer counts, hash-stable."""
+    return GR.triangle_counts(load_table(spark, sf_dir, "lineitem"))
+
+
+_QUANT_LEVELS = 256  # int8 codebook: codes 0..255 per dimension
+
+
+@register(
+    "q111_embedding_quantization",
+    oracle=f"""
+    WITH ex AS (
+      SELECT vec_id,
+             unnest(range(len(embedding)))      AS dim,
+             cast(unnest(embedding) as double)  AS v
+      FROM embeddings
+    ),
+    stats AS (
+      SELECT dim, min(v) AS mn, max(v) AS mx FROM ex GROUP BY dim
+    ),
+    codes AS (
+      SELECT e.vec_id, e.dim,
+             CASE WHEN s.mx = s.mn THEN 0
+                  ELSE least({_QUANT_LEVELS - 1},
+                             cast(floor((e.v - s.mn) / (s.mx - s.mn)
+                                        * {_QUANT_LEVELS}) as int))
+             END AS code
+      FROM ex e JOIN stats s ON s.dim = e.dim
+    )
+    SELECT vec_id,
+           cast(sum(code) as bigint)             AS code_sum,
+           cast(sum(code * (dim + 1)) as bigint) AS code_possum,
+           cast(max(code) as int)                AS code_max
+    FROM codes GROUP BY vec_id
+    """,
+)
+def q111_embedding_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension int8 scalar quantization of the embedding column —
+    the storage-side operator of a 100 TB vector corpus (4x smaller than
+    float32, the standard first step before IVF/PQ indexing; same shape
+    as FAISS's ScalarQuantizer). Codes are ``floor((v - min_d) /
+    (max_d - min_d) * 256)`` capped at 255.
+
+    Determinism: floor (not round — engines disagree on half-even vs
+    half-away ties) over double arithmetic with an identical expression
+    tree is bit-stable cross-engine; min/max of float32 values are exact.
+
+    Scale: the stats pass aggregates to |dim| rows (map-side combine,
+    64-row result); quantization itself is a ZERO-shuffle map — the
+    per-dimension min/max arrays ride in as a 1-row broadcast and
+    ``transform`` indexes into them, so the big table is touched once,
+    never exploded. The oracle explodes because SQL must; the engine
+    doesn't."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        "vec_id", F.posexplode("embedding").alias("dim", "vf")
+    ).select("vec_id", "dim", F.col("vf").cast("double").alias("v"))
+    stats = (
+        ex.groupBy("dim")
+        .agg(F.min("v").alias("mn"), F.max("v").alias("mx"))
+        .groupBy()
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "mn"))),
+                lambda s: s.mn,
+            ).alias("mns"),
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "mx"))),
+                lambda s: s.mx,
+            ).alias("mxs"),
+        )
+    )
+    code = lambda x, i: (  # noqa: E731
+        F.when(F.element_at(F.col("mxs"), i + 1) == F.element_at(F.col("mns"), i + 1), F.lit(0))
+        .otherwise(
+            F.least(
+                F.lit(_QUANT_LEVELS - 1),
+                F.floor(
+                    (x.cast("double") - F.element_at(F.col("mns"), i + 1))
+                    / (
+                        F.element_at(F.col("mxs"), i + 1)
+                        - F.element_at(F.col("mns"), i + 1)
+                    )
+                    * _QUANT_LEVELS
+                ).cast("int"),
+            )
+        )
+    )
+    # codes ride as an in-row array; the hash-compare contract wants
+    # scalar columns, so emit position-weighted checksums that pin the
+    # full code vector (sum, dot-with-position, max)
+    zsum = lambda arr: F.aggregate(  # noqa: E731
+        arr, F.lit(0).cast("bigint"), lambda acc, c: acc + c
+    )
+    return (
+        emb.crossJoin(F.broadcast(stats))
+        .select("vec_id", F.transform(F.col("embedding"), code).alias("codes"))
+        .select(
+            "vec_id",
+            zsum(F.col("codes")).alias("code_sum"),
+            zsum(
+                F.transform(F.col("codes"), lambda c, i: c * (i + 1))
+            ).alias("code_possum"),
+            F.array_max("codes").alias("code_max"),
+        )
+    )
+
+
+@register(
+    "q112_user_state_intervals",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, event_type, ts, event_id,
+             CASE WHEN event_type IS DISTINCT FROM
+                       lag(event_type) OVER w THEN 1 ELSE 0 END AS chg
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    runs AS (
+      SELECT user_id, event_type, ts,
+             sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_id
+      FROM flagged
+    ),
+    collapsed AS (
+      SELECT user_id, event_type, run_id,
+             epoch_us(min(ts)) AS valid_from_us,
+             count(*) AS n_events
+      FROM runs GROUP BY user_id, event_type, run_id
+    )
+    SELECT user_id, event_type, valid_from_us,
+           -- ORDER BY run_id, not valid_from_us: two runs can share a
+           -- first-event microsecond; run_id is the unambiguous sequence
+           lead(valid_from_us) OVER (PARTITION BY user_id
+                                     ORDER BY run_id) AS valid_to_us,
+           n_events
+    FROM collapsed
+    """,
+)
+def q112_user_state_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2-style state-interval construction (gaps-and-islands run
+    coalescing): collapse each user's consecutive same-type events into
+    validity intervals [valid_from, valid_to) — the change-data-capture /
+    dimension-history operator every warehouse pipeline needs, and the
+    batch twin of the streaming state tracker (q48).
+
+    Determinism: run boundaries use the total order (ts, event_id);
+    interval edges are epoch microseconds (bigint), open-ended last
+    interval is NULL in both engines.
+
+    Scale: every window and the collapse agg partition by user_id — ONE
+    shuffle serves all four steps (Spark reuses the exchange); no global
+    window anywhere."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    chg = F.when(
+        ~F.col("event_type").eqNullSafe(F.lag("event_type").over(w)), 1
+    ).otherwise(0)
+    runs = ev.select(
+        "user_id",
+        "event_type",
+        "ts",
+        F.sum(chg).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).alias("run_id"),
+    )
+    collapsed = runs.groupBy("user_id", "event_type", "run_id").agg(
+        F.unix_micros(F.min("ts")).alias("valid_from_us"),
+        F.count("*").alias("n_events"),
+    )
+    w2 = Window.partitionBy("user_id").orderBy("run_id")
+    return collapsed.select(
+        "user_id",
+        "event_type",
+        "valid_from_us",
+        F.lead("valid_from_us").over(w2).alias("valid_to_us"),
+        "n_events",
+    )
+
+
+_SKIP_W = 2       # forward context window (tokens)
+_SKIP_TOP = 50
+
+
+@register(
+    "q113_skipgram_pairs",
+    oracle=f"""
+    WITH tl AS (SELECT doc_id, {TX.tokenize_sql('text')} AS toks FROM documents),
+    ex AS (
+      SELECT doc_id, unnest(toks) AS t, unnest(range(len(toks))) AS i FROM tl
+    ),
+    p AS (
+      SELECT least(a.t, b.t) AS w1, greatest(a.t, b.t) AS w2
+      FROM ex a JOIN ex b
+        ON a.doc_id = b.doc_id AND b.i > a.i AND b.i <= a.i + {_SKIP_W}
+       AND a.t <> b.t
+    )
+    SELECT w1, w2, count(*) AS cnt
+    FROM p GROUP BY w1, w2
+    ORDER BY cnt DESC, w1, w2 LIMIT {_SKIP_TOP}
+    """,
+)
+def q113_skipgram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skip-gram (window-level) co-occurrence counts — the training-pair
+    extraction step of word2vec/GloVe-style embedding pipelines, and the
+    window-local complement of q88's document-level PMI. Counts unordered
+    token pairs within a forward window of {w} positions, top-{top} by
+    frequency with a total-order tiebreak.
+
+    Scale: pair generation is PER-ROW array arithmetic — ``transform``
+    over the token array sliced ``{w}`` ahead, flattened and exploded —
+    so fanout is exactly w per token and there is ZERO shuffle until the
+    final count agg (map-side combinable, vocabulary-bounded). The
+    oracle must express the same thing as a positional self-join; the
+    engine never joins.""".format(w=_SKIP_W, top=_SKIP_TOP)
+    docs = load_table(spark, sf_dir, "documents")
+    tk = docs.select(TX.tokenize("text").alias("tk"))
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("tk"),
+            lambda t, i: F.transform(
+                F.filter(
+                    F.slice(F.col("tk"), i + 2, _SKIP_W), lambda u: u != t
+                ),
+                lambda u: F.struct(
+                    F.least(t, u).alias("w1"), F.greatest(t, u).alias("w2")
+                ),
+            ),
+        )
+    )
+    return (
+        tk.select(F.explode(pair_structs).alias("p"))
+        .select("p.w1", "p.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("w1"), F.asc("w2"))
+        .limit(_SKIP_TOP)
+    )
+
+
+@register(
+    "q114_event_transitions",
+    oracle="""
+    WITH bi AS (
+      SELECT lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type,
+             event_type
+      FROM events
+    ),
+    cnt AS (
+      SELECT prev_type, event_type, count(*) AS n_trans
+      FROM bi WHERE prev_type IS NOT NULL
+      GROUP BY prev_type, event_type
+    ),
+    tot AS (SELECT prev_type, sum(n_trans) AS tot FROM cnt GROUP BY prev_type)
+    SELECT c.prev_type, c.event_type, c.n_trans,
+           round(cast(c.n_trans as double) / t.tot, 6) AS p_trans
+    FROM cnt c JOIN tot t ON t.prev_type = c.prev_type
+    """,
+)
+def q114_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event sequences
+    (sequence mining / session-flow analysis): bigram counts of
+    consecutive event types in (ts, event_id) order, with row-normalized
+    transition probabilities.
+
+    Determinism: bigrams use the total per-user order; probabilities are
+    one bigint/bigint double division, rounded.
+
+    Scale: ONE shuffle on user_id for the lag window; the bigram count
+    collapses to |types|^2 rows, and the normalizing totals join is over
+    that tiny table (broadcast)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    bi = ev.select(
+        F.lag("event_type").over(w).alias("prev_type"), "event_type"
+    ).filter(F.col("prev_type").isNotNull())
+    cnt = bi.groupBy("prev_type", "event_type").agg(
+        F.count("*").alias("n_trans")
+    )
+    tot = cnt.groupBy("prev_type").agg(F.sum("n_trans").alias("tot"))
+    return (
+        cnt.join(F.broadcast(tot), "prev_type")
+        .select(
+            "prev_type",
+            "event_type",
+            "n_trans",
+            F.round(F.col("n_trans").cast("double") / F.col("tot"), 6).alias(
+                "p_trans"
+            ),
+        )
+    )
+
+
+@register(
+    "q115_chi2_type_hour",
+    oracle="""
+    WITH obs AS (
+      SELECT event_type, cast(hour(ts) as bigint) AS hour_of_day,
+             count(*) AS observed
+      FROM events GROUP BY 1, 2
+    ),
+    rowt AS (SELECT event_type, sum(observed) AS rowtot FROM obs GROUP BY 1),
+    colt AS (SELECT hour_of_day, sum(observed) AS coltot FROM obs GROUP BY 1),
+    tot AS (SELECT sum(observed) AS total FROM obs)
+    SELECT o.event_type, o.hour_of_day, o.observed,
+           round(cast(r.rowtot * c.coltot as double) / t.total, 6) AS expected,
+           round(pow(cast(o.observed as double)
+                     - cast(r.rowtot * c.coltot as double) / t.total, 2)
+                 / (cast(r.rowtot * c.coltot as double) / t.total), 6) AS contrib
+    FROM obs o
+    JOIN rowt r ON r.event_type = o.event_type
+    JOIN colt c ON c.hour_of_day = o.hour_of_day
+    CROSS JOIN tot t
+    """,
+)
+def q115_chi2_type_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence profile of the (event_type x hour)
+    contingency table — per-cell observed vs expected counts and chi^2
+    contributions, the feature-screening statistic of a data-quality /
+    drift dashboard. Per-cell output (no global float sum) keeps every
+    number a short deterministic double expression: expected =
+    rowtot*coltot/total on exact integers, contrib = (o-e)^2/e.
+
+    Scale: one count agg over the facts; marginals and the grand total
+    are re-aggregations of the |types| x 24 cell table (broadcast
+    joins). The fact table is touched once."""
+    ev = load_table(spark, sf_dir, "events")
+    obs = ev.groupBy(
+        "event_type", F.hour("ts").cast("long").alias("hour_of_day")
+    ).agg(F.count("*").alias("observed"))
+    rowt = obs.groupBy("event_type").agg(F.sum("observed").alias("rowtot"))
+    colt = obs.groupBy("hour_of_day").agg(F.sum("observed").alias("coltot"))
+    tot = obs.agg(F.sum("observed").alias("total"))
+    e = (F.col("rowtot") * F.col("coltot")).cast("double") / F.col("total")
+    o = F.col("observed").cast("double")
+    return (
+        obs.join(F.broadcast(rowt), "event_type")
+        .join(F.broadcast(colt), "hour_of_day")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "event_type",
+            "hour_of_day",
+            "observed",
+            F.round(e, 6).alias("expected"),
+            F.round(F.pow(o - e, 2) / e, 6).alias("contrib"),
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # Driver-window rotation
 # --------------------------------------------------------------------------
@@ -3694,14 +4145,37 @@ _DRIVER_VERIFIED = frozenset(
     f"q{i:02d}" for i in range(1, 51)
 )  # matched on the qNN prefix; set = CORRECTNESS_r01/r02 keys
 
+# 57 unverified queries compete for the 50-entry window; defer the seven
+# that are structural near-twins of already-driver-green queries (same
+# operator shape, different columns) so every genuinely novel operator —
+# in particular the q99+ batch — gets the hard oracle first.  All seven
+# stay hash-matched by the local harness either way.
+_DEFERRED = [
+    "q56_sql_text_pricing",  # SQL-text twin of q01 (green)
+    "q53_stopword_hits_by_lang",  # per-lang agg twin of q14 (green)
+    "q58_user_value_trend",  # lag-window twin of q18/q19 (green)
+    "q59_repeat_status_customers",  # set-op sibling of q46 (green)
+    "q60_price_percentiles",  # exact-percentile agg, q02-class
+    "q61_geomean_value",  # single-agg twin of q02 (green)
+    "q82_onehot_langs",  # pivot twin of q22 (green)
+    "q83_table_profile",  # profiling twin of q04 (green)
+    "q93_order_quartiles",  # ntile; window family green via q14/q15/q18/q19
+    "q92_unpivot_measures",  # unpivot of q17's green rollup
+    "q57_stream_foreachbatch",  # sink mechanism; stream family green q36-q38/q47/q48
+    "q96_rolling_distinct_users",  # window-agg family; edge-tested locally
+]
+
 
 def _rotate_registry() -> None:
     def verified(name: str) -> bool:
         return name.split("_", 1)[0] in _DRIVER_VERIFIED
 
-    order = [k for k in QUERIES if not verified(k)] + [
-        k for k in QUERIES if verified(k)
-    ]
+    deferred = set(_DEFERRED)
+    order = (
+        [k for k in QUERIES if not verified(k) and k not in deferred]
+        + _DEFERRED
+        + [k for k in QUERIES if verified(k)]
+    )
     for d in (QUERIES, ORACLE):
         kept = {k: d[k] for k in order if k in d}
         d.clear()

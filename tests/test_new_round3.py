@@ -1,0 +1,84 @@
+"""Semantic tests for the round-3 batch: triangles (q110), relational
+division (q109), scalar quantization (q111), state intervals (q112)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from bigdatamining_graduate_spark.operators import graph as GR
+from bigdatamining_graduate_spark.plans.queries import QUERIES
+
+from .conftest import SF_SMOKE
+
+
+def _li(spark, orders):
+    """lineitem-shaped frame from {orderkey: [partkeys]}."""
+    rows = [(o, p) for o, parts in orders.items() for p in parts]
+    return spark.createDataFrame(rows, ["l_orderkey", "l_partkey"])
+
+
+def test_triangle_counts_known_graph(spark):
+    """One order with parts {1,2,3,4} is a K4: C(4,3)=4 triangles, every
+    node in exactly 3 of them with degree 3. A disjoint 2-path (5-6-7 via
+    two orders) closes no triangle."""
+    li = _li(spark, {10: [1, 2, 3, 4], 20: [5, 6], 30: [6, 7]})
+    out = {r["node"]: (r["deg"], r["tri_cnt"]) for r in GR.triangle_counts(li).collect()}
+    assert out == {1: (3, 3), 2: (3, 3), 3: (3, 3), 4: (3, 3)}
+
+
+def test_triangle_orientation_counts_each_once(spark):
+    """A single triangle is counted exactly once per node even though the
+    wedge join sees it from every vertex: 3 rows, tri_cnt=1 each."""
+    li = _li(spark, {1: [7, 8], 2: [8, 9], 3: [7, 9]})
+    rows = GR.triangle_counts(li).collect()
+    assert sorted((r["node"], r["deg"], r["tri_cnt"]) for r in rows) == [
+        (7, 2, 1), (8, 2, 1), (9, 2, 1),
+    ]
+
+
+def test_division_requires_every_region(spark):
+    """q109 keeps only parts whose distinct region count equals |region| —
+    no part may appear with a partial count."""
+    df = QUERIES["q109_parts_in_all_regions"](spark, SF_SMOKE)
+    n_regions = df.select("n_regions").distinct().collect()
+    assert all(r["n_regions"] == 5 for r in n_regions)
+
+
+def test_quantization_codes_bounded_and_monotone(spark):
+    """Codes are 0..255; the per-dim max element maps to 255 and the min
+    to 0, so code_max=255 must appear and code_possum is consistent with
+    code_sum bounds (possum <= 64 * code_sum for 64 dims)."""
+    out = QUERIES["q111_embedding_quantization"](spark, SF_SMOKE)
+    rows = out.collect()
+    assert rows, "no vectors"
+    assert all(0 <= r["code_max"] <= 255 for r in rows)
+    assert all(0 <= r["code_sum"] <= 255 * 64 for r in rows)
+    assert all(r["code_sum"] <= r["code_possum"] <= 64 * r["code_sum"] for r in rows)
+    assert max(r["code_max"] for r in rows) == 255
+
+
+def test_state_intervals_partition_events_exactly(spark):
+    """q112 conservation: per user, run n_events sums to the user's event
+    count; exactly one open (NULL valid_to) interval per user; intervals
+    are non-overlapping and ordered (valid_from < valid_to)."""
+    from bigdatamining_graduate_spark.sources.catalog import load_table
+
+    out = QUERIES["q112_user_state_intervals"](spark, SF_SMOKE).cache()
+    ev = load_table(spark, SF_SMOKE, "events")
+    per_user = {r["user_id"]: r["n"] for r in ev.groupBy("user_id").agg(F.count("*").alias("n")).collect()}
+    got = {
+        r["user_id"]: r["s"]
+        for r in out.groupBy("user_id").agg(F.sum("n_events").alias("s")).collect()
+    }
+    assert got == per_user
+    opens = {
+        r["user_id"]: r["n"]
+        for r in out.filter(F.col("valid_to_us").isNull())
+        .groupBy("user_id").agg(F.count("*").alias("n")).collect()
+    }
+    assert set(opens.values()) == {1}
+    bad = out.filter(
+        F.col("valid_to_us").isNotNull() & (F.col("valid_to_us") <= F.col("valid_from_us"))
+    ).count()
+    assert bad == 0
+    out.unpersist()
