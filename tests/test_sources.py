@@ -163,3 +163,44 @@ def test_zorder_write_tightens_file_bboxes(spark, tmp_path):
     z_bbox = mean_file_bbox(zpath)
     naive_bbox = mean_file_bbox(naive_path)
     assert z_bbox < naive_bbox, (z_bbox, naive_bbox)
+
+
+def test_manifest_pruning_skips_files_and_preserves_results(spark, tmp_path):
+    """Data-skipping loop: zorder_write -> collect_manifest -> pruned_read.
+    On a z-clustered layout a small box must prune MOST files, and the
+    pruned read must return exactly the rows a full-scan filter returns."""
+    from pyspark.sql import functions as F
+
+    from bigdatamining_graduate_spark.sources import manifest as M
+    from bigdatamining_graduate_spark.sources.catalog import load_table
+
+    from .conftest import SF_SMOKE
+
+    ev = load_table(spark, SF_SMOKE, "events").select(
+        "event_id",
+        (F.col("user_id") % 32).alias("ub"),
+        F.hour("ts").alias("hy"),
+    )
+    path = str(tmp_path / "zev")
+    sinks.zorder_write(ev, path, dims=["ub", "hy"], bits=5, num_files=16)
+
+    man = M.collect_manifest(spark, path, ["ub", "hy"])
+    n_files = man.count()
+    assert n_files >= 8
+
+    ranges = {"ub": (3, 5), "hy": (0, 4)}
+    kept = M.prune_files(man, ranges)
+    assert 0 < len(kept) < n_files / 2, (
+        f"z-layout should prune most files: kept {len(kept)}/{n_files}"
+    )
+
+    got = sorted(
+        r["event_id"] for r in M.pruned_read(spark, path, man, ranges).collect()
+    )
+    exp = sorted(
+        r["event_id"]
+        for r in spark.read.parquet(path)
+        .filter(F.col("ub").between(3, 5) & F.col("hy").between(0, 4))
+        .collect()
+    )
+    assert got == exp and len(got) > 0
