@@ -51,6 +51,11 @@ HEADLINE = [
     "q95_large_volume_customers",  # TPC-H Q18 HAVING-subquery semi join
     "q99_gopher_quality_rules", # composite quality-rule scan (zero shuffle)
     "q101_shared_passages",     # verbatim-passage dedup (inverted index)
+    "q106_bm25_search",         # lexical retrieval (filtered postings)
+    "q107_part_pagerank",       # iterative graph mining (6 integer rounds)
+    "q108_small_qty_revenue",   # TPC-H Q17 correlated-agg join shape
+    "q111_embedding_quantization",  # zero-shuffle int8 vector codes
+    "q113_skipgram_pairs",      # window co-occurrence pair extraction
 ]
 
 

@@ -81,7 +81,7 @@ def integer_pagerank(lineitem: DataFrame, n_iter: int = N_ITER) -> DataFrame:
     return ranks.select("node", F.col("r").alias("rank_mass"))
 
 
-def triangle_counts(lineitem: DataFrame) -> DataFrame:
+def triangle_counts(lineitem: DataFrame, min_support: int = 1) -> DataFrame:
     """Per-node triangle counts over the co-purchase graph via
     degree-ordered edge orientation — the standard distributed triangle
     algorithm (Cohen's MapReduce formulation; also MR-ish in Suri &
@@ -97,6 +97,12 @@ def triangle_counts(lineitem: DataFrame) -> DataFrame:
     IN.  That is what survives a power-law co-purchase graph at 100 TB;
     the naive wedge join on raw degree does not.
 
+    ``min_support`` keeps only edges co-purchased in >= that many orders
+    — the density dial: a catalog-bounded graph gets DENSER (not bigger)
+    as facts grow, and wedge work is quadratic in degree, so at scale you
+    raise support to keep average degree flat (measured: SCALE.md §6e).
+    Support 1 is the registered-oracle parity default.
+
     Returns (node, deg, tri_cnt) for nodes in >=1 triangle — exact
     integer counts, hash-stable across engines.
     """
@@ -106,8 +112,10 @@ def triangle_counts(lineitem: DataFrame) -> DataFrame:
     pairs = (
         a.join(b, "k")
         .filter(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count("*").alias("w"))
+        .filter(F.col("w") >= min_support)
         .select("pa", "pb")
-        .distinct()
     )
     deg = (
         pairs.select(F.col("pa").alias("node"))
@@ -120,6 +128,10 @@ def triangle_counts(lineitem: DataFrame) -> DataFrame:
     lt = (F.col("dega") < F.col("degb")) | (
         (F.col("dega") == F.col("degb")) & (F.col("pa") < F.col("pb"))
     )
+    # materialize once: the plan references `oriented` three times (both
+    # wedge sides + the closing edge) and Spark would otherwise re-run
+    # the distinct self-join subtree for each — same checkpoint
+    # discipline as the CC/PageRank loops above
     oriented = (
         pairs.join(da, "pa")
         .join(db, "pb")
@@ -128,6 +140,7 @@ def triangle_counts(lineitem: DataFrame) -> DataFrame:
             F.when(lt, F.col("pb")).otherwise(F.col("pa")).alias("dst"),
             F.when(lt, F.col("degb")).otherwise(F.col("dega")).alias("dst_deg"),
         )
+        .localCheckpoint()
     )
     e1 = oriented.select("src", F.col("dst").alias("v"), F.col("dst_deg").alias("v_deg"))
     e2 = oriented.select("src", F.col("dst").alias("w"), F.col("dst_deg").alias("w_deg"))
@@ -139,7 +152,9 @@ def triangle_counts(lineitem: DataFrame) -> DataFrame:
         | ((F.col("v_deg") == F.col("w_deg")) & (F.col("v") < F.col("w")))
     )
     closing = oriented.select(F.col("src").alias("v"), F.col("dst").alias("w"))
-    tris = wedges.join(closing, ["v", "w"]).select("src", "v", "w")
+    tris = (
+        wedges.join(closing, ["v", "w"]).select("src", "v", "w").localCheckpoint()
+    )
     per_node = (
         tris.select(F.col("src").alias("node"))
         .unionByName(tris.select(F.col("v").alias("node")))
@@ -150,13 +165,14 @@ def triangle_counts(lineitem: DataFrame) -> DataFrame:
     return per_node.join(deg, "node").select("node", "deg", "tri_cnt")
 
 
-def triangle_counts_sql() -> str:
-    """DuckDB twin: same orientation, same wedge closure."""
-    return """
+def triangle_counts_sql(min_support: int = 1) -> str:
+    """DuckDB twin: same orientation, same wedge closure, same support."""
+    return f"""
     WITH op AS MATERIALIZED (SELECT DISTINCT l_orderkey AS k, l_partkey AS p FROM lineitem),
     pairs AS MATERIALIZED (
-      SELECT DISTINCT a.p AS pa, b.p AS pb
+      SELECT a.p AS pa, b.p AS pb
       FROM op a JOIN op b ON a.k = b.k AND a.p < b.p
+      GROUP BY a.p, b.p HAVING count(*) >= {min_support}
     ),
     deg AS MATERIALIZED (
       SELECT node, count(*) AS deg FROM (

@@ -16,10 +16,15 @@ from bigdatamining_graduate_spark.sources.catalog import TABLES, table_path
 
 
 def run_oracle(sql: str, sf_dir: str) -> pd.DataFrame:
+    import os
+
     con = duckdb.connect()
     for t in TABLES:
+        p = table_path(sf_dir, t)
+        if os.path.isdir(p):  # Spark-written layout (dir of part files)
+            p = f"{p}/*.parquet"
         con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{table_path(sf_dir, t)}')"
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')"
         )
     return con.execute(sql).df()
 
