@@ -3756,8 +3756,12 @@ def q109_parts_in_all_regions(spark: SparkSession, sf_dir: str) -> DataFrame:
     reg = load_table(spark, sf_dir, "region")
     part = load_table(spark, sf_dir, "part")
     n_regions = reg.agg(F.count("*").alias("n_regions"))
+    # nation (25 rows) and the 1-row divisor are bounded -> hinted;
+    # supplier/part GROW with SF, so their joins are left to AQE (at
+    # fixture scale it still picks BHJ; at 100 TB they must be able to
+    # degrade to shuffle joins — the q95 lesson)
     pr = (
-        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        li.join(supp, li.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
         .select("l_partkey", "n_regionkey")
         .distinct()
@@ -3767,7 +3771,7 @@ def q109_parts_in_all_regions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_regions_hit"))
         .crossJoin(F.broadcast(n_regions))
         .filter(F.col("n_regions_hit") == F.col("n_regions"))
-        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(part, F.col("l_partkey") == F.col("p_partkey"))
         .select(
             "p_partkey", "p_name", F.col("n_regions_hit").alias("n_regions")
         )
@@ -4050,8 +4054,8 @@ def q114_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     one bigint/bigint double division, rounded.
 
     Scale: ONE shuffle on user_id for the lag window; the bigram count
-    collapses to |types|^2 rows, and the normalizing totals join is over
-    that tiny table (broadcast)."""
+    collapses to |types|^2 rows, and row-normalization is a window over
+    that tiny cell table — the facts are never re-scanned."""
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     bi = ev.select(
@@ -4060,17 +4064,16 @@ def q114_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     cnt = bi.groupBy("prev_type", "event_type").agg(
         F.count("*").alias("n_trans")
     )
-    tot = cnt.groupBy("prev_type").agg(F.sum("n_trans").alias("tot"))
-    return (
-        cnt.join(F.broadcast(tot), "prev_type")
-        .select(
-            "prev_type",
-            "event_type",
-            "n_trans",
-            F.round(F.col("n_trans").cast("double") / F.col("tot"), 6).alias(
-                "p_trans"
-            ),
-        )
+    # row totals as a window over the |types|^2 cell table, NOT a second
+    # aggregate joined back — a join would re-evaluate the whole events
+    # subtree (Spark does not share non-cached subplans); the window
+    # shuffles only the tiny cell table
+    tot = F.sum("n_trans").over(Window.partitionBy("prev_type"))
+    return cnt.select(
+        "prev_type",
+        "event_type",
+        "n_trans",
+        F.round(F.col("n_trans").cast("double") / tot, 6).alias("p_trans"),
     )
 
 
@@ -4105,28 +4108,111 @@ def q115_chi2_type_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
     rowtot*coltot/total on exact integers, contrib = (o-e)^2/e.
 
     Scale: one count agg over the facts; marginals and the grand total
-    are re-aggregations of the |types| x 24 cell table (broadcast
-    joins). The fact table is touched once."""
+    are windows over the |types| x 24 cell table. The fact table is
+    touched exactly once."""
     ev = load_table(spark, sf_dir, "events")
     obs = ev.groupBy(
         "event_type", F.hour("ts").cast("long").alias("hour_of_day")
     ).agg(F.count("*").alias("observed"))
-    rowt = obs.groupBy("event_type").agg(F.sum("observed").alias("rowtot"))
-    colt = obs.groupBy("hour_of_day").agg(F.sum("observed").alias("coltot"))
-    tot = obs.agg(F.sum("observed").alias("total"))
-    e = (F.col("rowtot") * F.col("coltot")).cast("double") / F.col("total")
+    # marginals and the grand total as WINDOWS over the cell table: the
+    # facts are aggregated exactly once; joining re-aggregated copies
+    # back would re-scan events per marginal (audited: 7 shuffles -> 3).
+    # The global window is over |types| x 24 rows — single-partition by
+    # construction and intentional at that size.
+    rowtot = F.sum("observed").over(Window.partitionBy("event_type"))
+    coltot = F.sum("observed").over(Window.partitionBy("hour_of_day"))
+    total = F.sum("observed").over(Window.partitionBy())
+    e = (rowtot * coltot).cast("double") / total
     o = F.col("observed").cast("double")
-    return (
-        obs.join(F.broadcast(rowt), "event_type")
-        .join(F.broadcast(colt), "hour_of_day")
-        .crossJoin(F.broadcast(tot))
-        .select(
-            "event_type",
-            "hour_of_day",
-            "observed",
-            F.round(e, 6).alias("expected"),
-            F.round(F.pow(o - e, 2) / e, 6).alias("contrib"),
+    return obs.select(
+        "event_type",
+        "hour_of_day",
+        "observed",
+        F.round(e, 6).alias("expected"),
+        F.round(F.pow(o - e, 2) / e, 6).alias("contrib"),
+    )
+
+
+_CDC_DEL, _CDC_UPD, _CDC_INS = 131, 97, 211  # deterministic change-batch keys
+_CDC_KEY_SHIFT = 10**9
+
+
+@register(
+    "q116_cdc_merge",
+    oracle=f"""
+    WITH dels AS (SELECT o_orderkey FROM orders WHERE o_orderkey % {_CDC_DEL} = 0),
+    upds AS (
+      SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus,
+             cast(cast(o_totalprice as {N.DEC}) * cast(1.10 as decimal(4,2))
+                  as double) AS price
+      FROM orders
+      WHERE o_orderkey % {_CDC_UPD} = 0 AND o_orderkey % {_CDC_DEL} <> 0
+    ),
+    ins AS (
+      SELECT o_orderkey + {_CDC_KEY_SHIFT} AS o_orderkey, o_custkey,
+             o_orderstatus, cast(cast(o_totalprice as {N.DEC}) as double) AS price
+      FROM orders WHERE o_orderkey % {_CDC_INS} = 0
+    ),
+    touched AS (SELECT o_orderkey FROM dels UNION ALL SELECT o_orderkey FROM upds)
+    SELECT b.o_orderkey, b.o_custkey, b.o_orderstatus,
+           cast(cast(b.o_totalprice as {N.DEC}) as double) AS price,
+           'base' AS src
+    FROM orders b
+    WHERE NOT EXISTS (SELECT 1 FROM touched t WHERE t.o_orderkey = b.o_orderkey)
+    UNION ALL
+    SELECT o_orderkey, o_custkey, o_orderstatus, price, 'updated' AS src FROM upds
+    UNION ALL
+    SELECT o_orderkey, o_custkey, o_orderstatus, price, 'inserted' AS src FROM ins
+    """,
+)
+def q116_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC MERGE / upsert (Delta-style ``MERGE INTO`` semantics, applied
+    Spark-first): a deterministic change batch of deletes, full-row
+    updates, and inserts is applied to the orders base table. Expressed
+    as the SCALE shape — base LEFT ANTI-joined against the touched-key
+    set (broadcastable: |changes| << |base|), unioned with the
+    update/insert payloads — NOT a full-outer join that reshuffles the
+    entire base. Delete-over-update precedence is explicit in both
+    engines.
+
+    Scale: the only join is anti on the change keys; AQE broadcasts the
+    small side, so the base table streams through map-side. On a real
+    lakehouse you'd add file-level pruning via the data-skipping
+    manifest (``sources/manifest.py``) to rewrite only touched files."""
+    od = load_table(spark, sf_dir, "orders")
+    price = lambda c: N.dec(F.col(c)).cast("double")  # noqa: E731
+    dels = od.filter(F.col("o_orderkey") % _CDC_DEL == 0).select("o_orderkey")
+    upds = (
+        od.filter(
+            (F.col("o_orderkey") % _CDC_UPD == 0)
+            & (F.col("o_orderkey") % _CDC_DEL != 0)
         )
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.lit("U").alias("o_orderstatus"),
+            (N.dec(F.col("o_totalprice")) * F.lit(1.10).cast("decimal(4,2)"))
+            .cast("double")
+            .alias("price"),
+        )
+    )
+    ins = od.filter(F.col("o_orderkey") % _CDC_INS == 0).select(
+        (F.col("o_orderkey") + _CDC_KEY_SHIFT).alias("o_orderkey"),
+        "o_custkey",
+        "o_orderstatus",
+        price("o_totalprice").alias("price"),
+    )
+    touched = dels.unionByName(upds.select("o_orderkey"))
+    kept = od.join(touched, "o_orderkey", "left_anti").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        price("o_totalprice").alias("price"),
+        F.lit("base").alias("src"),
+    )
+    return (
+        kept.unionByName(upds.withColumn("src", F.lit("updated")))
+        .unionByName(ins.withColumn("src", F.lit("inserted")))
     )
 
 
@@ -4163,6 +4249,10 @@ _DEFERRED = [
     "q92_unpivot_measures",  # unpivot of q17's green rollup
     "q57_stream_foreachbatch",  # sink mechanism; stream family green q36-q38/q47/q48
     "q96_rolling_distinct_users",  # window-agg family; edge-tested locally
+    "q67_rate_stream_buckets",  # source mechanism; stream family green as above
+    "q72_thumbnail_payloads",  # 1:1 mapInPandas twin of driver-green q39
+    "q75_rep_ngram_quality",  # quality family: q28 driver-green, q99 in window
+    "q64_hash_split_profile",  # sampling family: q73/q97 stay in window
 ]
 
 

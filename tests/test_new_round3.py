@@ -82,3 +82,34 @@ def test_state_intervals_partition_events_exactly(spark):
     ).count()
     assert bad == 0
     out.unpersist()
+
+
+def test_cdc_merge_applies_changes_exactly(spark):
+    """q116 conservation: deleted keys absent, updated keys re-statused
+    with +10% price, inserted keys are shifted copies, everything else
+    passes through untouched."""
+    from bigdatamining_graduate_spark.plans.queries import (
+        _CDC_DEL,
+        _CDC_INS,
+        _CDC_KEY_SHIFT,
+        _CDC_UPD,
+    )
+    from bigdatamining_graduate_spark.sources.catalog import load_table
+
+    out = QUERIES["q116_cdc_merge"](spark, SF_SMOKE).cache()
+    od = load_table(spark, SF_SMOKE, "orders")
+    n = od.count()
+    n_del = od.filter(F.col("o_orderkey") % _CDC_DEL == 0).count()
+    n_upd = od.filter(
+        (F.col("o_orderkey") % _CDC_UPD == 0) & (F.col("o_orderkey") % _CDC_DEL != 0)
+    ).count()
+    n_ins = od.filter(F.col("o_orderkey") % _CDC_INS == 0).count()
+    by_src = {r["src"]: r["n"] for r in out.groupBy("src").agg(F.count("*").alias("n")).collect()}
+    assert by_src.get("updated", 0) == n_upd
+    assert by_src.get("inserted", 0) == n_ins
+    assert by_src.get("base", 0) == n - n_del - n_upd
+    # no deleted key survives; every inserted key is shifted out of range
+    assert out.filter((F.col("o_orderkey") % _CDC_DEL == 0) & (F.col("o_orderkey") < _CDC_KEY_SHIFT)).count() == 0
+    assert out.filter(F.col("src") == "inserted").filter(F.col("o_orderkey") < _CDC_KEY_SHIFT).count() == 0
+    assert all(r["o_orderstatus"] == "U" for r in out.filter(F.col("src") == "updated").select("o_orderstatus").distinct().collect())
+    out.unpersist()
