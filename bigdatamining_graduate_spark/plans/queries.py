@@ -4216,6 +4216,126 @@ def q116_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_Q117_LATE_DAYS = 90
+
+
+@register(
+    "q117_late_order_priorities",
+    oracle=f"""
+    SELECT o.o_orderpriority, count(*) AS order_count
+    FROM orders o
+    WHERE EXISTS (
+      SELECT 1 FROM lineitem l
+      WHERE l.l_orderkey = o.o_orderkey
+        AND l.l_shipdate > o.o_orderdate + INTERVAL {_Q117_LATE_DAYS} DAY
+    )
+    GROUP BY o.o_orderpriority
+    """,
+)
+def q117_late_order_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape (EXISTS correlated semi join between two FACT
+    tables): orders with at least one line item shipped more than
+    {d} days after the order date, counted per priority. Unlike the
+    dimension joins elsewhere, BOTH sides are unbounded at 100 TB, so
+    the physical strategy that matters is a LEFT SEMI sort-merge join
+    co-partitioned on the order key — the semi form stops at the first
+    match and never multiplies rows.
+
+    The date predicate references both sides, so it rides ON the join
+    (not pushed to a scan); the semi join still prunes lineitem columns
+    to (l_orderkey, l_shipdate) at the scan.""".format(d=_Q117_LATE_DAYS)
+    od = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate"
+    )
+    cond = (F.col("l_orderkey") == F.col("o_orderkey")) & (
+        F.col("l_shipdate")
+        > F.col("o_orderdate") + F.expr(f"INTERVAL {_Q117_LATE_DAYS} DAYS")
+    )
+    return (
+        od.join(li, cond, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+_ANOM_FRAME = 20   # trailing window size (rows, excluding current)
+_ANOM_SIGMA = 3.0
+
+
+@register(
+    "q118_value_anomalies",
+    oracle=f"""
+    WITH st AS (
+      SELECT event_id, user_id, value,
+             count(value)                                OVER w AS n,
+             cast(sum(cast(value as {N.DEC}))            OVER w as double) AS s1,
+             cast(sum(cast(value as {N.DEC})
+                      * cast(value as {N.DEC}))          OVER w as double) AS s2
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN {_ANOM_FRAME} PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_id, user_id, value,
+           round((value - s1 / n)
+                 / sqrt(s2 / n - (s1 / n) * (s1 / n)), 4) AS zscore
+    FROM st
+    WHERE n >= {_ANOM_FRAME}
+      AND s2 / n - (s1 / n) * (s1 / n) > 1e-12
+      AND abs(value - s1 / n)
+          > {_ANOM_SIGMA} * sqrt(s2 / n - (s1 / n) * (s1 / n))
+    """,
+)
+def q118_value_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly detection over per-user event values: an
+    event is flagged when it deviates more than {s} sigma from the mean
+    of its user's TRAILING {f}-event window (current row excluded — the
+    monitoring semantics: score against history, not against yourself).
+
+    Determinism: the frame mean/variance come from exact-decimal
+    sum/sum-of-squares over the frame (2-decimal values -> scale-4
+    products, both exact), divided once — so the flag comparisons are
+    bit-identical cross-engine; zscore is rounded for hashing.
+
+    Scale: ONE shuffle on user_id; the frame is row-bounded so state per
+    partition is O({f}); no global window, no self-join (the classic
+    alternative — join each event to its trailing neighbors — is a
+    {f}x row multiplication).""".format(s=_ANOM_SIGMA, f=_ANOM_FRAME)
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-_ANOM_FRAME, -1)
+    )
+    vdec = F.col("value").cast(N.DEC)
+    n = F.count("value").over(w)
+    s1 = F.sum(vdec).over(w).cast("double")
+    s2 = F.sum(vdec * vdec).over(w).cast("double")
+    st = ev.select(
+        "event_id",
+        "user_id",
+        "value",
+        n.alias("n"),
+        s1.alias("s1"),
+        s2.alias("s2"),
+    )
+    mean = F.col("s1") / F.col("n")
+    var = F.col("s2") / F.col("n") - mean * mean
+    return (
+        st.filter(
+            (F.col("n") >= _ANOM_FRAME)
+            & (var > 1e-12)
+            & (F.abs(F.col("value") - mean) > _ANOM_SIGMA * F.sqrt(var))
+        )
+        .select(
+            "event_id",
+            "user_id",
+            "value",
+            F.round((F.col("value") - mean) / F.sqrt(var), 4).alias("zscore"),
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # Driver-window rotation
 # --------------------------------------------------------------------------
@@ -4253,6 +4373,8 @@ _DEFERRED = [
     "q72_thumbnail_payloads",  # 1:1 mapInPandas twin of driver-green q39
     "q75_rep_ngram_quality",  # quality family: q28 driver-green, q99 in window
     "q64_hash_split_profile",  # sampling family: q73/q97 stay in window
+    "q54_approx_distinct_users",  # no oracle (HLL) -> driver check is rows-only
+    "q55_ivf_knn",  # no oracle (recall-tested locally) -> rows-only
 ]
 
 

@@ -24,6 +24,8 @@ ALLOWED = {
     "q55_ivf_knn",               # n_cells-row broadcast centroid probe table
     "q103_unigram_logprob",      # 1-row corpus-total broadcast (q31 pattern)
     "q106_bm25_search",          # 1-row avgdl/N-docs broadcast (q31 pattern)
+    "q109_parts_in_all_regions", # 1-row |region| divisor broadcast
+    "q111_embedding_quantization",  # 1-row per-dim min/max arrays broadcast
 }
 
 
@@ -63,3 +65,41 @@ def test_star_join_stays_broadcast(spark):
     )
     assert plan.count("BroadcastHashJoin") >= 3, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_runtime_bloom_filter_injects_on_selective_fact_join(spark):
+    """Spark's runtime bloom-filter join pruning (on by default) must be
+    able to inject a `might_contain` pre-filter on the probe-side scan of
+    our fact-fact equi-joins — the 100 TB lever that turns a selective
+    orders->lineitem join into a semi-join pushdown at the scan. The
+    default thresholds (10 GB probe-side scan) are deliberately not met
+    at fixture scale, so this test lowers them for the session to prove
+    the join SHAPE is bloom-compatible (plain equi-key, no expression
+    wrapper that would block injection)."""
+    from pyspark.sql import functions as F
+
+    from bigdatamining_graduate_spark.sources.catalog import load_table
+
+    overrides = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+    }
+    saved = {k: spark.conf.get(k) for k in overrides}
+    try:
+        for k, v in overrides.items():
+            spark.conf.set(k, v)
+        od = load_table(spark, SF_SMOKE, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        li = load_table(spark, SF_SMOKE, "lineitem")
+        j = (
+            li.join(od, F.col("l_orderkey") == F.col("o_orderkey"))
+            .groupBy("o_orderpriority")
+            .agg(F.count("*").alias("n"))
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in plan, plan
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
