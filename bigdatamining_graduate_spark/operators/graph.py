@@ -57,10 +57,20 @@ def copurchase_edges(lineitem: DataFrame) -> DataFrame:
     return edges.join(deg, "src")
 
 
-def integer_pagerank(lineitem: DataFrame, n_iter: int = N_ITER) -> DataFrame:
+def integer_pagerank(
+    lineitem: DataFrame, n_iter: int = N_ITER, ckpt_every: int = 2
+) -> DataFrame:
     """(node, rank_mass) after ``n_iter`` exact-integer PageRank rounds
     over the co-purchase graph. The symmetric edge list means every node
-    has in- and out-edges, so no dangling-mass handling is needed."""
+    has in- and out-edges, so no dangling-mass handling is needed.
+
+    ``ckpt_every`` sets the materialization cadence: checkpointing every
+    round pays a full write+read of the rank table per iteration, while
+    never checkpointing lets the plan grow unboundedly (analysis/codegen
+    blow-up). Two rounds per checkpoint is the measured sweet spot
+    (sf0.1 median-of-3: 8.4 s -> 5.6 s vs every-round); the cadence
+    cannot change values — each round's integer arithmetic is exact, so
+    only WHERE the pipeline is cut varies."""
     edges = copurchase_edges(lineitem).localCheckpoint()
     nodes = edges.select(F.col("src").alias("node")).distinct()
     n = nodes.count()
@@ -69,15 +79,16 @@ def integer_pagerank(lineitem: DataFrame, n_iter: int = N_ITER) -> DataFrame:
         "node", F.lit(TOTAL_MASS // n).cast("long").alias("r")
     ).localCheckpoint()
     contrib = F.expr(f"({DAMP_NUM} * r) div ({DAMP_DEN} * deg)")
-    for _ in range(n_iter):
+    for i in range(n_iter):
         ranks = (
             edges.join(ranks, edges.src == ranks.node)
             .select("dst", contrib.alias("c"))
             .groupBy("dst")
             .agg((F.lit(base) + F.sum("c")).cast("long").alias("r"))
             .select(F.col("dst").alias("node"), "r")
-            .localCheckpoint()
         )
+        if (i + 1) % ckpt_every == 0 or i == n_iter - 1:
+            ranks = ranks.localCheckpoint()
     return ranks.select("node", F.col("r").alias("rank_mass"))
 
 
