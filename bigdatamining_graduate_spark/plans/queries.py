@@ -4336,6 +4336,121 @@ def q118_value_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_OVL_N = 8        # gram width (words) — verbatim-overlap signal, q80's class
+_OVL_MAX_SRC = 10  # grams in more sources than this are boilerplate: skip
+
+
+@register(
+    "q119_source_overlap_matrix",
+    oracle=f"""
+    WITH sg AS MATERIALIZED (
+      SELECT DISTINCT source, unnest({TX.word_ngrams_sql(TX.tokenize_sql('text'), _OVL_N)}) AS gram
+      FROM documents
+    ),
+    bounded AS MATERIALIZED (
+      SELECT source, gram FROM sg
+      WHERE gram IN (
+        SELECT gram FROM sg GROUP BY gram HAVING count(*) <= {_OVL_MAX_SRC}
+      )
+    )
+    SELECT a.source AS source_a, b.source AS source_b,
+           count(*) AS shared_grams
+    FROM bounded a JOIN bounded b
+      ON a.gram = b.gram AND a.source < b.source
+    GROUP BY a.source, b.source
+    """,
+)
+def q119_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source contamination matrix: for every pair of corpus
+    sources, the number of distinct verbatim {n}-grams they share — the
+    pairwise generalization of q80's benchmark decontamination, used to
+    decide which sources double-count each other before mixing weights
+    are set.
+
+    Scale: the inverted-index shape again, with q25's pair-EMISSION
+    twist — one aggregation collects each gram's source set, the
+    {m}-source cap drops ubiquitous/boilerplate grams (exactly the ones
+    whose pair fanout explodes), and pairs are emitted by in-row array
+    arithmetic over the tiny sorted source list. No self-join, so the
+    gram stream is shuffled ONCE and never re-evaluated; the pair count
+    is a hash agg over |sources|^2 keys.""".format(n=_OVL_N, m=_OVL_MAX_SRC)
+    docs = load_table(spark, sf_dir, "documents")
+    # PROJECT the token array before the gram transform (projection-
+    # boundary rule, operators/dedup.doc_grams): inlining tokenize into
+    # the lambda re-tokenizes the document once PER GRAM — measured 160 s
+    # vs 3 s at the 10x corpus
+    sg = (
+        docs.select("source", TX.tokenize("text").alias("tk"))
+        .select(
+            "source",
+            F.explode(TX.word_ngrams(F.col("tk"), _OVL_N)).alias("gram"),
+        )
+        .distinct()
+    )
+    srcs = (
+        sg.groupBy("gram")
+        .agg(F.array_sort(F.collect_set("source")).alias("srcs"))
+        .filter(F.size("srcs").between(2, _OVL_MAX_SRC))
+    )
+    pairs = F.flatten(
+        F.transform(
+            F.col("srcs"),
+            lambda sa, i: F.transform(
+                F.slice(F.col("srcs"), i + 2, F.size(F.col("srcs"))),
+                lambda sb: F.struct(sa.alias("source_a"), sb.alias("source_b")),
+            ),
+        )
+    )
+    return (
+        srcs.select(F.explode(pairs).alias("p"))
+        .select("p.source_a", "p.source_b")
+        .groupBy("source_a", "source_b")
+        .agg(F.count("*").alias("shared_grams"))
+    )
+
+
+_WEEK_US = 7 * 86400 * 1_000_000
+
+
+@register(
+    "q120_cohort_retention",
+    oracle=f"""
+    WITH uw AS (
+      SELECT DISTINCT user_id, epoch_us(ts) // {_WEEK_US} AS week
+      FROM events
+    ),
+    first AS (SELECT user_id, min(week) AS cohort_week FROM uw GROUP BY user_id)
+    SELECT f.cohort_week, u.week - f.cohort_week AS week_offset,
+           count(*) AS active_users
+    FROM uw u JOIN first f ON f.user_id = u.user_id
+    GROUP BY f.cohort_week, u.week - f.cohort_week
+    """,
+)
+def q120_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix — users bucketed by their first active
+    week, counted per week-offset of later activity: the
+    product-analytics staple (retention curves / triangle charts).
+    Weeks are integer floor-divisions of epoch microseconds, so every
+    cell is exact cross-engine.
+
+    Scale: distinct (user, week) collapses the event stream first; the
+    cohort assignment is a window-free min-agg joined back on user_id —
+    one key, so AQE co-partitions it with the distinct's own shuffle;
+    output is |weeks|^2 / 2 cells."""
+    ev = load_table(spark, sf_dir, "events")
+    uw = ev.select(
+        "user_id", F.expr(f"unix_micros(ts) div {_WEEK_US}").alias("week")
+    ).distinct()
+    first = uw.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    return (
+        uw.join(first, "user_id")
+        .groupBy(
+            "cohort_week", (F.col("week") - F.col("cohort_week")).alias("week_offset")
+        )
+        .agg(F.count("*").alias("active_users"))
+    )
+
+
 # --------------------------------------------------------------------------
 # Driver-window rotation
 # --------------------------------------------------------------------------
@@ -4375,6 +4490,8 @@ _DEFERRED = [
     "q64_hash_split_profile",  # sampling family: q73/q97 stay in window
     "q54_approx_distinct_users",  # no oracle (HLL) -> driver check is rows-only
     "q55_ivf_knn",  # no oracle (recall-tested locally) -> rows-only
+    "q69_bpe_token_stats",  # token-stat family: q28 green, q103/q106 in window
+    "q90_association_rules",  # derived from q89's FPGrowth fit (q89 in window)
 ]
 
 
