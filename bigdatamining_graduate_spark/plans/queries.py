@@ -4451,6 +4451,73 @@ def q120_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+from ..functions import hashing as HSH  # noqa: E402
+
+#: per-language epoch weights (Pile/LLaMA-style mixture repeat factors)
+_EPOCH_W = {"en": 2.25, "de": 1.5, "fr": 1.5, "es": 1.0, "it": 0.75}
+_EPOCH_DEFAULT_W = 1.0
+_EPOCH_SALT = "epoch"
+_HASH_SPAN = float(2**60)  # portable_hash64 is 60-bit
+
+
+def _epoch_w_sql() -> str:
+    arms = " ".join(f"WHEN '{k}' THEN {v}" for k, v in _EPOCH_W.items())
+    return f"(CASE lang {arms} ELSE {_EPOCH_DEFAULT_W} END)"
+
+
+@register(
+    "q121_epoch_upsampling",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, lang,
+             cast(floor({_epoch_w_sql()}) as bigint)
+             + CASE WHEN {HSH.portable_hash64_sql("cast(doc_id as varchar)", _EPOCH_SALT)}
+                         / {_HASH_SPAN}
+                    < {_epoch_w_sql()} - floor({_epoch_w_sql()})
+                    THEN 1 ELSE 0 END AS n
+      FROM documents
+    )
+    SELECT doc_id, lang, unnest(generate_series(1, n)) AS copy_idx
+    FROM t WHERE n > 0
+    """,
+)
+def q121_epoch_upsampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic epoch-weighted upsampling — the data-mixing repeat
+    operator (Pile/LLaMA-style "this source gets 2.25 epochs"): each
+    document is emitted floor(w) times plus one more with probability
+    frac(w), decided by its own stable hash — so expected copies = w per
+    doc, the realized corpus is REPRODUCIBLE (no RNG state), and any
+    shard can be regenerated independently.
+
+    Scale: zero shuffle — weight lookup, hash coin, and the
+    ``sequence``+``explode`` fan-out are all per-row; output size is
+    sum(w_i), exactly the token budget the mixture planner chose. The
+    stochastic-rounding trick is the same hash-as-uniform device as
+    q64's split and q97's weighted sample.""".format()
+    docs = load_table(spark, sf_dir, "documents")
+    w = F.col("lang")
+    expr = F.lit(_EPOCH_DEFAULT_W)
+    for k, v in reversed(list(_EPOCH_W.items())):
+        expr = F.when(w == k, F.lit(v)).otherwise(expr)
+    u = HSH.portable_hash64(
+        F.col("doc_id").cast("string"), _EPOCH_SALT
+    ) / F.lit(_HASH_SPAN)
+    n = F.floor(expr).cast("bigint") + F.when(
+        u < expr - F.floor(expr), 1
+    ).otherwise(0)
+    return (
+        docs.select("doc_id", "lang", n.alias("n"))
+        .filter(F.col("n") > 0)
+        .select(
+            "doc_id",
+            "lang",
+            F.explode(F.sequence(F.lit(1).cast("bigint"), F.col("n"))).alias(
+                "copy_idx"
+            ),
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # Driver-window rotation
 # --------------------------------------------------------------------------
@@ -4492,6 +4559,7 @@ _DEFERRED = [
     "q55_ivf_knn",  # no oracle (recall-tested locally) -> rows-only
     "q69_bpe_token_stats",  # token-stat family: q28 green, q103/q106 in window
     "q90_association_rules",  # derived from q89's FPGrowth fit (q89 in window)
+    "q85_ann_lsh_wide",  # sign-LSH family: q30 driver-green, q74 in window
 ]
 
 

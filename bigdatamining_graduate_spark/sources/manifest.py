@@ -38,6 +38,34 @@ def collect_manifest(spark: SparkSession, path: str, cols: list[str]) -> DataFra
     return df.groupBy("file").agg(*aggs)
 
 
+def append_manifest(
+    spark: SparkSession, path: str, manifest: DataFrame, cols: list[str]
+) -> DataFrame:
+    """Incrementally extend a manifest: stat ONLY files not yet covered
+    (file listing is driver-side metadata work; the scan is restricted to
+    the new files), union with the existing rows. This is the append-only
+    maintenance path — a 100 TB corpus never re-stats its tail."""
+    import glob
+    import os
+
+    known = {r["file"] for r in manifest.select("file").collect()}
+    all_files = [
+        f"file://{p}" if not p.startswith("file:") else p
+        for p in glob.glob(os.path.join(path, "*.parquet"))
+    ]
+    new = [p for p in all_files if p not in known]
+    if not new:
+        return manifest
+    df = spark.read.parquet(*new).select(
+        F.input_file_name().alias("file"), *cols
+    )
+    aggs = [F.count("*").alias("n_rows")]
+    for c in cols:
+        aggs.append(F.min(c).alias(f"{c}_min"))
+        aggs.append(F.max(c).alias(f"{c}_max"))
+    return manifest.unionByName(df.groupBy("file").agg(*aggs))
+
+
 def prune_files(manifest: DataFrame, ranges: dict[str, tuple]) -> list[str]:
     """File paths whose [min, max] interval intersects every requested
     ``col: (lo, hi)`` range (closed intervals; None = unbounded side)."""

@@ -204,3 +204,51 @@ def test_manifest_pruning_skips_files_and_preserves_results(spark, tmp_path):
         .collect()
     )
     assert got == exp and len(got) > 0
+
+
+def test_parquet_schema_evolution_merge(spark, tmp_path):
+    """Appended batches gain columns over a corpus's life; a reader with
+    mergeSchema must union the schemas (missing fields null), and the
+    default reader must still work pinned to the latest batch's schema —
+    the snapshot-evolution contract a 100 TB corpus needs."""
+    from pyspark.sql import functions as F
+
+    p = str(tmp_path / "evolving")
+    spark.range(0, 10).select(F.col("id"), F.lit("a").alias("v1")).write.parquet(f"{p}/b1")
+    spark.range(10, 20).select(
+        F.col("id"), F.lit("b").alias("v1"), F.lit(1.5).alias("v2")
+    ).write.parquet(f"{p}/b2")
+    merged = spark.read.option("mergeSchema", "true").parquet(f"{p}/b1", f"{p}/b2")
+    assert set(merged.columns) == {"id", "v1", "v2"}
+    assert merged.count() == 20
+    assert merged.filter(F.col("v2").isNull()).count() == 10
+
+
+def test_append_manifest_stats_only_new_files(spark, tmp_path):
+    """Incremental manifest maintenance: appending a new batch re-stats
+    ONLY the new files; existing rows carry over and pruning still sees
+    the full layout."""
+    from pyspark.sql import functions as F
+
+    from bigdatamining_graduate_spark.sources import manifest as M
+
+    p = str(tmp_path / "inc")
+    spark.range(0, 100).select(F.col("id"), (F.col("id") % 10).alias("b")).coalesce(
+        2
+    ).write.parquet(p)
+    man1 = M.collect_manifest(spark, p, ["id"])
+    n1 = man1.count()
+    # append a second batch of files into the same directory
+    spark.range(100, 200).select(F.col("id"), (F.col("id") % 10).alias("b")).coalesce(
+        2
+    ).write.mode("append").parquet(p)
+    man2 = M.append_manifest(spark, p, man1, ["id"])
+    n2 = man2.count()
+    assert n2 > n1
+    # no-op append: nothing new to stat
+    assert M.append_manifest(spark, p, man2, ["id"]).count() == n2
+    # pruning over the incrementally-built manifest covers the new range
+    kept = M.prune_files(man2, {"id": (150, 160)})
+    assert kept
+    got = sorted(r["id"] for r in M.pruned_read(spark, p, man2, {"id": (150, 160)}).collect())
+    assert got == list(range(150, 161))
