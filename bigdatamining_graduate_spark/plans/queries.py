@@ -4518,6 +4518,17 @@ def q121_epoch_upsampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("q122_stream_stream_left_outer", oracle=ST.STREAM_STREAM_LEFT_OUTER_SQL)
+def q122_stream_stream_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER join with watermark state eviction — the
+    null-padded rows for unmatched clicks emit exactly when the watermark
+    proves no match can still arrive; the deterministic micro-batch
+    staging makes that emission set a pure function of the fixture, so
+    even the outer rows are oracle-checked. See
+    ``streaming.jobs.stream_stream_left_outer``."""
+    return ST.stream_stream_left_outer(spark, sf_dir)
+
+
 # --------------------------------------------------------------------------
 # Driver-window rotation
 # --------------------------------------------------------------------------
@@ -4560,6 +4571,7 @@ _DEFERRED = [
     "q69_bpe_token_stats",  # token-stat family: q28 green, q103/q106 in window
     "q90_association_rules",  # derived from q89's FPGrowth fit (q89 in window)
     "q85_ann_lsh_wide",  # sign-LSH family: q30 driver-green, q74 in window
+    "q70_winnow_fingerprints",  # fingerprint family: q23 green, feeds q71 (in window)
 ]
 
 

@@ -405,6 +405,138 @@ WHERE c.event_type = 'click' AND e.event_type = 'error'
 """
 
 
+#: left-outer stream-stream geometry: three single-file micro-batches in
+#: EVENT-TIME order (no late data — the outer join's own state eviction is
+#: the semantics under test), 7-day watermark >> 30-min join window so no
+#: potential match is ever evicted early.
+SS_LEFT_SPLITS = ["2024-01-11 00:00:00", "2024-01-21 00:00:00"]
+SS_LEFT_DELAY_DAYS = 7
+SS_LEFT_WINDOW_MIN = 30
+
+
+def stream_stream_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STREAM **left outer** join with watermark state eviction —
+    the hardest standard streaming join: matched (click, error) pairs
+    emit as they meet in state (inner semantics), and an UNMATCHED click
+    emits its null-padded row only when the watermark passes
+    ``click_ts + window`` — i.e. when the state store can PROVE no match
+    can still arrive. Events are staged as three event-time-ordered
+    single-file micro-batches (``maxFilesPerTrigger=1``) so the watermark
+    trajectory — and therefore exactly WHICH unmatched clicks have been
+    finalized by end-of-stream — is a pure function of the fixture:
+    measured on this engine version, the final availableNow batch applies
+    the join watermark min(max click_ts, max error_ts) - delay — the MIN
+    across the two inputs, each tracking stats AFTER its event_type
+    filter — and null rows emit for clicks with ``click_ts + window <
+    that line`` (clicks inside the final horizon stay buffered forever —
+    the honest cost of outer streaming joins, pinned here rather than
+    papered over; the one-row divergence that exposed the min-semantics
+    is exactly why the emission set is oracle-checked, not assumed).
+
+    Scale: state is O(events inside delay + window), both sides shuffle
+    once on user_id; the time bound lives in the join condition, which is
+    what lets eviction work at all."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    ensure_runtime_confs(spark)
+    raw = normalize_events_ts(spark.read.parquet(table_path(sf_dir, "events")))
+    ts = F.col("ts")
+    c0, c1 = [F.lit(c).cast("timestamp") for c in SS_LEFT_SPLITS]
+    stage = tempfile.mkdtemp(prefix="bdm_ssleft_")
+    indir = os.path.join(stage, "in")
+    os.makedirs(indir)
+    for i, pred in enumerate([ts < c0, (ts >= c0) & (ts < c1), ts >= c1]):
+        part_dir = os.path.join(stage, f"part{i}")
+        raw.filter(pred).coalesce(1).write.parquet(part_dir)
+        dst = os.path.join(indir, f"batch{i}.parquet")
+        shutil.move(glob.glob(os.path.join(part_dir, "part-*.parquet"))[0], dst)
+        os.utime(dst, (1_700_000_000 + i * 100, 1_700_000_000 + i * 100))
+
+    def mkstream():
+        return (
+            spark.readStream.schema(raw.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(indir)
+        )
+
+    clicks = (
+        mkstream()
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            "user_id",
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", f"{SS_LEFT_DELAY_DAYS} days")
+    )
+    errors = (
+        mkstream()
+        .filter(F.col("event_type") == "error")
+        .select(
+            F.col("event_id").alias("error_id"),
+            F.col("user_id").alias("e_user_id"),
+            F.col("ts").alias("error_ts"),
+        )
+        .withWatermark("error_ts", f"{SS_LEFT_DELAY_DAYS} days")
+    )
+    joined = clicks.join(
+        errors,
+        (F.col("user_id") == F.col("e_user_id"))
+        & (F.col("error_ts") >= F.col("click_ts"))
+        & (
+            F.col("error_ts")
+            < F.col("click_ts") + F.expr(f"INTERVAL {SS_LEFT_WINDOW_MIN} MINUTES")
+        ),
+        "left_outer",
+    )
+    out = joined.select(
+        "user_id",
+        "click_id",
+        "error_id",
+        (F.unix_micros("error_ts") - F.unix_micros("click_ts")).alias("gap_us"),
+    )
+    return _run_to_memory(out, mode="append")
+
+
+STREAM_STREAM_LEFT_OUTER_SQL = f"""
+WITH wm AS (
+  -- the join's watermark is the MIN across its two inputs, and each
+  -- input's event-time stats are tracked AFTER the event_type filter --
+  -- so the emit line follows whichever filtered stream ends earlier
+  SELECT least(
+           (SELECT max(ts) FROM events WHERE event_type = 'click'),
+           (SELECT max(ts) FROM events WHERE event_type = 'error')
+         ) - INTERVAL {SS_LEFT_DELAY_DAYS} DAY AS emit_line
+  FROM events LIMIT 1
+),
+c AS (
+  SELECT event_id AS click_id, user_id, ts AS cts FROM events
+  WHERE event_type = 'click'
+),
+e AS (
+  SELECT event_id AS error_id, user_id, ts AS ets FROM events
+  WHERE event_type = 'error'
+),
+m AS (
+  SELECT c.user_id, c.click_id, e.error_id,
+         epoch_us(e.ets) - epoch_us(c.cts) AS gap_us
+  FROM c JOIN e ON e.user_id = c.user_id
+   AND e.ets >= c.cts
+   AND e.ets < c.cts + INTERVAL {SS_LEFT_WINDOW_MIN} MINUTE
+)
+SELECT user_id, click_id, error_id, gap_us FROM m
+UNION ALL
+SELECT c.user_id, c.click_id,
+       cast(NULL as bigint) AS error_id, cast(NULL as bigint) AS gap_us
+FROM c, wm
+WHERE NOT EXISTS (SELECT 1 FROM m WHERE m.click_id = c.click_id)
+  AND c.cts + INTERVAL {SS_LEFT_WINDOW_MIN} MINUTE < wm.emit_line
+"""
+
+
 def stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming incremental dedup — the crawl-ingestion shape: NEW
     documents arrive as a stream, are fingerprinted, anti-joined against
