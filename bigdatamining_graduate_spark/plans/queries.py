@@ -4529,6 +4529,121 @@ def q122_stream_stream_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame
     return ST.stream_stream_left_outer(spark, sf_dir)
 
 
+_VAR_BUCKET = 10  # k-value bucket width
+
+
+@register(
+    "q123_variant_props_buckets",
+    oracle=f"""
+    WITH x AS (
+      SELECT event_type,
+             cast(json_extract_string(props, '$.k') as bigint) // {_VAR_BUCKET}
+               AS k_bucket
+      FROM events
+      WHERE json_extract_string(props, '$.k') IS NOT NULL
+    ),
+    c AS (
+      SELECT event_type, k_bucket, count(*) AS n
+      FROM x GROUP BY event_type, k_bucket
+    )
+    SELECT event_type, k_bucket, n,
+           round(cast(n as double)
+                 / sum(n) OVER (PARTITION BY event_type), 6) AS share
+    FROM c
+    """,
+)
+def q123_variant_props_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured props via Spark 4's VARIANT type: ``parse_json``
+    parses each payload ONCE into the binary variant encoding and typed
+    fields come out with ``variant_get`` — the modern engine path for
+    schemaless columns (vs q21's per-path ``get_json_object`` string
+    re-parse; with one extracted path they tie, with k paths variant
+    parses 1x instead of kx). Output: per-type distribution of ``k`` in
+    width-{w} buckets with within-type shares.
+
+    Scale: parse + extraction are per-row JVM expressions (no UDF); one
+    count agg over the facts, shares as a window over the tiny cell
+    table (q115's pattern).""".format(w=_VAR_BUCKET)
+    ev = load_table(spark, sf_dir, "events")
+    k = F.variant_get(F.parse_json("props"), "$.k", "bigint")
+    x = ev.filter(k.isNotNull()).select(
+        "event_type", F.floor(k / _VAR_BUCKET).cast("bigint").alias("k_bucket")
+    )
+    c = x.groupBy("event_type", "k_bucket").agg(F.count("*").alias("n"))
+    share = F.col("n").cast("double") / F.sum("n").over(
+        Window.partitionBy("event_type")
+    )
+    return c.select(
+        "event_type", "k_bucket", "n", F.round(share, 6).alias("share")
+    )
+
+
+@register(
+    "q124_fk_integrity",
+    oracle="""
+    SELECT 'lineitem.l_orderkey->orders' AS fk,
+           (SELECT count(*) FROM lineitem) AS n_rows,
+           (SELECT count(*) FROM lineitem l
+             WHERE NOT EXISTS (SELECT 1 FROM orders o
+                               WHERE o.o_orderkey = l.l_orderkey)) AS n_orphans
+    UNION ALL
+    SELECT 'lineitem.l_partkey->part',
+           (SELECT count(*) FROM lineitem),
+           (SELECT count(*) FROM lineitem l
+             WHERE NOT EXISTS (SELECT 1 FROM part p
+                               WHERE p.p_partkey = l.l_partkey))
+    UNION ALL
+    SELECT 'orders.o_custkey->customer',
+           (SELECT count(*) FROM orders),
+           (SELECT count(*) FROM orders o
+             WHERE NOT EXISTS (SELECT 1 FROM customer c
+                               WHERE c.c_custkey = o.o_custkey))
+    """,
+)
+def q124_fk_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit — the constraint-validation pass a
+    warehouse runs after every load (dbt's relationship tests, done at
+    engine scale): for each declared foreign key, total rows and orphan
+    rows (references with no parent), via LEFT ANTI joins.
+
+    Scale: each check is one anti-join on the FK — the parent key side
+    is a dimension (broadcastable by stats) or co-partitioned with the
+    fact for fact-fact keys; the three audits are independent branches
+    unioned into one 3-row report, so the whole constraint suite is a
+    single job, not N sequential queries."""
+    li = load_table(spark, sf_dir, "lineitem")
+    od = load_table(spark, sf_dir, "orders")
+    part = load_table(spark, sf_dir, "part")
+    cust = load_table(spark, sf_dir, "customer")
+
+    def audit(fact: DataFrame, fk: str, parent: DataFrame, pk: str, label: str) -> DataFrame:
+        # one LEFT join + conditional count yields total AND orphan rows
+        # in a single pass (an anti-join would need a second scan for the
+        # total); parent pks are unique, so the join never multiplies
+        p = parent.select(F.col(pk).alias(fk)).withColumn("__hit", F.lit(1))
+        return (
+            fact.join(p, fk, "left")
+            .agg(
+                F.count("*").alias("n_rows"),
+                F.sum(F.when(F.col("__hit").isNull(), 1).otherwise(0))
+                .cast("bigint")
+                .alias("n_orphans"),
+            )
+            .select(F.lit(label).alias("fk"), "n_rows", "n_orphans")
+        )
+
+    return (
+        audit(li.select("l_orderkey"), "l_orderkey", od, "o_orderkey",
+              "lineitem.l_orderkey->orders")
+        .unionByName(
+            audit(li.select("l_partkey"), "l_partkey", part, "p_partkey",
+                  "lineitem.l_partkey->part"))
+        .unionByName(
+            audit(od.select("o_custkey"), "o_custkey", cust, "c_custkey",
+                  "orders.o_custkey->customer"))
+    )
+
+
 # --------------------------------------------------------------------------
 # Driver-window rotation
 # --------------------------------------------------------------------------
@@ -4572,6 +4687,8 @@ _DEFERRED = [
     "q90_association_rules",  # derived from q89's FPGrowth fit (q89 in window)
     "q85_ann_lsh_wide",  # sign-LSH family: q30 driver-green, q74 in window
     "q70_winnow_fingerprints",  # fingerprint family: q23 green, feeds q71 (in window)
+    "q65_stream_static_segments",  # stream-vs-static mechanism also in q104 (in window)
+    "q51_label_centroids",  # vector-mean agg; arithmetic family green via q29/q30
 ]
 
 
