@@ -4644,6 +4644,82 @@ def q124_fk_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_HOUR_US = 3600 * 1_000_000
+
+
+@register(
+    "q125_gap_fill_locf",
+    oracle=f"""
+    WITH hourly AS (
+      SELECT event_type, epoch_us(ts) // {_HOUR_US} AS h,
+             count(*) AS n, {N.exact_sum_sql('value')} AS sum_v
+      FROM events GROUP BY event_type, epoch_us(ts) // {_HOUR_US}
+    ),
+    bounds AS (SELECT min(h) AS h0, max(h) AS h1 FROM hourly),
+    spine AS (
+      SELECT t.event_type, gs.h
+      FROM (SELECT DISTINCT event_type FROM events) t,
+           (SELECT unnest(generate_series((SELECT h0 FROM bounds),
+                                          (SELECT h1 FROM bounds))) AS h) gs
+    )
+    SELECT s.event_type, s.h AS hour_bucket,
+           coalesce(hh.n, 0) AS n, hh.sum_v,
+           last_value(hh.sum_v IGNORE NULLS)
+             OVER (PARTITION BY s.event_type ORDER BY s.h
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS locf_sum
+    FROM spine s LEFT JOIN hourly hh
+      ON hh.event_type = s.event_type AND hh.h = s.h
+    """,
+)
+def q125_gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series regularization: hourly per-type value sums re-sampled
+    onto a dense calendar spine — missing hours appear with n=0 and the
+    last observed sum carried forward (LOCF) — the gap-fill operator
+    every monitoring/feature pipeline needs before windowed models can
+    assume regular cadence.
+
+    Scale: the facts aggregate once to |types| x |hours| cells; the
+    spine is generated from a 1-row bounds agg crossed with the distinct
+    type list (never a driver-side range literal), and the LOCF window
+    runs over the tiny dense grid. Integer hour buckets + exact decimal
+    sums keep every cell hash-stable."""
+    ev = load_table(spark, sf_dir, "events")
+    h = F.expr(f"unix_micros(ts) div {_HOUR_US}")
+    # materialize the tiny cell table once (|types| x |hours| rows): the
+    # spine bounds, the type list, and the join probe all read it, so the
+    # event stream is scanned exactly once (same checkpoint discipline as
+    # the graph ops)
+    hourly = (
+        ev.groupBy("event_type", h.alias("h"))
+        .agg(F.count("*").alias("n"), N.exact_sum(F.col("value")).alias("sum_v"))
+        .localCheckpoint()
+    )
+    bounds = hourly.agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+    types = hourly.select("event_type").distinct()
+    spine = (
+        types.crossJoin(F.broadcast(bounds))
+        .select(
+            "event_type",
+            F.explode(F.sequence(F.col("h0"), F.col("h1"))).alias("h"),
+        )
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        spine.join(hourly, ["event_type", "h"], "left")
+        .select(
+            "event_type",
+            F.col("h").alias("hour_bucket"),
+            F.coalesce("n", F.lit(0)).alias("n"),
+            "sum_v",
+            F.last("sum_v", ignorenulls=True).over(w).alias("locf_sum"),
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # Driver-window rotation
 # --------------------------------------------------------------------------
@@ -4689,6 +4765,7 @@ _DEFERRED = [
     "q70_winnow_fingerprints",  # fingerprint family: q23 green, feeds q71 (in window)
     "q65_stream_static_segments",  # stream-vs-static mechanism also in q104 (in window)
     "q51_label_centroids",  # vector-mean agg; arithmetic family green via q29/q30
+    "q88_pmi_collocations",  # co-occurrence family: q40 driver-green; benched
 ]
 
 
