@@ -26,6 +26,7 @@ ALLOWED = {
     "q106_bm25_search",          # 1-row avgdl/N-docs broadcast (q31 pattern)
     "q109_parts_in_all_regions", # 1-row |region| divisor broadcast
     "q111_embedding_quantization",  # 1-row per-dim min/max arrays broadcast
+    "q125_gap_fill_locf",        # 1-row spine-bounds broadcast (q03 pattern)
 }
 
 
