@@ -56,6 +56,10 @@ HEADLINE = [
     "q108_small_qty_revenue",   # TPC-H Q17 correlated-agg join shape
     "q111_embedding_quantization",  # zero-shuffle int8 vector codes
     "q113_skipgram_pairs",      # window co-occurrence pair extraction
+    "q127_nation_market_share", # TPC-H Q8 share-of-parent windowed star join
+    "q129_semdedup_discards",   # bucketed semantic-dedup discard decisions
+    "q132_peak_concurrency",    # sweep-line peak via split prefix sum
+    "q133_mad_outliers",        # two-pass robust MAD outlier scan
 ]
 
 

@@ -4721,6 +4721,568 @@ def q125_gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Round-3 second batch: classic conditional-share joins (TPC-H Q14/Q8/Q22
+# shapes the relational layer lacked) + training-mixture planning and
+# bucketed semantic-dedup decisions
+# --------------------------------------------------------------------------
+
+from ..functions import vectors as V  # noqa: E402
+
+
+@register(
+    "q126_promo_revenue_share",
+    oracle=f"""
+    SELECT (year(l_shipdate) * 100 + month(l_shipdate)) AS ship_month,
+           coalesce(cast(sum(CASE WHEN p_type = 'PROMO'
+                                  THEN {N.revenue_sql('l_extendedprice', 'l_discount')}
+                             END) as double), 0.0)                        AS promo_revenue,
+           cast(sum({N.revenue_sql('l_extendedprice', 'l_discount')}) as double)
+                                                                          AS total_revenue,
+           round(coalesce(cast(sum(CASE WHEN p_type = 'PROMO'
+                                        THEN {N.revenue_sql('l_extendedprice', 'l_discount')}
+                                   END) as double), 0.0)
+                 / cast(sum({N.revenue_sql('l_extendedprice', 'l_discount')}) as double),
+                 6)                                                       AS promo_share
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY 1
+    """,
+)
+def q126_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q14-style promo revenue share per ship month: conditional
+    aggregation (the reference's when-chain + groupBy-sum idiom,
+    ``hw2/BDM_hw2_final.py:203-206`` P14/A8) fused into ONE pass — the
+    promo and total sums come out of the same hash aggregate, no second
+    scan, no post-hoc pandas merge.
+
+    Scale: `part` is a broadcast dim (|parts| ~ sf x 200k rows of 2
+    columns after pruning), so the fact table never shuffles for the
+    join; one shuffle on the ~84 month keys. Decimal sums keep both
+    engines bit-identical; the share divides the two exact sums as
+    doubles."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pt = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = N.revenue(F.col("l_extendedprice"), F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", rev)
+    out = (
+        li.join(F.broadcast(pt), li.l_partkey == pt.p_partkey)
+        .groupBy(
+            (F.year("l_shipdate") * 100 + F.month("l_shipdate")).alias("ship_month")
+        )
+        .agg(
+            F.coalesce(F.sum(promo).cast("double"), F.lit(0.0)).alias("promo_revenue"),
+            F.sum(rev).cast("double").alias("total_revenue"),
+        )
+    )
+    return out.select(
+        "ship_month",
+        "promo_revenue",
+        "total_revenue",
+        F.round(F.col("promo_revenue") / F.col("total_revenue"), 6).alias("promo_share"),
+    )
+
+
+@register(
+    "q127_nation_market_share",
+    oracle=f"""
+    WITH rev AS (
+      SELECT r_name, n_name, year(o_orderdate) AS order_year,
+             sum({N.revenue_sql('l_extendedprice', 'l_discount')}) AS rev_dec
+      FROM lineitem
+      JOIN orders   ON l_orderkey  = o_orderkey
+      JOIN customer ON o_custkey   = c_custkey
+      JOIN nation   ON c_nationkey = n_nationkey
+      JOIN region   ON n_regionkey = r_regionkey
+      GROUP BY 1, 2, 3)
+    SELECT r_name, n_name, order_year,
+           cast(rev_dec as double) AS revenue,
+           round(cast(rev_dec as double)
+                 / cast(sum(rev_dec) OVER (PARTITION BY r_name, order_year) as double),
+                 6) AS region_share
+    FROM rev
+    """,
+)
+def q127_nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q8-style market share: each nation's slice of its region's
+    yearly revenue. The 4-dim star join (J1) feeds a windowed
+    share-of-total — the percent-of-parent analytic the reference
+    computes with a driver-side pandas merge (``hw2`` daily share
+    tables).
+
+    Scale: all four dims broadcast; one fact shuffle onto the
+    (region, nation, year) group key; the share window repartitions only
+    the ~|nations| x |years| aggregate rows. The window SUMS DECIMALS
+    (order-independent, exact) — summing doubles in a window is
+    engine-order-dependent and would break cross-engine hashing."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    r = load_table(spark, sf_dir, "region")
+    rev = N.revenue(F.col("l_extendedprice"), F.col("l_discount"))
+    grouped = (
+        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name", F.year("o_orderdate").alias("order_year"))
+        .agg(F.sum(rev).alias("rev_dec"))
+    )
+    w = Window.partitionBy("r_name", "order_year")
+    return grouped.select(
+        "r_name",
+        "n_name",
+        "order_year",
+        F.col("rev_dec").cast("double").alias("revenue"),
+        F.round(
+            F.col("rev_dec").cast("double") / F.sum("rev_dec").over(w).cast("double"), 6
+        ).alias("region_share"),
+    )
+
+
+_Q128_RECENT = "2001-01-01 00:00:00"
+
+@register(
+    "q128_dormant_prospects",
+    oracle=f"""
+    WITH thr AS (
+      SELECT {N.exact_avg_sql('c_acctbal')} AS avg_bal
+      FROM customer WHERE c_acctbal > 0)
+    SELECT c_mktsegment,
+           count(*) AS n_prospects,
+           {N.exact_sum_sql('c_acctbal')} AS total_bal
+    FROM customer, thr
+    WHERE c_acctbal > thr.avg_bal
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = customer.c_custkey
+                        AND o.o_orderdate >= TIMESTAMP '{_Q128_RECENT}')
+    GROUP BY c_mktsegment
+    """,
+)
+def q128_dormant_prospects(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q22-style dormant high-value customers: above the global
+    positive-balance average (scalar subquery -> 1-row broadcast, the q03
+    bounds pattern) with no order since {_Q128_RECENT} (left-anti against
+    the date-filtered orders, J6). Per-segment count + exact balance sum.
+
+    Scale: the threshold is a 1-row broadcast; the anti-join's build side
+    is only the RECENT orders' custkeys (date filter pushed to the scan),
+    so at 100 TB the anti-join hashes a thin recent slice, not order
+    history. One final shuffle on the 5-value segment key."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    thr = cust.filter(F.col("c_acctbal") > 0).agg(
+        N.exact_avg(F.col("c_acctbal")).alias("avg_bal")
+    )
+    recent = orders.filter(
+        F.col("o_orderdate") >= F.lit(_Q128_RECENT).cast("timestamp")
+    ).select("o_custkey")
+    return (
+        cust.crossJoin(F.broadcast(thr))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(recent, cust.c_custkey == recent.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_prospects"),
+            N.exact_sum(F.col("c_acctbal")).alias("total_bal"),
+        )
+    )
+
+
+_SEM_BITS = 4      # sign bits of the first 4 dims -> 16 coarse buckets
+_SEM_TAU = 0.35    # within-bucket cosine above this = semantic duplicate
+
+_SEM_BUCKET_SQL = " + ".join(
+    f"(CASE WHEN v[{i + 1}] > 0 THEN {1 << i} ELSE 0 END)" for i in range(_SEM_BITS)
+)
+
+
+@register(
+    "q129_semdedup_discards",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v,
+             ({_SEM_BUCKET_SQL}) AS bucket
+      FROM embeddings)
+    SELECT a.vec_id, a.bucket,
+           min(b.vec_id)                                   AS dup_of,
+           round(max({V.cosine_sql('a.v', 'b.v')}), 6)     AS max_cos
+    FROM e a JOIN e b ON a.bucket = b.bucket AND b.vec_id < a.vec_id
+    WHERE {V.cosine_sql('a.v', 'b.v')} >= {_SEM_TAU}
+    GROUP BY a.vec_id, a.bucket
+    """,
+)
+def q129_semdedup_discards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDedup-style discard decisions: embeddings are coarsely
+    clustered (sign bits of the first {_SEM_BITS} dims — the cheap
+    deterministic stand-in for the paper's k-means assignment), and
+    within a cluster a vector is DISCARDED when a lower-id vector sits
+    within cosine >= {_SEM_TAU} (dominance policy: deterministic,
+    order-free, and an upper bound of the sequential greedy sweep).
+    Output: each discarded vec, its cluster, its canonical survivor
+    (lowest dominating id) and the strongest similarity that killed it.
+
+    Scale: candidate generation is an equi-join on the bucket key — the
+    q30 geometry argument applies verbatim: bucket bits must grow with
+    log2(n) to keep within-bucket pair work linear overall. No all-pairs
+    stage anywhere; the groupBy shuffles only (id, id, cos) scalars."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    bucket = sum(
+        (
+            F.when(F.col("v")[i] > 0, F.lit(1 << i)).otherwise(F.lit(0))
+            for i in range(_SEM_BITS)
+        ),
+        start=F.lit(0),
+    )
+    e = emb.select("vec_id", "v", bucket.alias("bucket"))
+    a = e.select(F.col("vec_id"), F.col("v").alias("va"), "bucket")
+    b = e.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"), "bucket")
+    cos = V.cosine(F.col("va"), F.col("vb"))
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("vec_b") < F.col("vec_id"))
+        .select("vec_id", "bucket", "vec_b", cos.alias("cos"))
+        .filter(F.col("cos") >= _SEM_TAU)
+        .groupBy("vec_id", "bucket")
+        .agg(
+            F.min("vec_b").alias("dup_of"),
+            F.round(F.max("cos"), 6).alias("max_cos"),
+        )
+    )
+
+
+_MIX_ALPHA = 0.3           # sampling temperature: weight ∝ chars^alpha
+_MIX_BUDGET = 1_000_000_000.0  # training-token budget the mixture fills
+
+@register(
+    "q130_source_temperature_mix",
+    oracle=f"""
+    WITH s AS (
+      SELECT source, count(*) AS n_docs, sum(n_chars) AS total_chars
+      FROM documents GROUP BY source)
+    SELECT source, n_docs, total_chars,
+           round(pow(total_chars, {_MIX_ALPHA})
+                 / sum(pow(total_chars, {_MIX_ALPHA})) OVER (), 6) AS mix_share,
+           round(pow(total_chars, {_MIX_ALPHA})
+                 / sum(pow(total_chars, {_MIX_ALPHA})) OVER ()
+                 * {_MIX_BUDGET} / total_chars, 6)                 AS epochs
+    FROM s
+    """,
+)
+def q130_source_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based source mixture planning: per-source sampling
+    share ∝ size^{_MIX_ALPHA} (the standard up-weighting of small
+    high-quality sources when assembling a training mix) and the implied
+    epoch count each source sustains under a {_MIX_BUDGET:.0e}-token
+    budget — >1 epoch means that source repeats.
+
+    Scale: one hash-agg shuffle over the corpus; the share window runs
+    on the |sources|-row aggregate only (single tiny partition by
+    construction — that is the honest cost of a global normalizer, and
+    it is O(|sources|), not O(rows))."""
+    docs = load_table(spark, sf_dir, "documents")
+    s = docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"), F.sum("n_chars").alias("total_chars")
+    )
+    w = Window.partitionBy()
+    wgt = F.pow(F.col("total_chars"), F.lit(_MIX_ALPHA))
+    share = wgt / F.sum(wgt).over(w)
+    return s.select(
+        "source",
+        "n_docs",
+        "total_chars",
+        F.round(share, 6).alias("mix_share"),
+        F.round(share * F.lit(_MIX_BUDGET) / F.col("total_chars"), 6).alias("epochs"),
+    )
+
+
+@register(
+    "q131_doclen_cdf",
+    oracle="""
+    WITH h AS (
+      SELECT (n_chars // 100) AS len_bucket, count(*) AS n_docs
+      FROM documents GROUP BY 1)
+    SELECT len_bucket, n_docs,
+           round(cast(sum(n_docs) OVER (ORDER BY len_bucket) as double)
+                 / cast(sum(n_docs) OVER () as double), 6) AS cum_share
+    FROM h
+    """,
+)
+def q131_doclen_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-length histogram + CDF (100-char buckets): the
+    length-distribution profile a context-window / packing decision
+    (q78, q79) is made from. Integer window sums keep the CDF exact and
+    engine-independent.
+
+    Scale: one hash-agg to ~|max_len/100| bucket rows; both windows run
+    over that bounded bucket table, not the corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    h = docs.groupBy(F.expr("n_chars div 100").alias("len_bucket")).agg(
+        F.count("*").alias("n_docs")
+    )
+    w_cum = Window.partitionBy().orderBy("len_bucket")
+    w_all = Window.partitionBy()
+    return h.select(
+        "len_bucket",
+        "n_docs",
+        F.round(
+            F.sum("n_docs").over(w_cum).cast("double")
+            / F.sum("n_docs").over(w_all).cast("double"),
+            6,
+        ).alias("cum_share"),
+    )
+
+
+_Q132_HOLD_US = 15 * 60 * 1_000_000  # each event holds a slot for 15 min
+_DAY_US = 24 * 3600 * 1_000_000
+
+
+@register(
+    "q132_peak_concurrency",
+    oracle=f"""
+    WITH edges AS (
+      SELECT event_type, epoch_us(ts) AS t, 1 AS d FROM events
+      UNION ALL
+      SELECT event_type, epoch_us(ts) + {_Q132_HOLD_US}, -1 FROM events),
+    net AS (
+      SELECT event_type, t, sum(d) AS net FROM edges GROUP BY 1, 2),
+    run AS (
+      SELECT event_type, t,
+             sum(net) OVER (PARTITION BY event_type ORDER BY t) AS active
+      FROM net),
+    sel AS (
+      SELECT event_type, t, active,
+             max(active) OVER (PARTITION BY event_type) AS peak
+      FROM run)
+    SELECT event_type,
+           cast(max(active) as bigint) AS peak_concurrency,
+           cast(min(t) as bigint)      AS first_peak_us
+    FROM sel WHERE active = peak
+    GROUP BY event_type
+    """,
+)
+def q132_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sweep-line peak concurrency: each event holds a resource for
+    15 min; per type, the maximum number simultaneously held and the
+    first instant it happens. The interval-overlap analytic (capacity
+    planning / rate limiting) the reference has no operator for.
+
+    Scale: the prefix sum is SPLIT — within-(type, day) running sums
+    plus a per-day carry window over the tiny (type, day) totals (the
+    q78 two-pass pattern) — so no per-type global sort ever touches the
+    full edge stream; the carry window handles |days| rows. Integer
+    counters make every engine agree exactly."""
+    ev = load_table(spark, sf_dir, "events")
+    t = F.unix_micros("ts")
+    starts = ev.select("event_type", t.alias("t"), F.lit(1).alias("d"))
+    ends = ev.select(
+        "event_type", (t + F.lit(_Q132_HOLD_US)).alias("t"), F.lit(-1).alias("d")
+    )
+    net = (
+        starts.unionByName(ends)
+        .groupBy("event_type", "t")
+        .agg(F.sum("d").alias("net"))
+        .withColumn("day", F.expr(f"t div {_DAY_US}"))
+    )
+    w_in = (
+        Window.partitionBy("event_type", "day")
+        .orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    within = net.withColumn("day_cum", F.sum("net").over(w_in))
+    day_tot = net.groupBy("event_type", "day").agg(F.sum("net").alias("day_net"))
+    w_carry = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carry = day_tot.select(
+        "event_type",
+        "day",
+        F.coalesce(F.sum("day_net").over(w_carry), F.lit(0)).alias("carry"),
+    )
+    run = within.join(carry, ["event_type", "day"]).select(
+        "event_type", "t", (F.col("day_cum") + F.col("carry")).alias("active")
+    )
+    w_peak = Window.partitionBy("event_type")
+    return (
+        run.withColumn("peak", F.max("active").over(w_peak))
+        .filter(F.col("active") == F.col("peak"))
+        .groupBy("event_type")
+        .agg(
+            F.max("active").cast("bigint").alias("peak_concurrency"),
+            F.min("t").cast("bigint").alias("first_peak_us"),
+        )
+    )
+
+
+_MAD_K = 3.0  # flag |value - median| > K * MAD
+
+
+@register(
+    "q133_mad_outliers",
+    oracle=f"""
+    WITH med AS (
+      SELECT event_type, quantile_cont(value, 0.5) AS med
+      FROM events GROUP BY event_type),
+    dev AS (
+      SELECT e.event_type, e.value, m.med, abs(e.value - m.med) AS adev
+      FROM events e JOIN med m USING (event_type)),
+    mad AS (
+      SELECT event_type, quantile_cont(adev, 0.5) AS mad
+      FROM dev GROUP BY event_type)
+    SELECT d.event_type,
+           round(max(d.med), 6) AS med,
+           round(max(m.mad), 6) AS mad,
+           count(*) AS n,
+           sum(CASE WHEN d.adev > {_MAD_K} * m.mad THEN 1 ELSE 0 END) AS n_outliers
+    FROM dev d JOIN mad m USING (event_type)
+    GROUP BY d.event_type
+    """,
+)
+def q133_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection: per-type median absolute deviation,
+    flagging values beyond {_MAD_K} MADs — the robust-statistics twin of
+    q118's z-score detector (immune to the outliers it hunts). Exact
+    interpolated medians via the q60-verified percentile/quantile_cont
+    equivalence.
+
+    Scale: exact MAD is inherently two-pass (median before deviations);
+    the thin (type, value, med) projection is localCheckpoint'd so the
+    fact table scans ONCE per pass instead of re-expanding the join
+    subtree for the mad and final aggregates (q114/q115 discipline). At
+    100 TB swap percentile -> approx_percentile for one-pass sketches."""
+    ev = load_table(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(F.expr("percentile(value, 0.5)").alias("med"))
+    dev = (
+        ev.join(F.broadcast(med), "event_type")
+        .select(
+            "event_type",
+            "value",
+            "med",
+            F.abs(F.col("value") - F.col("med")).alias("adev"),
+        )
+        .localCheckpoint()
+    )
+    mad = dev.groupBy("event_type").agg(F.expr("percentile(adev, 0.5)").alias("mad"))
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.round(F.max("med"), 6).alias("med"),
+            F.round(F.max("mad"), 6).alias("mad"),
+            F.count("*").alias("n"),
+            F.sum(
+                F.when(F.col("adev") > F.lit(_MAD_K) * F.col("mad"), 1).otherwise(0)
+            ).alias("n_outliers"),
+        )
+    )
+
+
+_Q134_WINDOW_US = 7 * _DAY_US  # attribution lookback
+
+
+@register(
+    "q134_last_touch_attribution",
+    oracle=f"""
+    WITH seq AS (
+      SELECT user_id, event_type, epoch_us(ts) AS t,
+             max(CASE WHEN event_type = 'click' THEN epoch_us(ts) END)
+               OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_click_t
+      FROM events)
+    SELECT user_id,
+           count(*) AS n_purchases,
+           sum(CASE WHEN last_click_t IS NOT NULL
+                     AND t - last_click_t <= {_Q134_WINDOW_US}
+                    THEN 1 ELSE 0 END) AS n_attributed,
+           round(sum(CASE WHEN last_click_t IS NOT NULL
+                           AND t - last_click_t <= {_Q134_WINDOW_US}
+                          THEN 1 ELSE 0 END) / cast(count(*) as double),
+                 6) AS attributed_share
+    FROM seq WHERE event_type = 'purchase'
+    GROUP BY user_id
+    """,
+)
+def q134_last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: a purchase is attributed when the same
+    user clicked within the preceding 7 days. One pass over the
+    per-user event sequence — the running 'last click before me' comes
+    from a frame-bounded window max (strictly-preceding rows;
+    (ts, event_id) ordering makes the frame total), no self-join against
+    the click history.
+
+    Scale: single shuffle onto user_id; the window frame is the standard
+    per-user sequence scan every sessionization already pays (q18)."""
+    ev = load_table(spark, sf_dir, "events")
+    t = F.unix_micros("ts")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(t.asc(), F.col("event_id").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    seq = ev.select(
+        "user_id",
+        "event_type",
+        t.alias("t"),
+        F.max(F.when(F.col("event_type") == "click", t)).over(w).alias("last_click_t"),
+    )
+    attributed = (
+        F.col("last_click_t").isNotNull()
+        & (F.col("t") - F.col("last_click_t") <= _Q134_WINDOW_US)
+    )
+    return (
+        seq.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_purchases"),
+            F.sum(F.when(attributed, 1).otherwise(0)).alias("n_attributed"),
+            F.round(
+                F.sum(F.when(attributed, 1).otherwise(0)) / F.count("*").cast("double"),
+                6,
+            ).alias("attributed_share"),
+        )
+    )
+
+
+@register(
+    "q135_status_priority_sets",
+    oracle=f"""
+    SELECT o_orderstatus, o_orderpriority,
+           count(*) AS n_orders,
+           {N.exact_sum_sql('o_totalprice')} AS total_price
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                            (o_orderstatus), (o_orderpriority))
+    """,
+)
+def q135_status_priority_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS — the third member of the multi-level
+    aggregation family (q41 ROLLUP is the prefix lattice, q42 CUBE the
+    full lattice; GROUPING SETS picks exactly the marginals wanted, here
+    both one-way margins plus the joint cells, NO grand total). Spark
+    plans all three through the same single-scan Expand operator.
+
+    Scale: one Expand (3x row multiplier) + one hash-agg shuffle; the
+    fixture's non-null dimension values make the NULL set-markers
+    unambiguous, so no grouping_id column is needed."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupingSets(
+        [
+            [F.col("o_orderstatus"), F.col("o_orderpriority")],
+            [F.col("o_orderstatus")],
+            [F.col("o_orderpriority")],
+        ],
+        F.col("o_orderstatus"),
+        F.col("o_orderpriority"),
+    ).agg(
+        F.count("*").alias("n_orders"),
+        N.exact_sum(F.col("o_totalprice")).alias("total_price"),
+    )
+
+
+# --------------------------------------------------------------------------
 # Driver-window rotation
 # --------------------------------------------------------------------------
 # The driver's correctness harness oracle-checks the FIRST 50 registry

@@ -27,6 +27,7 @@ ALLOWED = {
     "q109_parts_in_all_regions", # 1-row |region| divisor broadcast
     "q111_embedding_quantization",  # 1-row per-dim min/max arrays broadcast
     "q125_gap_fill_locf",        # 1-row spine-bounds broadcast (q03 pattern)
+    "q128_dormant_prospects",    # 1-row global-average broadcast (q03 pattern)
 }
 
 
