@@ -5282,6 +5282,100 @@ def q135_status_priority_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("q136_stream_dedup_watermarked", oracle=ST.DEDUP_WITHIN_WATERMARK_SQL)
+def q136_stream_dedup_watermarked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-state streaming dedup (``dropDuplicatesWithinWatermark``)
+    over a deliberately-duplicated event stream — see
+    ``streaming.jobs.dedup_within_watermark_counts`` for the state-bound
+    argument vs q38's unbounded ``dropDuplicates``."""
+    return ST.dedup_within_watermark_counts(spark, sf_dir)
+
+
+@register("q137_stream_daily_peak_rate", oracle=ST.HOURLY_THEN_DAILY_MAX_SQL)
+def q137_stream_daily_peak_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chained streaming window aggregation: daily peak hourly rate per
+    type in ONE streaming job (window-on-window, multi-stateful-operator
+    pipeline) — see ``streaming.jobs.hourly_then_daily_max``."""
+    return ST.hourly_then_daily_max(spark, sf_dir)
+
+
+_Q138_NEW = "(SELECT * FROM documents WHERE doc_id % 2 = 1) nd"
+_Q138_HIST = "(SELECT * FROM documents WHERE doc_id % 2 = 0) hd"
+
+
+@register(
+    "q138_gram_novelty",
+    oracle=f"""
+    WITH newg AS ({DD.doc_grams_sql(table=_Q138_NEW)}),
+    hist AS (
+      SELECT DISTINCT gram FROM ({DD.doc_grams_sql(table=_Q138_HIST)})
+    )
+    SELECT n.doc_id,
+           count(*)         AS n_grams,
+           count(h.gram)    AS n_seen,
+           round(1.0 - count(h.gram) / cast(count(*) as double), 6) AS novelty
+    FROM newg n LEFT JOIN hist h USING (gram)
+    GROUP BY n.doc_id
+    """,
+)
+def q138_gram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram NOVELTY against the historical corpus (even
+    doc_ids = history, odd = incoming — the q77 split): the share of a
+    new doc's distinct 3-grams never seen before. Low novelty = near-
+    verbatim rehash worth dropping even when no single doc matches
+    (q25/q77 catch pairwise dups; this catches mosaic duplication), high
+    novelty = genuinely new text. The curation dial between them.
+
+    Scale: one equi-join on the gram key — the history side is a
+    DISTINCT gram table (bucketed on gram at 100 TB so the probe
+    co-locates; a Bloom pre-filter drops most probes before the
+    shuffle). Per-doc aggregation shuffles only (doc_id, counts)."""
+    docs = load_table(spark, sf_dir, "documents")
+    newg = DD.doc_grams(docs.filter(F.col("doc_id") % 2 == 1))
+    hist = (
+        DD.doc_grams(docs.filter(F.col("doc_id") % 2 == 0))
+        .select("gram")
+        .distinct()
+        .withColumn("seen", F.lit(1))
+    )
+    return (
+        newg.join(hist, "gram", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.count("seen").alias("n_seen"),
+            F.round(
+                F.lit(1.0) - F.count("seen") / F.count("*").cast("double"), 6
+            ).alias("novelty"),
+        )
+    )
+
+
+@register("q139_hll_weekly_rollup")  # sketch outputs: ε-tested, no SQL oracle
+def q139_hll_weekly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGEABLE distinct-count sketches: per-(day, type) HLL sketches of
+    active users unioned into weekly estimates WITHOUT touching the raw
+    events again (``hll_sketch_agg`` -> ``hll_union_agg``, Datasketches
+    binary representation). This is the 100 TB rollup architecture q54's
+    one-shot approx_count_distinct can't give: daily sketches land in a
+    metrics table (bytes per cell), and any coarser period — week, month,
+    arbitrary ad-hoc range — is a cheap union over sketches, never a
+    re-scan. Accuracy is ε-tested against exact weekly distincts
+    (tests/test_ml_quality.py)."""
+    ev = load_table(spark, sf_dir, "events")
+    day = F.expr(f"unix_micros(ts) div {_DAY_US}")
+    daily = ev.groupBy(day.alias("day"), "event_type").agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    return (
+        daily.groupBy(F.expr("day div 7").alias("week"), "event_type")
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_users"),
+            F.count("*").alias("n_days"),
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # Driver-window rotation
 # --------------------------------------------------------------------------

@@ -599,3 +599,87 @@ def stream_incremental_dedup_sql() -> str:
     WHERE NOT EXISTS (SELECT 1 FROM hist h WHERE h.fp = n.fp)
     GROUP BY lang
     """
+
+
+def dedup_within_watermark_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``dropDuplicatesWithinWatermark`` — the BOUNDED-STATE form of
+    q38's streaming dedup. Plain ``dropDuplicates`` keeps every key ever
+    seen (state grows with ingest volume forever); the WithinWatermark
+    variant guarantees dedup only among events whose event times fall
+    inside the watermark horizon and EVICTS older keys — the honest
+    trade a 100 TB/day stream must make. The input is the event stream
+    UNIONED with a second read of itself, so every event_id genuinely
+    arrives twice and the operator's dropping is exercised, not vacuous.
+
+    The fixture spans ~30 days and the horizon is 60 days, so every
+    duplicate lands inside the guarantee window and the drained result
+    equals DISTINCT-on-event_id exactly — which is what makes the batch
+    oracle expressible. (With a shorter horizon the result would depend
+    on micro-batch arrival order — correct streaming behavior, but not
+    batch-reproducible.)"""
+    a = read_events_stream(spark, sf_dir)
+    b = read_events_stream(spark, sf_dir)
+    deduped = (
+        a.unionByName(b)
+        .withWatermark("ts", "60 days")
+        .dropDuplicatesWithinWatermark(["event_id"])
+    )
+    agg = deduped.groupBy("event_type").agg(F.count("*").alias("n"))
+    return _run_to_memory(agg)
+
+
+DEDUP_WITHIN_WATERMARK_SQL = """
+SELECT event_type, count(*) AS n
+FROM (SELECT DISTINCT event_id, event_type FROM events)
+GROUP BY event_type
+"""
+
+
+def hourly_then_daily_max(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHAINED streaming window aggregation (window-on-window): hourly
+    per-type counts feed a second stateful aggregation that takes the
+    daily MAX of the hourly counts — the streaming form of 'peak hourly
+    rate per day', impossible before multi-stateful-operator support
+    (one job, one state store pipeline, no intermediate sink).
+
+    Emission is append-mode: a day window is final once the watermark
+    (max event time − 1 h) passes its end, so the drained result holds
+    every day except the horizon tail — the batch oracle applies the
+    same cutoff (``d + 1 day <= max(ts) − 1 h``), making the emission
+    set an exact function of the fixture.
+
+    Scale: state is O(open windows), two levels deep; the second level
+    holds |types| × |open days| rows. The chained form avoids landing
+    the hourly stream in a sink and re-reading it — one shuffle per
+    level, same as the batch twin."""
+    ev = read_events_stream(spark, sf_dir)
+    hourly = (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("hw"), "event_type")
+        .agg(F.count("*").alias("n_h"))
+    )
+    daily = (
+        hourly.groupBy(F.window("hw", "1 day").alias("dw"), "event_type")
+        .agg(F.max("n_h").alias("max_hourly"), F.count("*").alias("n_hours"))
+    )
+    out = daily.select(
+        F.unix_timestamp("dw.start").alias("day_start"),
+        "event_type",
+        "max_hourly",
+        "n_hours",
+    )
+    return _run_to_memory(out, mode="append")
+
+
+HOURLY_THEN_DAILY_MAX_SQL = """
+WITH line AS (SELECT max(ts) - INTERVAL 1 HOUR AS wl FROM events),
+hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS h, date_trunc('day', ts) AS d,
+         count(*) AS n_h
+  FROM events GROUP BY 1, 2, 3)
+SELECT cast(epoch(d) as bigint) AS day_start, event_type,
+       max(n_h) AS max_hourly, count(*) AS n_hours
+FROM hourly, line
+WHERE d + INTERVAL 1 DAY <= line.wl
+GROUP BY 1, 2
+"""

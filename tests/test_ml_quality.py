@@ -92,3 +92,26 @@ def test_mllib_minhash_recalls_verified_pairs(spark):
     }
     recall = len(q26 & q34) / len(q26)
     assert recall >= 0.85, f"recall {recall} ({len(q26)} verified pairs)"
+
+
+def test_hll_weekly_rollup_accuracy(spark):
+    """q139 quality gate: weekly distinct-user estimates from MERGED
+    daily HLL sketches must land within 10% of the exact weekly
+    distincts (Datasketches HLL at default lgK=12 gives ~1.6% relative
+    standard error; 10% is breakage headroom, not tuning), over the
+    same (week, type) cells."""
+    ev = load_table(spark, SF_SMOKE, "events")
+    week = F.expr("unix_micros(ts) div 86400000000 div 7")
+    exact = {
+        (r["week"], r["event_type"]): r["n"]
+        for r in ev.groupBy(week.alias("week"), "event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    approx = QUERIES["q139_hll_weekly_rollup"](spark, SF_SMOKE).collect()
+    assert len(approx) == len(exact)
+    for r in approx:
+        ex = exact[(r["week"], r["event_type"])]
+        assert abs(r["approx_users"] - ex) <= max(2, 0.10 * ex), (
+            r["week"], r["event_type"], r["approx_users"], ex,
+        )

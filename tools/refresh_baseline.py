@@ -47,6 +47,15 @@ NOTES = {
     "q95_large_volume_customers": "HAVING semi filter; hinted SMJ on orders",
     "q99_gopher_quality_rules": "zero-shuffle rule battery, 2-col scan",
     "q101_shared_passages": "capped inverted index, 8-token windows",
+    "q106_bm25_search": "filtered postings, broadcast idf/avgdl",
+    "q107_part_pagerank": "6 integer rounds, 2-round checkpoint cadence",
+    "q108_small_qty_revenue": "per-key avg join (decorrelated Q17)",
+    "q111_embedding_quantization": "zero-shuffle int8 codes",
+    "q113_skipgram_pairs": "per-row array arithmetic, 1 agg shuffle",
+    "q127_nation_market_share": "4x broadcast star + decimal share window",
+    "q129_semdedup_discards": "sign-bucket equi-join, scalar groupBy",
+    "q132_peak_concurrency": "split prefix sum (day partials + carry)",
+    "q133_mad_outliers": "two-pass exact MAD, checkpointed thin proj",
 }
 
 TABLE_HEAD = "| Query | sf | sec (warm) | sec (cold) | Notes | Run date |"
