@@ -32,15 +32,23 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     PHYSICAL encoding (fixture generations have stored ``ts`` as bigint
     nanos and as TIMESTAMP_NTZ micros), so take it from the parquet footer
     via a zero-row batch read, then normalize ``ts`` to TimestampType."""
+    import os
+
     ensure_runtime_confs(spark)
-    stored = spark.read.parquet(table_path(sf_dir, "events")).schema
-    # the file source wants a DIRECTORY; select just events.parquet from
-    # the fixture dir via glob filter
-    raw = (
-        spark.readStream.schema(stored)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir.rstrip("/"))
-    )
+    ev_path = table_path(sf_dir, "events")
+    stored = spark.read.parquet(ev_path).schema
+    if os.path.isdir(ev_path):
+        # directory-parquet layout (e.g. tools/synth_scale.py output):
+        # the dir itself is the stream source
+        raw = spark.readStream.schema(stored).parquet(ev_path)
+    else:
+        # single-file fixture layout: the file source wants a DIRECTORY;
+        # select just events.parquet from the fixture dir via glob filter
+        raw = (
+            spark.readStream.schema(stored)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir.rstrip("/"))
+        )
     return normalize_events_ts(raw)
 
 
