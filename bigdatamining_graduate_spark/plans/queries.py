@@ -5376,6 +5376,147 @@ def q139_hll_weekly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q140_source_kl_divergence",
+    oracle=f"""
+    WITH toks AS (
+      SELECT source, unnest({TX.tokenize_sql('text')}) AS w FROM documents),
+    sw AS (SELECT source, w, count(*) AS n_sw FROM toks GROUP BY 1, 2),
+    s AS (SELECT source, sum(n_sw) AS n_s FROM sw GROUP BY 1),
+    wt AS (SELECT w, sum(n_sw) AS n_w FROM sw GROUP BY 1),
+    tot AS (SELECT sum(n_w) AS n FROM wt)
+    SELECT sw.source,
+           cast(s.n_s as bigint) AS n_tokens,
+           round(sum((n_sw / cast(s.n_s as double))
+                     * ln((n_sw / cast(s.n_s as double))
+                          / (n_w / cast(tot.n as double)))), 6) AS kl
+    FROM sw JOIN s USING (source) JOIN wt USING (w), tot
+    GROUP BY sw.source, s.n_s
+    """,
+)
+def q140_source_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-shift detection: per-source unigram KL divergence against
+    the corpus distribution, KL(p_source || p_corpus) = Σ p·ln(p/q).
+    High-KL sources are the off-distribution ones a mixture planner
+    (q130) should inspect before up-weighting. q (corpus) dominates p
+    (source) by construction, so every term is finite.
+
+    Scale: one (source, word) hash-agg over the token stream; the
+    corpus word table is vocab-bounded and BROADCAST back onto it, the
+    corpus total comes from a window over that same small table (never
+    a cross join against the token stream). Rounded to 6dp — the double
+    log-sum order differs between engines below that (q61 precedent)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("source", F.explode(TX.tokenize("text")).alias("w"))
+    sw = toks.groupBy("source", "w").agg(F.count("*").alias("n_sw"))
+    s = sw.groupBy("source").agg(F.sum("n_sw").alias("n_s"))
+    wt = sw.groupBy("w").agg(F.sum("n_sw").alias("n_w"))
+    wt = wt.withColumn("n", F.sum("n_w").over(Window.partitionBy()))
+    p = F.col("n_sw") / F.col("n_s").cast("double")
+    q = F.col("n_w") / F.col("n").cast("double")
+    return (
+        sw.join(F.broadcast(s), "source")
+        .join(F.broadcast(wt), "w")
+        .groupBy("source", "n_s")
+        .agg(F.round(F.sum(p * F.log(p / q)), 6).alias("kl"))
+        .select("source", F.col("n_s").cast("bigint").alias("n_tokens"), "kl")
+    )
+
+
+@register(
+    "q141_volume_shipping",
+    oracle=f"""
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           year(l_shipdate) AS ship_year,
+           cast(sum({N.revenue_sql('l_extendedprice', 'l_discount')}) as double)
+             AS revenue,
+           count(*) AS n_lines
+    FROM lineitem
+    JOIN supplier ON l_suppkey   = s_suppkey
+    JOIN nation n1 ON s_nationkey = n1.n_nationkey
+    JOIN orders   ON l_orderkey  = o_orderkey
+    JOIN customer ON o_custkey   = c_custkey
+    JOIN nation n2 ON c_nationkey = n2.n_nationkey
+    WHERE n1.n_name <> n2.n_name
+    GROUP BY 1, 2, 3
+    """,
+)
+def q141_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q7-style volume shipping: cross-border revenue between
+    (supplier nation, customer nation) pairs per ship year — the shape
+    where the SAME dimension (nation) joins the fact twice through two
+    different foreign-key paths, which the reference's sequential
+    join-loop idiom (J2) can't express without materializing twice.
+
+    Scale: all five dims broadcast (nation twice under different
+    aliases); the fact table shuffles once onto the bounded
+    (nation, nation, year) key."""
+    li = load_table(spark, sf_dir, "lineitem")
+    su = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nat = load_table(spark, sf_dir, "nation")
+    n1 = nat.select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nat.select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    rev = N.revenue(F.col("l_extendedprice"), F.col("l_discount"))
+    return (
+        li.join(F.broadcast(su), li.l_suppkey == su.s_suppkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
+        .join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("ship_year"))
+        .agg(
+            F.sum(rev).cast("double").alias("revenue"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "q142_nation_segment_roster",
+    oracle="""
+    SELECT n_name,
+           string_agg(DISTINCT c_mktsegment, ',' ORDER BY c_mktsegment)
+             AS segments,
+           count(DISTINCT c_mktsegment) AS n_segments,
+           count(*) AS n_customers
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+)
+def q142_nation_segment_roster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (LISTAGG/string_agg): the distinct
+    market segments present per nation as ONE sorted comma-joined
+    value — the collect-and-join reporting idiom the reference does
+    driver-side with pandas. ``array_join(array_sort(collect_set))``
+    imposes the total order that makes a collected aggregate
+    deterministic and hash-comparable; an unordered collect_list would
+    be nondeterministic under parallel merge by construction.
+
+    Scale: collect_set is safe ONLY because segments are a bounded
+    vocabulary (5 values); for unbounded value sets use q14's top-k
+    window instead. One broadcast dim join + one hash-agg shuffle."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.array_join(F.array_sort(F.collect_set("c_mktsegment")), ",").alias(
+                "segments"
+            ),
+            F.countDistinct("c_mktsegment").alias("n_segments"),
+            F.count("*").alias("n_customers"),
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # Driver-window rotation
 # --------------------------------------------------------------------------
