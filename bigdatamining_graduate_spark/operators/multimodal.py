@@ -333,3 +333,174 @@ def payload_chunk_pairs_sql(
     JOIN sizes sa ON sa.doc_id = doc_a
     JOIN sizes sb ON sb.doc_id = doc_b
     """
+
+
+# -- perceptual-hash near-dup (image-style payload path) --------------------
+
+PHASH_BUCKETS = 64   # aHash grid: 64 resampled cells -> 64-bit fingerprint
+PHASH_CHUNKS = 4     # 4 x 16-bit chunks: hamming <= 3 pigeonholes into >= 1 equal chunk
+PHASH_HAM_MAX = 3
+
+#: schema produced by the phash extraction stage
+PHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("c0", T.LongType()),
+        T.StructField("c1", T.LongType()),
+        T.StructField("c2", T.LongType()),
+        T.StructField("c3", T.LongType()),
+    ]
+)
+
+
+def payload_phash(with_payload: DataFrame) -> DataFrame:
+    """Perceptual hash (aHash family) of each binary payload: decode
+    (STUB: raw bytes as the 1-D signal — real deployments decode pixels
+    here), resample to ``PHASH_BUCKETS`` cells, threshold each cell
+    against the global mean, pack the bits. All threshold comparisons
+    are CROSS-MULTIPLIED INTEGER arithmetic (``cell_sum * len >
+    total_sum * cell_count``) — no floating-point means anywhere, so any
+    engine computes the identical fingerprint (the q23/q27 determinism
+    rule applied to the multimodal layer).
+
+    Arrow-batched ``mapInPandas`` + numpy ``add.reduceat`` per payload;
+    1:1 rows, zero shuffle."""
+    import numpy as np
+
+    def phash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids: list[int] = []
+            chunks: list[list[int]] = [[] for _ in range(PHASH_CHUNKS)]
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                if payload is None or len(payload) == 0:
+                    continue
+                sig = np.frombuffer(bytes(payload), dtype=np.uint8).astype(np.int64)
+                n = len(sig)
+                # byte j lands in cell j*B//n (per-byte assignment — the
+                # exact convention the SQL twin uses; cells may be empty
+                # when n < B, contributing bit 0 like an all-zero cell)
+                cell = (np.arange(n) * PHASH_BUCKETS) // n
+                sums = np.bincount(cell, weights=sig, minlength=PHASH_BUCKETS).astype(
+                    np.int64
+                )
+                cnts = np.bincount(cell, minlength=PHASH_BUCKETS).astype(np.int64)
+                total = int(sig.sum())
+                bits = [
+                    1 if int(sums[b]) * n > total * int(cnts[b]) else 0
+                    for b in range(PHASH_BUCKETS)
+                ]
+                ids.append(doc_id)
+                per = PHASH_BUCKETS // PHASH_CHUNKS
+                for c in range(PHASH_CHUNKS):
+                    val = 0
+                    for k in range(per):
+                        val |= bits[c * per + k] << k
+                    chunks[c].append(val)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    **{
+                        f"c{c}": pd.Series(chunks[c], dtype="int64")
+                        for c in range(PHASH_CHUNKS)
+                    },
+                }
+            )
+
+    return with_payload.mapInPandas(phash, schema=PHASH_SCHEMA)
+
+
+def phash_pairs(with_payload: DataFrame) -> DataFrame:
+    """Near-duplicate payload pairs by perceptual hash: candidates share
+    at least one 16-bit chunk (pigeonhole-complete for hamming <=
+    ``PHASH_HAM_MAX``), scored by exact hamming distance over the four
+    chunks (``bit_count(a ^ b)`` — JVM built-ins, no Python).
+
+    Scale: the chunk equi-join is the q27 SimHash geometry on the
+    multimodal column; chunk values are 16-bit so bucket skew is bounded
+    by payload diversity, and the distinct on (doc_a, doc_b) shuffles
+    scalar ids only."""
+    ph = payload_phash(with_payload)
+    sides = []
+    for side in ("a", "b"):
+        sides.append(
+            ph.select(
+                F.col("doc_id").alias(f"doc_{side}"),
+                *[F.col(f"c{c}").alias(f"c{c}{side}") for c in range(PHASH_CHUNKS)],
+                F.explode(
+                    F.array(
+                        *[
+                            F.struct(
+                                F.lit(c).alias("ci"), F.col(f"c{c}").alias("cv")
+                            )
+                            for c in range(PHASH_CHUNKS)
+                        ]
+                    )
+                ).alias("ch"),
+            ).select("*", "ch.ci", "ch.cv").drop("ch")
+        )
+    a, b = sides
+    ham = sum(
+        F.bit_count(F.col(f"c{c}a").bitwiseXOR(F.col(f"c{c}b")))
+        for c in range(PHASH_CHUNKS)
+    )
+    return (
+        a.join(b, ["ci", "cv"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", ham.alias("hamming"))
+        .filter(F.col("hamming") <= PHASH_HAM_MAX)
+        .distinct()
+    )
+
+
+def phash_pairs_sql(table: str = "documents", max_len: int = 4096) -> str:
+    """DuckDB twin of :func:`phash_pairs` (ASCII fixture text = payload
+    bytes, the q39 equivalence; shares every integer-threshold and
+    chunk-packing convention with the Spark path)."""
+    per = PHASH_BUCKETS // PHASH_CHUNKS
+    return f"""
+    WITH chars AS (
+      SELECT doc_id, length(text) AS n, i,
+             unicode(substr(text, i, 1)) AS code,
+             ((i - 1) * {PHASH_BUCKETS}) // length(text) AS b
+      FROM {table}, range(1, {max_len} + 1) r(i)
+      WHERE length(text) > 0 AND i <= length(text)
+    ),
+    cells AS (
+      SELECT doc_id, n, b, sum(code) AS s, count(*) AS cnt
+      FROM chars GROUP BY 1, 2, 3
+    ),
+    bits AS (
+      SELECT doc_id, b,
+             CASE WHEN s * n > (sum(s) OVER (PARTITION BY doc_id)) * cnt
+                  THEN 1 ELSE 0 END AS bit
+      FROM cells
+    ),
+    chunks AS (
+      SELECT doc_id, b // {per} AS ci,
+             cast(sum(bit * (1 << (b % {per}))) as bigint) AS cv
+      FROM bits GROUP BY 1, 2
+    ),
+    ph AS (
+      SELECT doc_id,
+             max(CASE WHEN ci = 0 THEN cv END) AS c0,
+             max(CASE WHEN ci = 1 THEN cv END) AS c1,
+             max(CASE WHEN ci = 2 THEN cv END) AS c2,
+             max(CASE WHEN ci = 3 THEN cv END) AS c3
+      FROM chunks GROUP BY 1
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM chunks a JOIN chunks b ON a.ci = b.ci AND a.cv = b.cv
+                     AND a.doc_id < b.doc_id
+    ),
+    scored AS (
+      SELECT doc_a, doc_b,
+             (bit_count(xor(pa.c0, pb.c0)) + bit_count(xor(pa.c1, pb.c1))
+              + bit_count(xor(pa.c2, pb.c2)) + bit_count(xor(pa.c3, pb.c3)))
+               AS hamming
+      FROM cand
+      JOIN ph pa ON pa.doc_id = doc_a
+      JOIN ph pb ON pb.doc_id = doc_b
+    )
+    SELECT doc_a, doc_b, hamming FROM scored WHERE hamming <= {PHASH_HAM_MAX}
+    """

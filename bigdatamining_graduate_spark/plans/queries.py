@@ -5517,6 +5517,26 @@ def q142_nation_segment_roster(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("q143_payload_phash_pairs", oracle=MM.phash_pairs_sql())
+def q143_payload_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash near-duplicate PAYLOADS (aHash family): decode →
+    resample to 64 cells → integer-threshold → banded 16-bit-chunk
+    equi-join, hamming ≤ 3 — the image-near-dup member of the multimodal
+    dedup family (q105 catches byte-identical chunks; this catches
+    payloads whose decoded SIGNAL is close). Codec is the documented
+    stub; resampling, thresholding, banding and scoring are real and
+    cross-engine exact (integer cross-multiplication, no float means).
+    The shipped corpus has no byte-positional near-dups (measured min
+    all-pairs hamming 10), so THIS result is legitimately empty; the
+    non-vacuous verification is
+    ``tests/test_semantics.py::test_payload_phash_finds_planted_near_dups``,
+    which plants same-length-edit variants and hash-matches the oracle
+    on data where the operator must fire.
+    See ``operators/multimodal.payload_phash`` / ``phash_pairs``."""
+    docs = load_table(spark, sf_dir, "documents")
+    return MM.phash_pairs(MM.with_binary_payload(docs))
+
+
 # --------------------------------------------------------------------------
 # Driver-window rotation
 # --------------------------------------------------------------------------

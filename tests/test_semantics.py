@@ -708,3 +708,125 @@ def test_pagerank_star_and_triangle_structure(spark):
     total = sum(got.values())
     assert total <= GR.TOTAL_MASS
     assert total > GR.TOTAL_MASS * 0.9, "floor loss must stay small"
+
+
+def _stage_events(spark, tmp_path, rows):
+    """Write a crafted events table in the fixture layout so registered
+    queries run against it black-box (load_table reads
+    <dir>/events.parquet, file or directory)."""
+    import datetime as dt
+
+    df = spark.createDataFrame(
+        [
+            (eid, dt.datetime(2024, 1, 1) + dt.timedelta(microseconds=us), uid, et, v, "{}")
+            for eid, us, uid, et, v in rows
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    return str(tmp_path)
+
+
+def test_peak_concurrency_half_open_intervals(spark, tmp_path):
+    """q132 semantics: holds are [ts, ts+15min) — an event starting at
+    the EXACT instant another's hold expires does not overlap it, while
+    a strictly-inside start does. Also crosses a day boundary so the
+    split-prefix-sum carry path is exercised, not just the within-day
+    window."""
+    from bigdatamining_graduate_spark.plans.queries import QUERIES
+
+    h15 = 15 * 60 * 1_000_000
+    day = 24 * 3600 * 1_000_000
+    rows = [
+        # type 'a': e1 [0, 15m), e2 [15m, 30m) -> touching, never concurrent
+        (1, 0, 1, "a", 1.0),
+        (2, h15, 1, "a", 1.0),
+        # type 'b': three nested starts inside one hold window -> peak 3,
+        # placed just before midnight so holds straddle the day boundary
+        (3, day - h15 // 2, 1, "b", 1.0),
+        (4, day - h15 // 3, 1, "b", 1.0),
+        (5, day + 1, 1, "b", 1.0),
+    ]
+    sf = _stage_events(spark, tmp_path, rows)
+    got = {
+        r["event_type"]: r["peak_concurrency"]
+        for r in QUERIES["q132_peak_concurrency"](spark, sf).collect()
+    }
+    assert got == {"a": 1, "b": 3}
+
+
+def test_last_touch_attribution_boundaries(spark, tmp_path):
+    """q134 semantics: the 7-day lookback is CLOSED at the boundary
+    (t - click == 7d attributes), clicks strictly after a purchase never
+    attribute it, and a click at the SAME timestamp as the purchase
+    attributes only via the (ts, event_id) tiebreak order (lower id =
+    earlier in the row frame) — the pinned total order."""
+    from bigdatamining_graduate_spark.plans.queries import QUERIES
+
+    d7 = 7 * 24 * 3600 * 1_000_000
+    rows = [
+        # user 1: click then purchase exactly 7d later -> attributed;
+        # second purchase 1us past the window -> not attributed
+        (10, 0, 1, "click", 1.0),
+        (11, d7, 1, "purchase", 1.0),
+        (12, d7 + 1, 1, "purchase", 1.0),
+        # user 2: purchase BEFORE its only click -> not attributed
+        (20, 0, 2, "purchase", 1.0),
+        (21, 1_000_000, 2, "click", 1.0),
+        # user 3: click and purchase share a timestamp; click id < purchase
+        # id, so it lands in the strictly-preceding row frame -> attributed
+        (30, 0, 3, "click", 1.0),
+        (31, 0, 3, "purchase", 1.0),
+    ]
+    sf = _stage_events(spark, tmp_path, rows)
+    got = {
+        r["user_id"]: (r["n_purchases"], r["n_attributed"])
+        for r in QUERIES["q134_last_touch_attribution"](spark, sf).collect()
+    }
+    assert got == {1: (2, 1), 2: (1, 0), 3: (1, 1)}
+
+
+def test_payload_phash_finds_planted_near_dups(spark, tmp_path):
+    """q143 semantics ON NON-EMPTY DATA: the shipped corpus contains no
+    byte-positional near-dups (measured min all-pairs hamming = 10, so
+    the fixture-scale result is legitimately empty and its oracle
+    agreement would be vacuous). This stages the sf0.001 fixture with
+    PLANTED variants — same-length substitutions at 3 byte positions —
+    and (a) cross-engine verifies the whole pipeline against the DuckDB
+    oracle on data where it must fire, (b) asserts every planted pair is
+    recovered at hamming <= 3."""
+    import os
+
+    from bigdatamining_graduate_spark.plans.queries import ORACLE, QUERIES
+    from bigdatamining_graduate_spark.sources.catalog import TABLES, table_path
+
+    from .oracle import assert_matches
+
+    for t in TABLES:
+        if t != "documents":
+            os.symlink(table_path(SF_SMOKE, t), str(tmp_path / f"{t}.parquet"))
+    docs = spark.read.parquet(table_path(SF_SMOKE, "documents"))
+    planted = docs.limit(20).select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"),
+        # same-length edits: flip one char at three positions, preserving
+        # byte offsets so the positional resample stays aligned
+        F.concat(
+            F.lit("Q"), F.substring("text", 2, 100), F.lit("Z"),
+            F.expr("substring(text, 103)"),
+        ).alias("text"),
+        "lang", "source", "n_chars",
+    ).filter(F.length("text") > 120)
+    staged = docs.select("doc_id", "text", "lang", "source", "n_chars").unionByName(
+        planted
+    )
+    staged.coalesce(1).write.parquet(str(tmp_path / "documents.parquet"))
+    sf = str(tmp_path)
+    out = QUERIES["q143_payload_phash_pairs"](spark, sf)
+    rows = out.collect()
+    assert_matches(out, ORACLE["q143_payload_phash_pairs"], sf)
+    found = {(r["doc_a"], r["doc_b"]) for r in rows}
+    expected = {
+        (r["doc_id"] - 10_000_000, r["doc_id"])
+        for r in planted.select("doc_id").collect()
+    }
+    assert expected and expected <= found, (len(expected), len(found))
