@@ -379,3 +379,104 @@ def ivf_knn(
         .filter(F.col("rnk") <= k)
         .select("query_id", "neighbor_id", F.round("sim", 6).alias("cos_sim"), "rnk")
     )
+
+
+def hard_negatives(embeddings: DataFrame, query_pred, k: int = 3) -> DataFrame:
+    """Hard-negative mining (metric-learning data prep): for each anchor
+    vector, the top-k most-similar vectors with a DIFFERENT label —
+    the negatives that sit closest to the decision boundary and teach a
+    contrastive model the most. Candidate generation is the banded
+    sign-LSH equi-join (the q30 geometry), so only bucket-colliding
+    high-similarity vectors are ever scored — which is exactly the set
+    hard-negative mining wants; easy negatives never leave their
+    buckets, and no anchor x corpus pass exists.
+
+    Output: (query_id, query_label, neighbor_id, neighbor_label,
+    cos_sim, rnk), deterministic under near-ties via the neighbor-id
+    tiebreak."""
+    emb = embeddings.select("vec_id", "label", _as_double("embedding").alias("v"))
+    bucketed = emb.select(
+        "vec_id",
+        "label",
+        "v",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("band"),
+                        _band_value_spark(F.col("v"), j).alias("bv"),
+                    )
+                    for j in range(ANN_BANDS)
+                ]
+            )
+        ).alias("b"),
+    ).select("vec_id", "label", "v", "b.band", "b.bv")
+    qb = bucketed.filter(query_pred).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("query_label"),
+        F.col("v").alias("qv"),
+        "band",
+        "bv",
+    )
+    nb = bucketed.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("neighbor_label"),
+        F.col("v").alias("nv"),
+        "band",
+        "bv",
+    )
+    sim = V.cosine(F.col("qv"), F.col("nv"))
+    cand = (
+        qb.join(nb, ["band", "bv"])
+        .filter(
+            (F.col("query_id") != F.col("neighbor_id"))
+            & (F.col("query_label") != F.col("neighbor_label"))
+        )
+        .select(
+            "query_id", "query_label", "neighbor_id", "neighbor_label",
+            sim.alias("sim"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        cand.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= k)
+        .select(
+            "query_id", "query_label", "neighbor_id", "neighbor_label",
+            F.round("sim", 6).alias("cos_sim"), "rnk",
+        )
+    )
+
+
+def hard_negatives_sql(query_pred_sql: str, k: int = 3) -> str:
+    """DuckDB twin of :func:`hard_negatives` (same hyperplane literals,
+    same candidate geometry, same tiebreaks)."""
+    cos = V.cosine_sql("qv", "nv")
+    band_selects = "\n      UNION ALL ".join(
+        f"SELECT vec_id, label, v, {j} AS band, {_band_value_sql('v', j)} AS bv FROM emb"
+        for j in range(ANN_BANDS)
+    )
+    return f"""
+    WITH emb AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+    bucketed AS ({band_selects}),
+    cand AS (
+      SELECT DISTINCT q.vec_id AS query_id, q.label AS query_label,
+             b.vec_id AS neighbor_id, b.label AS neighbor_label,
+             q.v AS qv, b.v AS nv
+      FROM bucketed q JOIN bucketed b ON q.band = b.band AND q.bv = b.bv
+        AND q.vec_id <> b.vec_id AND q.label <> b.label
+      WHERE {query_pred_sql.replace('vec_id', 'q.vec_id')}
+    ),
+    scored AS (
+      SELECT query_id, query_label, neighbor_id, neighbor_label, {cos} AS sim
+      FROM cand
+    )
+    SELECT query_id, query_label, neighbor_id, neighbor_label,
+           round(sim, 6) AS cos_sim, rnk
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY sim DESC, neighbor_id) AS rnk
+      FROM scored)
+    WHERE rnk <= {k}
+    """

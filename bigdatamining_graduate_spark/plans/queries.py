@@ -5537,6 +5537,21 @@ def q143_payload_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return MM.phash_pairs(MM.with_binary_payload(docs))
 
 
+@register(
+    "q144_hard_negatives",
+    oracle=SIM.hard_negatives_sql("vec_id % 100 = 0", k=3),
+)
+def q144_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: per anchor
+    (vec_id % 100 = 0, the q29 sample), the 3 most-similar
+    DIFFERENT-label vectors from the banded sign-LSH candidate buckets —
+    the boundary-hugging negatives a metric-learning batch builder
+    needs. See ``operators/similarity.hard_negatives`` for why the LSH
+    bucket geometry is precisely the right candidate filter here."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return SIM.hard_negatives(emb, F.col("vec_id") % 100 == 0, k=3)
+
+
 # --------------------------------------------------------------------------
 # Driver-window rotation
 # --------------------------------------------------------------------------

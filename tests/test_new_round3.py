@@ -113,3 +113,51 @@ def test_cdc_merge_applies_changes_exactly(spark):
     assert out.filter(F.col("src") == "inserted").filter(F.col("o_orderkey") < _CDC_KEY_SHIFT).count() == 0
     assert all(r["o_orderstatus"] == "U" for r in out.filter(F.col("src") == "updated").select("o_orderstatus").distinct().collect())
     out.unpersist()
+
+
+def test_streaming_checkpoint_resume_exactly_once(spark, tmp_path):
+    """Checkpointed restart is EXACTLY-ONCE end to end: a file-source →
+    parquet-sink stream drains batch 1, stops, batch 2 arrives, and a
+    SECOND query restarted from the same checkpoint emits batch 2's rows
+    ONLY (source offsets recovered, batch 1 never re-read); a third
+    restart with no new data emits nothing (idempotent). This is the
+    recovery contract every production streaming job leans on — state
+    survives the process, not the session."""
+    import os
+
+    indir = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(indir)
+
+    def batch(ids, name):
+        spark.createDataFrame([(i,) for i in ids], "event_id long").coalesce(
+            1
+        ).write.parquet(str(tmp_path / name))
+        import glob
+        import shutil
+
+        src = glob.glob(str(tmp_path / name / "part-*.parquet"))[0]
+        shutil.move(src, os.path.join(indir, f"{name}.parquet"))
+
+    def drain():
+        q = (
+            spark.readStream.schema("event_id long")
+            .parquet(indir)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        q.stop()
+        return sorted(
+            r["event_id"] for r in spark.read.parquet(out).collect()
+        )
+
+    batch(range(0, 5), "b1")
+    assert drain() == list(range(0, 5))
+    batch(range(5, 9), "b2")
+    assert drain() == list(range(0, 9))  # b1 NOT duplicated
+    assert drain() == list(range(0, 9))  # no data -> no emission
