@@ -5552,6 +5552,52 @@ def q144_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.hard_negatives(emb, F.col("vec_id") % 100 == 0, k=3)
 
 
+@register(
+    "q145_lateral_recent_orders",
+    oracle="""
+    SELECT c.c_custkey, c.c_mktsegment, o.o_orderkey,
+           o.o_totalprice, o.order_us
+    FROM customer c, LATERAL (
+      SELECT o_orderkey, o_totalprice,
+             cast(epoch_us(o_orderdate) as bigint) AS order_us
+      FROM orders
+      WHERE o_custkey = c.c_custkey
+      ORDER BY o_orderdate DESC, o_orderkey
+      LIMIT 2
+    ) o
+    WHERE c.c_mktsegment = 'BUILDING'
+    """,
+)
+def q145_lateral_recent_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery with per-row ORDER BY ... LIMIT — the
+    'top-N related rows per outer row' idiom written the way an analyst
+    writes it. Catalyst DECORRELATES the lateral into a ranked window
+    join (no per-customer re-scan of orders — the plan is the same
+    shape q15 builds by hand), which is the property that makes the
+    idiom survive 100 TB: naive nested-loop evaluation would be
+    O(|customers| x |orders|).
+
+    The oracle runs the SAME lateral SQL in DuckDB (dialect-adjusted
+    timestamp extraction only)."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT c.c_custkey, c.c_mktsegment, o.o_orderkey,
+               o.o_totalprice, o.order_us
+        FROM customer c, LATERAL (
+          SELECT o_orderkey, o_totalprice,
+                 unix_micros(cast(o_orderdate as timestamp)) AS order_us
+          FROM orders
+          WHERE o_custkey = c.c_custkey
+          ORDER BY o_orderdate DESC, o_orderkey
+          LIMIT 2
+        ) o
+        WHERE c.c_mktsegment = 'BUILDING'
+        """
+    )
+
+
 # --------------------------------------------------------------------------
 # Driver-window rotation
 # --------------------------------------------------------------------------

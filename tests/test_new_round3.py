@@ -161,3 +161,29 @@ def test_streaming_checkpoint_resume_exactly_once(spark, tmp_path):
     batch(range(5, 9), "b2")
     assert drain() == list(range(0, 9))  # b1 NOT duplicated
     assert drain() == list(range(0, 9))  # no data -> no emission
+
+
+def test_observe_metrics_piggyback_on_action(spark):
+    """`df.observe` collects aggregate metrics DURING the action — no
+    second scan. At 100 TB this is how row-count / quality gauges ride
+    along with the real job instead of doubling its cost. Pins that the
+    observed metrics equal what a separate aggregation would return."""
+    from pyspark.sql import Observation
+
+    from bigdatamining_graduate_spark.sources.catalog import load_table
+
+    li = load_table(spark, SF_SMOKE, "lineitem")
+    obs = Observation("li_metrics")
+    flagged = li.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum((F.col("l_discount") > 0.05).cast("long")).alias("n_discounted"),
+    )
+    out = flagged.filter(F.col("l_quantity") > 0).count()
+    expected = li.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((F.col("l_discount") > 0.05).cast("long")).alias("d"),
+    ).collect()[0]
+    got = obs.get
+    assert got["n_rows"] == expected["n"] and out <= got["n_rows"]
+    assert got["n_discounted"] == expected["d"]
