@@ -53,9 +53,11 @@ def read_multichar_delimited(
     raw = spark.read.text(path)
     parts = F.split(F.col("value"), sep, -1)
     # F.get (not getItem): rows with missing fields yield NULLs instead of
-    # an ANSI INVALID_ARRAY_INDEX error — permissive-CSV semantics (P15)
+    # an ANSI INVALID_ARRAY_INDEX error; try_cast (not cast): malformed
+    # cells null out instead of ANSI NumberFormatException — together the
+    # permissive-CSV semantics (P15) the docstring promises
     cols = [
-        F.get(parts, i).cast(f.dataType).alias(f.name)
+        F.get(parts, i).try_cast(f.dataType).alias(f.name)
         for i, f in enumerate(schema.fields)
     ]
     return raw.select(*cols)

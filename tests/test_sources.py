@@ -252,3 +252,36 @@ def test_append_manifest_stats_only_new_files(spark, tmp_path):
     assert kept
     got = sorted(r["id"] for r in M.pruned_read(spark, p, man2, {"id": (150, 160)}).collect())
     assert got == list(range(150, 161))
+
+
+def test_delimtext_datasource_matches_expression_reader(spark, tmp_path):
+    """The custom Python DataSource (Spark 4 extension point) and the
+    expression-pipeline reader parse the SAME ::-delimited files to the
+    SAME rows — including permissive nulls for malformed cells — and the
+    source splits one partition per file."""
+    from pyspark.sql import types as T
+
+    from bigdatamining_graduate_spark.sources import readers
+    from bigdatamining_graduate_spark.sources.datasource import DelimTextDataSource
+
+    (tmp_path / "a.dat").write_text("1::10::4.5::x\n2::20::bad::y\n")
+    (tmp_path / "b.dat").write_text("3::30::2.0::z\n")
+    sch = T.StructType(
+        [
+            T.StructField("uid", T.LongType()),
+            T.StructField("mid", T.LongType()),
+            T.StructField("rating", T.DoubleType()),
+            T.StructField("tag", T.StringType()),
+        ]
+    )
+    glob_path = str(tmp_path / "*.dat")
+    spark.dataSource.register(DelimTextDataSource)
+    via_ds = spark.read.format("delimtext").schema(sch).option(
+        "delimiter", "::"
+    ).load(glob_path)
+    via_expr = readers.read_multichar_delimited(spark, glob_path, sch)
+    rows_ds = sorted(map(tuple, via_ds.collect()))
+    rows_expr = sorted(map(tuple, via_expr.collect()))
+    assert rows_ds == rows_expr
+    assert rows_ds[1] == (2, 20, None, "y")  # permissive malformed cell
+    assert via_ds.rdd.getNumPartitions() == 2  # one per file
