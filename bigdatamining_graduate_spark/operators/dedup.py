@@ -604,3 +604,110 @@ def shared_passage_pairs_sql(n: int = PASSAGE_N, min_shared: int = 1) -> str:
     GROUP BY 1, 2
     HAVING count(*) >= {min_shared}
     """
+
+
+# -- prefix-filtered set-similarity join (PPJoin family) --------------------
+
+#: Jaccard threshold as an integer ratio — ALL pruning arithmetic is
+#: integer (ceil(0.8*n) via (4n+4)//5), because float τ*n rounds wrong at
+#: exact multiples (0.8*5 -> 4.000000000000001 -> ceil 5) and a wrong
+#: prefix length silently loses pairs.
+PPJOIN_TAU_NUM = 4
+PPJOIN_TAU_DEN = 5
+
+
+def ppjoin_pairs(docs: DataFrame) -> DataFrame:
+    """Exact word-3-gram Jaccard pairs (≥ 4/5) via PREFIX FILTERING
+    (PPJoin family, Xiao et al., WWW'08): each doc indexes only its
+    ``n - ceil(τn) + 1`` globally-rarest grams — any pair with Jaccard ≥
+    τ must collide on at least one of them (lossless by construction,
+    and PROVEN lossless here: the DuckDB oracle computes the uncapped
+    exact answer from a full inverted index and hash-matches).
+
+    This is the alternative to q25's ``MAX_DF`` cap: the cap bounds hot
+    grams by *dropping* them (measured-complete but lossy in theory);
+    the prefix filter avoids hot grams because they sort LAST in the
+    (df asc, gram) global order, while guaranteeing recall. Cost: one
+    extra df aggregation + a per-doc window over its grams.
+
+    Verification joins the candidate pairs back to per-doc sorted gram
+    arrays and intersects them (``array_intersect`` — JVM, one pass per
+    candidate); all threshold comparisons are cross-multiplied integers.
+    At 100 TB, hash grams to int64 (``portable_hash64``) to shrink
+    postings and arrays — kept as strings here for oracle clarity."""
+    tn, td = PPJOIN_TAU_NUM, PPJOIN_TAU_DEN
+    grams = doc_grams(docs)
+    df = grams.groupBy("gram").agg(F.count("*").alias("df"))
+    sized = grams.join(df, "gram")
+    w = Window.partitionBy("doc_id").orderBy(F.asc("df"), F.asc("gram"))
+    wn = Window.partitionBy("doc_id")
+    ranked = sized.select(
+        "doc_id",
+        "gram",
+        F.row_number().over(w).alias("rk"),
+        F.count("*").over(wn).alias("n"),
+    )
+    # prefix length p = n - ceil(tau*n) + 1, integer form
+    prefix = ranked.filter(
+        F.col("rk")
+        <= F.col("n") - F.expr(f"({tn} * n + {td} - 1) div {td}") + 1
+    ).select("doc_id", "gram", "n")
+    a = prefix.select(
+        F.col("doc_id").alias("doc_a"), "gram", F.col("n").alias("n_a")
+    )
+    b = prefix.select(
+        F.col("doc_id").alias("doc_b"), "gram", F.col("n").alias("n_b")
+    )
+    cand = (
+        a.join(b, "gram")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        # PPJoin length filter: min(n) * td >= tn * max(n)
+        .filter(
+            F.least("n_a", "n_b") * td >= F.lit(tn) * F.greatest("n_a", "n_b")
+        )
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    sets = grams.groupBy("doc_id").agg(F.sort_array(F.collect_list("gram")).alias("gs"))
+    ga = sets.select(F.col("doc_id").alias("doc_a"), F.col("gs").alias("gs_a"))
+    gb = sets.select(F.col("doc_id").alias("doc_b"), F.col("gs").alias("gs_b"))
+    inter = F.size(F.array_intersect("gs_a", "gs_b"))
+    na, nb = F.size("gs_a"), F.size("gs_b")
+    return (
+        cand.join(ga, "doc_a")
+        .join(gb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            inter.alias("i"),
+            na.alias("na"),
+            nb.alias("nb"),
+        )
+        .filter(F.lit(td) * F.col("i") >= F.lit(tn) * (F.col("na") + F.col("nb") - F.col("i")))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("i") / (F.col("na") + F.col("nb") - F.col("i")).cast("double"), 6
+            ).alias("jaccard"),
+        )
+    )
+
+
+def ppjoin_pairs_sql() -> str:
+    """Uncapped exact oracle: full inverted index, integer threshold."""
+    tn, td = PPJOIN_TAU_NUM, PPJOIN_TAU_DEN
+    return f"""
+    WITH grams AS ({doc_grams_sql()}),
+    sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY 1),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+      FROM grams a JOIN grams b ON a.gram = b.gram AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+    SELECT doc_a, doc_b,
+           round(i / cast(na.n + nb.n - i as double), 6) AS jaccard
+    FROM inter
+    JOIN sizes na ON na.doc_id = doc_a
+    JOIN sizes nb ON nb.doc_id = doc_b
+    WHERE {td} * i >= {tn} * (na.n + nb.n - i)
+    """

@@ -5598,6 +5598,90 @@ def q145_lateral_recent_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("q146_ppjoin_pairs", oracle=DD.ppjoin_pairs_sql())
+def q146_ppjoin_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-filtered exact set-similarity join (PPJoin family): word-
+    3-gram Jaccard ≥ 4/5 where each doc indexes only its globally-rarest
+    ``n − ceil(τn) + 1`` grams — provably lossless candidate pruning
+    (the oracle computes the UNCAPPED exact answer from a full inverted
+    index and must hash-match). The theoretically-clean alternative to
+    q25's measured-but-lossy ``MAX_DF`` cap; see
+    ``operators/dedup.ppjoin_pairs``."""
+    return DD.ppjoin_pairs(load_table(spark, sf_dir, "documents"))
+
+
+_Q147_T1 = "2024-01-20 00:00:00"
+_Q147_T2 = "2024-01-25 00:00:00"
+
+
+@register(
+    "q147_temporal_split_audit",
+    oracle=f"""
+    WITH lab AS (
+      SELECT user_id,
+             CASE WHEN ts < TIMESTAMP '{_Q147_T1}' THEN 'train'
+                  WHEN ts < TIMESTAMP '{_Q147_T2}' THEN 'val'
+                  ELSE 'test' END AS split
+      FROM events),
+    per AS (
+      SELECT split, count(*) AS n_events,
+             count(DISTINCT user_id) AS n_users
+      FROM lab GROUP BY 1),
+    tr AS (SELECT DISTINCT user_id FROM lab WHERE split = 'train'),
+    seen AS (
+      SELECT l.split, count(DISTINCT l.user_id) AS n_seen_in_train
+      FROM (SELECT DISTINCT split, user_id FROM lab) l
+      JOIN tr USING (user_id)
+      GROUP BY 1)
+    SELECT p.split, p.n_events, p.n_users,
+           coalesce(s.n_seen_in_train, 0) AS n_seen_in_train,
+           round(coalesce(s.n_seen_in_train, 0)
+                 / cast(p.n_users as double), 6) AS train_overlap
+    FROM per p LEFT JOIN seen s ON p.split = s.split
+    """,
+)
+def q147_temporal_split_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal train/val/test split with a LEAKAGE audit: events are
+    partitioned by time cutoffs (never randomly — random splits of
+    temporal data leak the future into training), and each split reports
+    how many of its users also appear in train. For user-level models
+    that overlap IS the leakage surface; for time-series models it is
+    the expected continuity — either way the number must be ON the
+    table before anyone trains (the q64/q73 sampling family's temporal
+    sibling).
+
+    Scale: one pass labels events (cutoffs push to the scan); the audit
+    joins per-split distinct users against the broadcast train-user set
+    — O(distinct users), not O(events)."""
+    ev = load_table(spark, sf_dir, "events")
+    split = (
+        F.when(F.col("ts") < F.lit(_Q147_T1).cast("timestamp"), "train")
+        .when(F.col("ts") < F.lit(_Q147_T2).cast("timestamp"), "val")
+        .otherwise("test")
+    )
+    lab = ev.select("user_id", split.alias("split"))
+    per = lab.groupBy("split").agg(
+        F.count("*").alias("n_events"), F.countDistinct("user_id").alias("n_users")
+    )
+    tr = lab.filter(F.col("split") == "train").select("user_id").distinct()
+    seen = (
+        lab.distinct()
+        .join(F.broadcast(tr), "user_id")
+        .groupBy("split")
+        .agg(F.countDistinct("user_id").alias("n_seen_in_train"))
+    )
+    return per.join(seen, "split", "left").select(
+        "split",
+        "n_events",
+        "n_users",
+        F.coalesce("n_seen_in_train", F.lit(0)).alias("n_seen_in_train"),
+        F.round(
+            F.coalesce("n_seen_in_train", F.lit(0)) / F.col("n_users").cast("double"),
+            6,
+        ).alias("train_overlap"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Driver-window rotation
 # --------------------------------------------------------------------------
