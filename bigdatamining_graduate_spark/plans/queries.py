@@ -5689,6 +5689,144 @@ def q147_temporal_split_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q148_activity_streaks",
+    oracle=f"""
+    WITH days AS (
+      SELECT DISTINCT user_id,
+             cast(epoch_us(ts) // {_DAY_US} as bigint) AS day
+      FROM events),
+    grp AS (
+      SELECT user_id, day,
+             day - row_number() OVER (PARTITION BY user_id ORDER BY day)
+               AS island
+      FROM days),
+    streaks AS (
+      SELECT user_id, island, count(*) AS len, min(day) AS start_day
+      FROM grp GROUP BY 1, 2),
+    agg1 AS (
+      SELECT user_id, max(len) AS longest_streak,
+             count(*) AS n_streaks, sum(len) AS n_active_days
+      FROM streaks GROUP BY 1),
+    st AS (
+      SELECT s.user_id, min(s.start_day) AS streak_start_day
+      FROM streaks s JOIN agg1 a
+        ON s.user_id = a.user_id AND s.len = a.longest_streak
+      GROUP BY 1)
+    SELECT a.user_id, a.longest_streak, st.streak_start_day,
+           a.n_streaks, a.n_active_days
+    FROM agg1 a JOIN st USING (user_id)
+    """,
+)
+def q148_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: each user's LONGEST consecutive-day activity
+    streak (plus when it started, streak count, active-day total) via
+    the classic ``day − row_number`` island key — consecutive days share
+    one key, so streaks fall out of a plain GROUP BY with no self-join
+    and no iterative logic.
+
+    Scale: distinct (user, day) first (the usual 1000x reducer), then
+    two aggregations that reuse the user_id partitioning; the window
+    sorts only each user's distinct DAYS, not their events. The
+    earliest-longest-streak tiebreak is a max(struct) aggregate (the
+    q132 pattern), deterministic by construction."""
+    ev = load_table(spark, sf_dir, "events")
+    days = ev.select(
+        "user_id", F.expr(f"unix_micros(ts) div {_DAY_US}").alias("day")
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    grp = days.withColumn("island", F.col("day") - F.row_number().over(w))
+    streaks = grp.groupBy("user_id", "island").agg(
+        F.count("*").alias("len"), F.min("day").alias("start_day")
+    )
+    best = F.max(F.struct(F.col("len"), (-F.col("start_day")).alias("neg_start")))
+    return streaks.groupBy("user_id").agg(
+        best.alias("b"),
+        F.count("*").alias("n_streaks"),
+        F.sum("len").alias("n_active_days"),
+    ).select(
+        "user_id",
+        F.col("b.len").alias("longest_streak"),
+        (-F.col("b.neg_start")).alias("streak_start_day"),
+        "n_streaks",
+        "n_active_days",
+    )
+
+
+#: Benford expected first-digit shares, embedded as shared literals so
+#: neither engine computes a log at query time
+_BENFORD = {d: __import__("math").log10(1 + 1 / d) for d in range(1, 10)}
+_BENFORD_SQL = "VALUES " + ", ".join(
+    f"({d}, {_BENFORD[d]!r})" for d in range(1, 10)
+)
+
+
+@register(
+    "q149_benford_audit",
+    oracle=f"""
+    WITH obs AS (
+      SELECT cast(substr(cast(cast(round(o_totalprice * 100) as bigint)
+                              as varchar), 1, 1) as bigint) AS digit,
+             count(*) AS n
+      FROM orders WHERE o_totalprice > 0
+      GROUP BY 1),
+    tot AS (SELECT sum(n) AS total FROM obs),
+    exp AS (SELECT digit, cast(benford_share as double) AS benford_share
+            FROM ({_BENFORD_SQL}) e(digit, benford_share))
+    SELECT e.digit,
+           coalesce(o.n, 0) AS n,
+           round(coalesce(o.n, 0) / cast(t.total as double), 6) AS share,
+           round(e.benford_share, 6) AS benford_share,
+           round((coalesce(o.n, 0) - t.total * e.benford_share)
+                 * (coalesce(o.n, 0) - t.total * e.benford_share)
+                 / (t.total * e.benford_share), 6) AS chi2_term
+    FROM exp e LEFT JOIN obs o ON o.digit = e.digit, tot t
+    """,
+)
+def q149_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit of order totals — the fraud/
+    data-quality screen: observed leading-digit shares vs log10(1+1/d)
+    with per-digit chi-square terms. The leading digit comes from the
+    DECIMAL STRING of integer cents (never floor(log10(x)) — float log
+    misassigns exact powers of ten), and the Benford shares are
+    Python-computed literals shared by both engines, so no runtime
+    transcendental can diverge.
+
+    Scale: one 9-group hash agg over the scan + arithmetic on a 9-row
+    table joined to a 1-row total (broadcast)."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 0)
+    digit = F.substring(
+        F.round(F.col("o_totalprice") * 100).cast("bigint").cast("string"), 1, 1
+    ).cast("bigint")
+    obs = o.groupBy(digit.alias("digit")).agg(F.count("*").alias("n"))
+    exp = spark.createDataFrame(
+        [(d, _BENFORD[d]) for d in range(1, 10)], "digit bigint, benford_share double"
+    )
+    tot = obs.agg(F.sum("n").alias("total"))
+    joined = (
+        exp.join(obs, "digit", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            F.coalesce("n", F.lit(0)).alias("n"),
+            "benford_share",
+            "total",
+        )
+    )
+    return joined.select(
+        "digit",
+        "n",
+        F.round(F.col("n") / F.col("total").cast("double"), 6).alias("share"),
+        F.round("benford_share", 6).alias("benford_share"),
+        F.round(
+            (F.col("n") - F.col("total") * F.col("benford_share"))
+            * (F.col("n") - F.col("total") * F.col("benford_share"))
+            / (F.col("total") * F.col("benford_share")),
+            6,
+        ).alias("chi2_term"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Driver-window rotation
 # --------------------------------------------------------------------------
