@@ -187,3 +187,37 @@ def test_observe_metrics_piggyback_on_action(spark):
     got = obs.get
     assert got["n_rows"] == expected["n"] and out <= got["n_rows"]
     assert got["n_discounted"] == expected["d"]
+
+
+def test_udtf_extension_point_matches_jvm_json_path(spark):
+    """Python UDTF (Spark 3.5+ table-function extension point): a
+    row-expanding parser registered and invoked with LATERAL from SQL.
+    Like the custom DataSource, this pins the EXTENSION surface — for
+    formats Spark's built-ins can parse (JSON here), the JVM path is
+    the production choice, and the test proves both produce identical
+    rows."""
+    import json
+
+    from pyspark.sql.functions import udtf
+
+    from bigdatamining_graduate_spark.sources.catalog import load_table
+
+    @udtf(returnType="key string, val bigint")
+    class ParseProps:
+        def eval(self, props: str):
+            if props:
+                for k, v in json.loads(props).items():
+                    yield k, int(v)
+
+    spark.udtf.register("parse_props", ParseProps)
+    load_table(spark, SF_SMOKE, "events").createOrReplaceTempView("ev")
+    via_udtf = spark.sql(
+        "SELECT e.event_id, t.key, t.val FROM ev e, LATERAL parse_props(e.props) t"
+    )
+    via_jvm = spark.sql(
+        """SELECT event_id, 'k' AS key, get_json_object(props, '$.k') AS val
+           FROM ev WHERE props IS NOT NULL"""
+    ).selectExpr("event_id", "key", "cast(val as bigint) as val")
+    a = sorted(map(tuple, via_udtf.collect()))
+    b = sorted(map(tuple, via_jvm.collect()))
+    assert a == b and len(a) > 0

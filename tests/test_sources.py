@@ -285,3 +285,29 @@ def test_delimtext_datasource_matches_expression_reader(spark, tmp_path):
     assert rows_ds == rows_expr
     assert rows_ds[1] == (2, 20, None, "y")  # permissive malformed cell
     assert via_ds.rdd.getNumPartitions() == 2  # one per file
+
+
+def test_jsonl_corrupt_record_capture(spark, tmp_path):
+    """Malformed-input policy, pinned: with the schema's
+    ``_corrupt_record`` column PERMISSIVE mode keeps bad lines (raw text
+    captured, data fields null); without it they null out silently; and
+    DROPMALFORMED removes them. The three dials every large-scale
+    ingestion has to choose between — the engine defaults to PERMISSIVE
+    with explicit capture for auditability."""
+    from pyspark.sql import types as T
+
+    p = tmp_path / "in.jsonl"
+    p.write_text('{"a": 1, "b": "x"}\n{broken\n{"a": 3, "b": "z"}\n')
+    base = [T.StructField("a", T.LongType()), T.StructField("b", T.StringType())]
+    with_cap = T.StructType(base + [T.StructField("_corrupt_record", T.StringType())])
+    cap = spark.read.schema(with_cap).json(str(p)).collect()
+    bad = [r for r in cap if r["_corrupt_record"] is not None]
+    assert len(cap) == 3 and len(bad) == 1
+    assert bad[0]["a"] is None and bad[0]["_corrupt_record"].startswith("{broken")
+    dropped = (
+        spark.read.schema(T.StructType(base))
+        .option("mode", "DROPMALFORMED")
+        .json(str(p))
+        .collect()
+    )
+    assert sorted(r["a"] for r in dropped) == [1, 3]
