@@ -60,6 +60,8 @@ HEADLINE = [
     "q129_semdedup_discards",   # bucketed semantic-dedup discard decisions
     "q132_peak_concurrency",    # sweep-line peak via split prefix sum
     "q133_mad_outliers",        # two-pass robust MAD outlier scan
+    "q141_volume_shipping",     # TPC-H Q7 double-nation-dim star join
+    "q146_ppjoin_pairs",        # prefix-filtered exact set-similarity join
 ]
 
 

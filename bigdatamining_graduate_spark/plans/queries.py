@@ -5827,6 +5827,75 @@ def q149_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q150_click_purchase_reconciliation",
+    oracle=f"""
+    WITH c AS (
+      SELECT user_id, cast(epoch_us(ts) // {_DAY_US} as bigint) AS day,
+             count(*) AS n_clicks
+      FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+    p AS (
+      SELECT user_id, cast(epoch_us(ts) // {_DAY_US} as bigint) AS day,
+             count(*) AS n_purchases
+      FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+    SELECT coalesce(c.user_id, p.user_id) AS user_id,
+           coalesce(c.day, p.day)         AS day,
+           coalesce(c.n_clicks, 0)        AS n_clicks,
+           coalesce(p.n_purchases, 0)     AS n_purchases,
+           CASE WHEN c.user_id IS NULL THEN 'purchase_only'
+                WHEN p.user_id IS NULL THEN 'click_only'
+                ELSE 'both' END           AS presence
+    FROM c FULL OUTER JOIN p
+      ON c.user_id = p.user_id AND c.day = p.day
+    """,
+)
+def q150_click_purchase_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join reconciliation — the two-ledger diff: per
+    (user, day) click activity against purchase activity, keeping cells
+    present on EITHER side with a presence marker (the join type the
+    survey's M2 row lists that no other query exercises; left/right
+    outer are its projections). The shape behind every
+    'source A vs source B' audit: unmatched rows are the finding, so an
+    inner join would silently discard exactly the interesting cells.
+
+    Scale: both sides pre-aggregate to (user, day) cells before the
+    join, so the full-outer shuffles bounded summaries, never raw
+    events; coalesce over the two key columns is the standard
+    null-safe key recovery."""
+    ev = load_table(spark, sf_dir, "events")
+    day = F.expr(f"unix_micros(ts) div {_DAY_US}")
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", day.alias("day"))
+        .agg(F.count("*").alias("n_clicks"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", day.alias("day"))
+        .agg(F.count("*").alias("n_purchases"))
+    )
+    pc = p.select(
+        F.col("user_id").alias("p_user"), F.col("day").alias("p_day"), "n_purchases"
+    )
+    return (
+        c.join(
+            pc,
+            (c.user_id == pc.p_user) & (c.day == pc.p_day),
+            "full_outer",
+        )
+        .select(
+            F.coalesce("user_id", "p_user").alias("user_id"),
+            F.coalesce("day", "p_day").alias("day"),
+            F.coalesce("n_clicks", F.lit(0)).alias("n_clicks"),
+            F.coalesce("n_purchases", F.lit(0)).alias("n_purchases"),
+            F.when(F.col("user_id").isNull(), "purchase_only")
+            .when(F.col("p_user").isNull(), "click_only")
+            .otherwise("both")
+            .alias("presence"),
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # Driver-window rotation
 # --------------------------------------------------------------------------

@@ -56,6 +56,8 @@ NOTES = {
     "q129_semdedup_discards": "sign-bucket equi-join, scalar groupBy",
     "q132_peak_concurrency": "split prefix sum (day partials + carry)",
     "q133_mad_outliers": "two-pass exact MAD, checkpointed thin proj",
+    "q141_volume_shipping": "5x broadcast dims, nation joined twice",
+    "q146_ppjoin_pairs": "rarest-prefix postings (4.7x fewer), lossless",
 }
 
 TABLE_HEAD = "| Query | sf | sec (warm) | sec (cold) | Notes | Run date |"
