@@ -5896,6 +5896,51 @@ def q150_click_purchase_reconciliation(spark: SparkSession, sf_dir: str) -> Data
     )
 
 
+_HOUR_US_FRAME = 3600 * 1_000_000
+
+
+@register(
+    "q151_rolling_hour_window",
+    oracle=f"""
+    SELECT event_id, user_id,
+           cast(epoch_us(ts) as bigint) AS t,
+           count(*) OVER w AS n_events_1h,
+           cast(sum(cast(value as decimal(20,2))) OVER w as double)
+             AS sum_value_1h
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                 RANGE BETWEEN {_HOUR_US_FRAME} PRECEDING AND CURRENT ROW)
+    """,
+)
+def q151_rolling_hour_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME-RANGE window frames: each event's trailing-1-hour activity
+    (count + exact-decimal value sum) for its user — ``RANGE BETWEEN
+    <interval> PRECEDING`` rather than the ROWS frames the rest of the
+    window family uses (q19/q58/q96). RANGE frames are value-based: the
+    frame holds whatever falls inside the time bound, including
+    timestamp TIES as peers — semantics a ROWS frame cannot express
+    when event density varies.
+
+    Scale: one shuffle on user_id; the frame scan is the per-user sort
+    every sessionization pays, with the sliding window advanced by two
+    pointers, not re-aggregated. Decimal window sums stay
+    order-independent (the q127 rule)."""
+    ev = load_table(spark, sf_dir, "events")
+    t = F.unix_micros("ts")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(t)
+        .rangeBetween(-_HOUR_US_FRAME, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        t.alias("t"),
+        F.count("*").over(w).alias("n_events_1h"),
+        F.sum(N.dec(F.col("value"))).over(w).cast("double").alias("sum_value_1h"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Driver-window rotation
 # --------------------------------------------------------------------------
