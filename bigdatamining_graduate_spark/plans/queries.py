@@ -5992,6 +5992,101 @@ def q152_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_Q153_MIN_NOVELTY = 0.5
+# fixture-scale re-thresholding of q99's metric columns (its docstring's
+# stated purpose): the production Gopher verdict keeps ZERO synthetic-
+# fixture docs (max n_req is 1 vs the >=2 rule), so the pipeline would
+# be vacuous; these two rules keep a meaningful 70%
+_Q153_MIN_WORDS = 20
+_Q153_MIN_REQ = 1
+
+
+def _q153_oracle() -> str:
+    """Composed from the EXACT oracle SQL of the component queries (CTE
+    bodies may carry their own WITH in DuckDB) — the twin can't drift
+    from the pieces it chains."""
+    return f"""
+    WITH q99 AS ({ORACLE["q99_gopher_quality_rules"]}),
+    nov AS ({ORACLE["q138_gram_novelty"]}),
+    disc AS ({ORACLE["q129_semdedup_discards"]}),
+    inc AS (SELECT doc_id, source FROM documents WHERE doc_id % 2 = 1),
+    kept AS (
+      SELECT i.doc_id, i.source
+      FROM inc i
+      JOIN q99 ON q99.doc_id = i.doc_id
+                AND q99.n_words >= 20
+                AND q99.n_req >= 1
+      JOIN nov ON nov.doc_id = i.doc_id
+                AND nov.novelty >= {_Q153_MIN_NOVELTY}
+      WHERE NOT EXISTS (SELECT 1 FROM disc WHERE disc.vec_id = i.doc_id))
+    SELECT s.source, s.n_in,
+           coalesce(k.n_kept, 0) AS n_kept,
+           round(coalesce(k.n_kept, 0) / cast(s.n_in as double), 6)
+             AS kept_share
+    FROM (SELECT source, count(*) AS n_in FROM inc GROUP BY 1) s
+    LEFT JOIN (SELECT source, count(*) AS n_kept FROM kept GROUP BY 1) k
+      USING (source)
+    """
+
+
+@register("q153_curation_v2")
+def q153_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation pipeline v2 — the round-3 layers chained end to end over
+    the INCOMING half of the corpus (odd doc_ids, the q77 split): Gopher
+    metric battery RE-THRESHOLDED for the fixture (q99 emits its metric
+    columns precisely so a pipeline can re-cut without re-scanning; the
+    production verdict keeps zero synthetic docs) → n-gram novelty vs
+    the historical half
+    (q138, ≥ {_Q153_MIN_NOVELTY} — drops mosaic rehashes that pass
+    pairwise dedup) → semantic-dedup survivors (not in q129's discard
+    set; doc_id aligns with vec_id per q52). Output: per-source incoming
+    vs kept counts + kept share — the numbers a mixture planner (q130)
+    consumes next.
+
+    Each stage is the already-verified operator REUSED (same functions,
+    same constants), and the oracle is composed from the component
+    oracles' SQL verbatim, so pipeline and twin cannot drift apart.
+    Scale: the q63 argument applies — the chain is the audited stages
+    back to back, no new join geometry."""
+    docs = load_table(spark, sf_dir, "documents")
+    inc = docs.filter(F.col("doc_id") % 2 == 1).select("doc_id", "source")
+    quality = (
+        QUERIES["q99_gopher_quality_rules"](spark, sf_dir)
+        .filter(
+            (F.col("n_words") >= _Q153_MIN_WORDS)
+            & (F.col("n_req") >= _Q153_MIN_REQ)
+        )
+        .select("doc_id")
+    )
+    nov = (
+        QUERIES["q138_gram_novelty"](spark, sf_dir)
+        .filter(F.col("novelty") >= _Q153_MIN_NOVELTY)
+        .select("doc_id")
+    )
+    disc = QUERIES["q129_semdedup_discards"](spark, sf_dir).select(
+        F.col("vec_id").alias("doc_id")
+    )
+    kept = (
+        inc.join(quality, "doc_id", "left_semi")
+        .join(nov, "doc_id", "left_semi")
+        .join(disc, "doc_id", "left_anti")
+        .groupBy("source")
+        .agg(F.count("*").alias("n_kept"))
+    )
+    base = inc.groupBy("source").agg(F.count("*").alias("n_in"))
+    return base.join(kept, "source", "left").select(
+        "source",
+        "n_in",
+        F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+        F.round(
+            F.coalesce("n_kept", F.lit(0)) / F.col("n_in").cast("double"), 6
+        ).alias("kept_share"),
+    )
+
+
+ORACLE["q153_curation_v2"] = _q153_oracle()
+
+
 # --------------------------------------------------------------------------
 # Driver-window rotation
 # --------------------------------------------------------------------------
