@@ -4754,9 +4754,9 @@ def q126_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     promo and total sums come out of the same hash aggregate, no second
     scan, no post-hoc pandas merge.
 
-    Scale: `part` is a broadcast dim (|parts| ~ sf x 200k rows of 2
-    columns after pruning), so the fact table never shuffles for the
-    join; one shuffle on the ~84 month keys. Decimal sums keep both
+    Scale: the pruned 2-column part side broadcasts while it fits
+    (AQE decides — part SCALES with SF, so the hint is deliberately
+    absent); one shuffle on the ~84 month keys. Decimal sums keep both
     engines bit-identical; the share divides the two exact sums as
     doubles."""
     li = load_table(spark, sf_dir, "lineitem")
@@ -4764,7 +4764,9 @@ def q126_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = N.revenue(F.col("l_extendedprice"), F.col("l_discount"))
     promo = F.when(F.col("p_type") == "PROMO", rev)
     out = (
-        li.join(F.broadcast(pt), li.l_partkey == pt.p_partkey)
+        # no forced broadcast: part scales with SF (the q95 lesson) —
+        # AQE's runtime size check broadcasts it while it fits
+        li.join(pt, li.l_partkey == pt.p_partkey)
         .groupBy(
             (F.year("l_shipdate") * 100 + F.month("l_shipdate")).alias("ship_month")
         )
@@ -4808,7 +4810,9 @@ def q127_nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     computes with a driver-side pandas merge (``hw2`` daily share
     tables).
 
-    Scale: all four dims broadcast; one fact shuffle onto the
+    Scale: nation/region (fixed-size) broadcast by hint;
+    orders/customer broadcast only while AQE's runtime size check says
+    they fit (they scale with SF); one fact shuffle onto the
     (region, nation, year) group key; the share window repartitions only
     the ~|nations| x |years| aggregate rows. The window SUMS DECIMALS
     (order-independent, exact) — summing doubles in a window is
@@ -4820,8 +4824,10 @@ def q127_nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = load_table(spark, sf_dir, "region")
     rev = N.revenue(F.col("l_extendedprice"), F.col("l_discount"))
     grouped = (
-        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        # orders/customer scale with SF -> no forced broadcast (AQE
+        # decides); nation/region are fixed 25/5-row dims -> hint stays
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("r_name", "n_name", F.year("o_orderdate").alias("order_year"))
@@ -5455,9 +5461,10 @@ def q141_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     different foreign-key paths, which the reference's sequential
     join-loop idiom (J2) can't express without materializing twice.
 
-    Scale: all five dims broadcast (nation twice under different
-    aliases); the fact table shuffles once onto the bounded
-    (nation, nation, year) key."""
+    Scale: the fixed 25-row nation dim broadcasts twice under
+    different aliases by hint; supplier/orders/customer are unhinted
+    (they scale with SF — AQE broadcasts while they fit); the fact
+    table shuffles once onto the bounded (nation, nation, year) key."""
     li = load_table(spark, sf_dir, "lineitem")
     su = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
     o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
@@ -5471,10 +5478,12 @@ def q141_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rev = N.revenue(F.col("l_extendedprice"), F.col("l_discount"))
     return (
-        li.join(F.broadcast(su), li.l_suppkey == su.s_suppkey)
+        # supplier/orders/customer scale with SF -> unhinted (AQE sizes
+        # them at runtime); only the two 25-row nation aliases are hinted
+        li.join(su, li.l_suppkey == su.s_suppkey)
         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
-        .join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
         .filter(F.col("supp_nation") != F.col("cust_nation"))
         .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("ship_year"))
@@ -5658,8 +5667,9 @@ def q147_temporal_split_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     sibling).
 
     Scale: one pass labels events (cutoffs push to the scan); the audit
-    joins per-split distinct users against the broadcast train-user set
-    — O(distinct users), not O(events)."""
+    joins per-split distinct users against the train-user set —
+    O(distinct users), not O(events), and unhinted because that set is
+    unbounded at scale (AQE broadcasts while it fits)."""
     ev = load_table(spark, sf_dir, "events")
     split = (
         F.when(F.col("ts") < F.lit(_Q147_T1).cast("timestamp"), "train")
@@ -5672,8 +5682,10 @@ def q147_temporal_split_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tr = lab.filter(F.col("split") == "train").select("user_id").distinct()
     seen = (
+        # tr is O(distinct users) — unbounded at 100 TB, so no forced
+        # broadcast (the q95/q98 rule); AQE broadcasts while it fits
         lab.distinct()
-        .join(F.broadcast(tr), "user_id")
+        .join(tr, "user_id")
         .groupBy("split")
         .agg(F.countDistinct("user_id").alias("n_seen_in_train"))
     )
