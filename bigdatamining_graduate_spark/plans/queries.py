@@ -5415,21 +5415,26 @@ def q140_source_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     (source) by construction, so every term is finite.
 
     Scale: one (source, word) hash-agg over the token stream; the
-    corpus word table is vocab-bounded and BROADCAST back onto it, the
-    corpus total comes from a window over that same small table (never
-    a cross join against the token stream). Rounded to 6dp — the double
-    log-sum order differs between engines below that (q61 precedent)."""
+    corpus total comes from a window over the |sources|-row table (20
+    rows — never a vocab-wide single partition), and the vocab join is
+    UNHINTED because raw token vocabularies grow with corpus size (AQE
+    broadcasts while it fits). Rounded to 6dp — the double log-sum
+    order differs between engines below that (q61 precedent)."""
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select("source", F.explode(TX.tokenize("text")).alias("w"))
     sw = toks.groupBy("source", "w").agg(F.count("*").alias("n_sw"))
     s = sw.groupBy("source").agg(F.sum("n_sw").alias("n_s"))
+    # corpus total from the |sources|-row table (20 rows) — NOT a window
+    # over the vocab table, which would drag every vocab row through one
+    # partition; and the vocab join is unhinted (raw token vocabularies
+    # grow heaps-law-style with corpus size — AQE broadcasts while small)
+    s = s.withColumn("n", F.sum("n_s").over(Window.partitionBy()))
     wt = sw.groupBy("w").agg(F.sum("n_sw").alias("n_w"))
-    wt = wt.withColumn("n", F.sum("n_w").over(Window.partitionBy()))
     p = F.col("n_sw") / F.col("n_s").cast("double")
     q = F.col("n_w") / F.col("n").cast("double")
     return (
         sw.join(F.broadcast(s), "source")
-        .join(F.broadcast(wt), "w")
+        .join(wt, "w")
         .groupBy("source", "n_s")
         .agg(F.round(F.sum(p * F.log(p / q)), 6).alias("kl"))
         .select("source", F.col("n_s").cast("bigint").alias("n_tokens"), "kl")
