@@ -1293,7 +1293,8 @@ def q49_supplier_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     na = load_table(spark, sf_dir, "nation")
     re = load_table(spark, sf_dir, "region")
     return (
-        li.join(F.broadcast(su), li.l_suppkey == su.s_suppkey)
+        # supplier scales with SF -> unhinted (AQE broadcasts while it fits)
+        li.join(su, li.l_suppkey == su.s_suppkey)
         .join(F.broadcast(na), su.s_nationkey == na.n_nationkey)
         .join(F.broadcast(re), na.n_regionkey == re.r_regionkey)
         .groupBy("r_name")
@@ -3708,8 +3709,9 @@ def q108_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: the per-part aggregate is a map-side-combinable hash agg that
     shrinks lineitem to |part| rows; the join back is on l_partkey, the
-    same key AQE can co-partition with the agg's own shuffle. part is a
-    dimension (broadcast). No window, no second fact shuffle."""
+    same key AQE can co-partition with the agg's own shuffle. part
+    scales with SF, so it is unhinted — AQE broadcasts it while it
+    fits. No window, no second fact shuffle."""
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part")
     pavg = li.groupBy("l_partkey").agg(
@@ -3718,7 +3720,8 @@ def q108_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(pavg, "l_partkey")
         .filter(F.col("l_quantity") < F.col("avg_qty") / 2.0)
-        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        # part scales with SF -> unhinted (AQE broadcasts while it fits)
+        .join(part, F.col("l_partkey") == F.col("p_partkey"))
         .groupBy("p_brand")
         .agg((N.exact_sum(F.col("l_extendedprice")) / 7.0).alias("avg_yearly"))
     )
