@@ -830,3 +830,48 @@ def test_payload_phash_finds_planted_near_dups(spark, tmp_path):
         for r in planted.select("doc_id").collect()
     }
     assert expected and expected <= found, (len(expected), len(found))
+
+
+@given(
+    st.lists(
+        st.lists(st.integers(min_value=0, max_value=30), min_size=5, max_size=14),
+        min_size=4,
+        max_size=10,
+    )
+)
+@settings(max_examples=8, deadline=None)
+def test_ppjoin_prefix_filter_is_lossless(spark, sets):
+    """q146's recall guarantee, property-tested: on random small
+    token-set universes the prefix-filtered join must return EXACTLY the
+    brute-force Jaccard >= 4/5 pairs (the prefix bound n - ceil(tau*n) + 1
+    is lossless by theory — this pins the integer arithmetic that
+    implements it)."""
+    from bigdatamining_graduate_spark.operators.dedup import ppjoin_pairs
+
+    docs = spark.createDataFrame(
+        [
+            (i, " ".join(f"tok{t}" for t in sorted(set(s))))
+            for i, s in enumerate(sets)
+            if len(set(s)) >= 3
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in ppjoin_pairs(docs).collect()
+    }
+    # brute force over the SAME gram universe the operator uses
+    from bigdatamining_graduate_spark.operators.dedup import doc_grams
+
+    grams = {}
+    for r in doc_grams(docs).collect():
+        grams.setdefault(r["doc_id"], set()).add(r["gram"])
+    expect = set()
+    ids = sorted(grams)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            inter = len(grams[a] & grams[b])
+            union = len(grams[a] | grams[b])
+            if union and 5 * inter >= 4 * union:
+                expect.add((a, b))
+    assert got == expect
