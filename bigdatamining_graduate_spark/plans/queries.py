@@ -6107,6 +6107,68 @@ def q153_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE["q153_curation_v2"] = _q153_oracle()
 
 
+@register(
+    "q154_fulfillment_sla",
+    oracle="""
+    WITH lat AS (
+      SELECT o_orderpriority,
+             (epoch_us(l_shipdate) - epoch_us(o_orderdate)) / 86400000000.0
+               AS days_to_ship
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE l_shipdate >= o_orderdate)
+    SELECT o_orderpriority,
+           count(*) AS n_lines,
+           quantile_cont(days_to_ship, 0.5)  AS p50_days,
+           quantile_cont(days_to_ship, 0.95) AS p95_days,
+           round(sum(CASE WHEN days_to_ship <= 30 THEN 1 ELSE 0 END)
+                 / cast(count(*) as double), 6) AS sla30_rate
+    FROM lat
+    GROUP BY o_orderpriority
+    """,
+)
+def q154_fulfillment_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fulfillment SLA report: ship-latency percentiles (exact
+    interpolated, the q60-verified equivalence) and the 30-day SLA hit
+    rate per order priority — the operations dashboard query joining a
+    fact to its parent's attribute and aggregating a DERIVED duration.
+    Latency is computed in integer microseconds and divided by a day
+    constant, so both engines derive bit-identical doubles before the
+    percentile interpolation.
+
+    Scale: join on l_orderkey (AQE sizes the orders side); one hash agg
+    onto 5 priority groups. At 100 TB swap percentile ->
+    approx_percentile (the q60 note)."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    # fixture timestamps are TIMESTAMP_NTZ; unix_micros needs TIMESTAMP
+    # (session tz pinned UTC, so the cast is instant-preserving — q145)
+    days = (
+        (
+            F.unix_micros(F.col("l_shipdate").cast("timestamp"))
+            - F.unix_micros(F.col("o_orderdate").cast("timestamp"))
+        )
+        / F.lit(86400000000.0)
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .filter(F.col("l_shipdate") >= F.col("o_orderdate"))
+        .select("o_orderpriority", days.alias("days_to_ship"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.expr("percentile(days_to_ship, 0.5)").alias("p50_days"),
+            F.expr("percentile(days_to_ship, 0.95)").alias("p95_days"),
+            F.round(
+                F.sum(F.when(F.col("days_to_ship") <= 30, 1).otherwise(0))
+                / F.count("*").cast("double"),
+                6,
+            ).alias("sla30_rate"),
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # Driver-window rotation
 # --------------------------------------------------------------------------
