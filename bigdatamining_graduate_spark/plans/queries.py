@@ -6169,6 +6169,87 @@ def q154_fulfillment_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q155_returned_item_losses",
+    oracle=f"""
+    SELECT c_custkey, c_name, n_name,
+           cast(sum({N.revenue_sql('l_extendedprice', 'l_discount')}) as double)
+             AS lost_revenue,
+           count(*) AS n_return_lines
+    FROM lineitem
+    JOIN orders   ON l_orderkey  = o_orderkey
+    JOIN customer ON o_custkey   = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    WHERE l_returnflag = 'R'
+    GROUP BY 1, 2, 3
+    ORDER BY lost_revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def q155_returned_item_losses(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q10-style returned-item reporting: the 20 customers whose
+    returns cost the most revenue, with their nation — the
+    selective-fact top-N report (returnflag filter pushes to the scan,
+    so only the returned slice ever joins).
+
+    Scale: returnflag pushdown first; orders/customer unhinted (SF-
+    scaling, AQE sizes them), nation hinted (25 rows); exact-decimal
+    revenue; total order on (lost_revenue desc, c_custkey) so the
+    LIMIT is deterministic and compiles to TakeOrderedAndProject."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey"
+    )
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    rev = N.revenue(F.col("l_extendedprice"), F.col("l_discount"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.sum(rev).cast("double").alias("lost_revenue"),
+            F.count("*").alias("n_return_lines"),
+        )
+        .orderBy(F.desc("lost_revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+@register(
+    "q156_order_count_distribution",
+    oracle="""
+    WITH per_cust AS (
+      SELECT c_custkey, count(o_orderkey) AS n_orders
+      FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      GROUP BY c_custkey)
+    SELECT n_orders, count(*) AS n_customers
+    FROM per_cust
+    GROUP BY n_orders
+    """,
+)
+def q156_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q13-style customer distribution: how many customers placed
+    exactly N orders — INCLUDING zero (the left outer join is the
+    point: an inner join silently erases the inactive customers, which
+    are usually the business question). Two chained aggregations: count
+    per customer, then histogram over the counts.
+
+    Scale: first agg shuffles on c_custkey (the outer join's own key —
+    AQE co-partitions), second agg reduces |customers| rows to the tiny
+    count-histogram. count(o_orderkey) counts non-null matches, so
+    zero-order customers land in bucket 0 in any engine."""
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    per = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+    return per.groupBy("n_orders").agg(F.count("*").alias("n_customers"))
+
+
 # --------------------------------------------------------------------------
 # Driver-window rotation
 # --------------------------------------------------------------------------
