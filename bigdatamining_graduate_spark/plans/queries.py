@@ -2929,9 +2929,11 @@ def q94_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     predicates on both fact sides (SURVEY.md §2.3).
 
     Scale: both date filters and the segment filter push to the parquet
-    scans; the filtered customer side is far under the broadcast
-    threshold, so lineitem⋈orders is the only shuffle; sort+limit
-    compiles to TakeOrderedAndProject (no global sort)."""
+    scans; the filtered customer side carries NO broadcast hint — it is
+    still a 1/5 slice of an SF-scaling table, so AQE size-checks it
+    (BHJ at fixture scale, shuffle join beyond the 8 GB limit instead
+    of a hard failure); sort+limit compiles to TakeOrderedAndProject
+    (no global sort)."""
     cut = F.lit(_Q94_CUT).cast("timestamp")
     cust = (
         load_table(spark, sf_dir, "customer")
@@ -2942,7 +2944,7 @@ def q94_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cut)
     return (
         li.join(od, li.l_orderkey == od.o_orderkey)
-        .join(F.broadcast(cust), od.o_custkey == cust.c_custkey)
+        .join(cust, od.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(
             F.sum(N.revenue(F.col("l_extendedprice"), F.col("l_discount")))
@@ -6331,8 +6333,9 @@ def q158_disjunctive_discounts(spark: SparkSession, sf_dir: str) -> DataFrame:
     (part-only) and the quantity disjuncts (lineitem-only) are each
     OR-able locally, so both scans still get a pushed filter and only
     the cross-side conjunction is evaluated on the joined rows; part is
-    a broadcast dimension. Plan literals come from the same _Q19_ARMS
-    table the oracle SQL is generated from."""
+    SF-scaling so it carries no broadcast hint — AQE size-checks the
+    filtered side (BHJ at fixture scale). Plan literals come from the
+    same _Q19_ARMS table the oracle SQL is generated from."""
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
     )
@@ -6349,7 +6352,7 @@ def q158_disjunctive_discounts(spark: SparkSession, sf_dir: str) -> DataFrame:
         arm = cond if arm is None else (arm | cond)
     rev = N.revenue(F.col("l_extendedprice"), F.col("l_discount"))
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .filter(arm)
         .agg(
             F.sum(rev).cast("double").alias("revenue"),
@@ -6384,9 +6387,11 @@ def q159_supplier_part_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: the NOT IN compiles to a left-anti join against a tiny
     aggregated supplier list (AQE broadcasts it); brand/size filters
-    push into the part scan; distinct-count is a two-level hash agg on
-    the group key — no global distinct. Order-free output (group key is
-    unique) so the driver's sorted-hash compare is deterministic."""
+    push into the part scan; part itself is SF-scaling so its join is
+    unhinted (AQE picks BHJ at fixture scale, SMJ beyond the limit);
+    distinct-count is a two-level hash agg on the group key — no global
+    distinct. Order-free output (group key is unique) so the driver's
+    sorted-hash compare is deterministic."""
     li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
     p = (
         load_table(spark, sf_dir, "part")
@@ -6400,7 +6405,7 @@ def q159_supplier_part_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(bad, li.l_suppkey == bad.s_suppkey, "left_anti")
-        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(p, li.l_partkey == p.p_partkey)
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
     )
@@ -6443,9 +6448,10 @@ def q160_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     self-joins of the biggest fact; this plan instead aggregates each
     order ONCE — distinct-supplier count, distinct-late-supplier count,
     and the sole late supplier via max-over-case — then filters and
-    joins the 1-row-per-order result to the supplier dim. One lineitem
-    shuffle on l_orderkey replaces three at 100 TB; the oracle CTE is
-    the same reformulation, so both engines agree by construction."""
+    joins the 1-row-per-order result to the supplier dim (unhinted —
+    supplier is SF-scaling, AQE size-checks it). One lineitem shuffle
+    on l_orderkey replaces three at 100 TB; the oracle CTE is the same
+    reformulation, so both engines agree by construction."""
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_suppkey", "l_shipdate"
     )
@@ -6475,7 +6481,7 @@ def q160_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("n_supp") > 1) & (F.col("n_late") == 1))
     )
     return (
-        per_order.join(F.broadcast(s), per_order.late_supp == s.s_suppkey)
+        per_order.join(s, per_order.late_supp == s.s_suppkey)
         .groupBy("s_name")
         .agg(F.count("*").alias("numwait"))
         .orderBy(F.desc("numwait"), F.asc("s_name"))
@@ -6514,10 +6520,11 @@ def q161_top_revenue_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the revenue agg shuffles on l_suppkey once (shipdate window
     pushed to the scan); the max is a 1-row re-aggregation of the
     ALREADY-AGGREGATED per-supplier frame (|suppliers| rows, not
-    lineitem) broadcast back as a degenerate BHJ — allowlisted 1-row
-    pattern. Revenue is an exact-decimal sum cast to double, so the
-    equality join key is bit-identical in both engines and ties are
-    engine-independent."""
+    lineitem) broadcast back as a degenerate BHJ — the 1-row side is
+    the ONLY hinted broadcast; the supplier dim join is unhinted
+    (SF-scaling, AQE decides). Revenue is an exact-decimal sum cast to
+    double, so the equality join key is bit-identical in both engines
+    and ties are engine-independent."""
     li = load_table(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit(_Q161_LO).cast("timestamp"))
         & (F.col("l_shipdate") < F.lit(_Q161_HI).cast("timestamp"))
@@ -6538,7 +6545,7 @@ def q161_top_revenue_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.broadcast(max_rev),
             revenue0.total_revenue == max_rev.max_revenue,
         )
-        .join(F.broadcast(s), F.col("supplier_no") == s.s_suppkey)
+        .join(s, F.col("supplier_no") == s.s_suppkey)
         .select("s_suppkey", "s_name", "total_revenue")
         .orderBy("s_suppkey")
     )
