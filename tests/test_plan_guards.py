@@ -106,3 +106,43 @@ def test_runtime_bloom_filter_injects_on_selective_fact_join(spark):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def _formatted(spark, name):
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    return QUERIES[name](spark, SF_SMOKE)._jdf.queryExecution().explainString(mode)
+
+
+def test_q157_is_scan_only(spark):
+    """TPC-H Q6 must stay a pure scan-and-sum: every range predicate
+    (shipdate window, discount band, quantity cap) reaches the parquet
+    reader as a pushed filter and the plan has NO shuffle exchange —
+    at 100 TB the whole query is row-group skipping plus a partial agg."""
+    plan = _formatted(spark, "q157_forecast_revenue_change")
+    assert "hashpartitioning" not in plan, plan
+    pushed = plan[plan.index("PushedFilters"):]
+    for frag in ("l_shipdate", "l_discount", "l_quantity"):
+        assert frag in pushed.split("\n")[0], plan
+
+
+def test_q158_disjunction_pushes_to_both_scans(spark):
+    """The Q19 OR-of-ANDs mixes columns from both join sides; Catalyst
+    must factor it so BOTH scans still receive an Or(...) pushed filter
+    (a plan that reads either table unfiltered is the scale bug this
+    query exists to catch)."""
+    import re
+
+    plan = _formatted(spark, "q158_disjunctive_discounts")
+    pushed = re.findall(r"PushedFilters: \[([^\]]*)", plan)
+    or_sides = [p for p in pushed if "Or(" in p]
+    assert len(or_sides) >= 2, plan
+
+
+def test_q160_scans_lineitem_once(spark):
+    """The waiting-supplier reformulation exists to avoid the textbook
+    EXISTS + NOT-EXISTS lineitem self-joins: the fact must be scanned
+    exactly once and never shuffled on l_suppkey (only the per-order
+    aggregation key)."""
+    plan = _formatted(spark, "q160_waiting_supplier")
+    assert plan.count("lineitem.parquet") == 1, plan
+    assert "hashpartitioning(l_suppkey" not in plan, plan
