@@ -62,6 +62,8 @@ HEADLINE = [
     "q133_mad_outliers",        # two-pass robust MAD outlier scan
     "q141_volume_shipping",     # TPC-H Q7 double-nation-dim star join
     "q146_ppjoin_pairs",        # prefix-filtered exact set-similarity join
+    "q157_forecast_revenue_change",  # TPC-H Q6 scan-only triple-range sum
+    "q160_waiting_supplier",    # TPC-H Q21 per-order-agg rewrite (no self-joins)
 ]
 
 

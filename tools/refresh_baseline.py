@@ -19,6 +19,8 @@ import json
 import re
 
 NOTES = {
+    "q157_forecast_revenue_change": "all 3 range predicates pushed to scan",
+    "q160_waiting_supplier": "per-order agg replaces EXISTS/NOT-EXISTS self-joins",
     "q01_pricing_summary": "pushed shipdate filter, 1 shuffle",
     "q03_minmax_normalize": "broadcast bounds, no window",
     "q06_revenue_by_nation": "3x broadcast-hash star join",
