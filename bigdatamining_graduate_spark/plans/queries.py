@@ -6253,6 +6253,88 @@ def q156_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 # --------------------------------------------------------------------------
+# Mergeable-sketch rollups beyond HLL (q139): KLL quantiles and theta set
+# algebra — the two remaining Datasketches families Spark 4 ships.
+# --------------------------------------------------------------------------
+
+
+@register("q162_kll_price_quantiles")  # sketch outputs: ε-tested, no SQL oracle
+def q162_kll_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGEABLE quantile sketches: per-(day, priority) KLL sketches of
+    order value merged into per-priority p50/p90 estimates WITHOUT
+    re-scanning orders (``kll_sketch_agg_double`` ->
+    ``kll_merge_agg_double`` -> ``kll_sketch_get_quantile_double``).
+    The quantile twin of q139's HLL rollup: exact percentiles (q60/q154)
+    need the raw values every time a new period is asked for; KLL daily
+    sketches land in a metrics table (KB per cell) and ANY ad-hoc range
+    — week, month, year-to-date — is a cheap merge. Accuracy ε-tested
+    against exact per-priority percentiles (tests/test_ml_quality.py;
+    KLL k=200 guarantees ~1.3% rank error).
+
+    Scale: two hash aggs, both mergeable map-side; nothing is ever
+    collected or globally sorted — vs exact percentile, which must see
+    every value of a group in one place."""
+    o = load_table(spark, sf_dir, "orders")
+    day = F.expr(f"unix_micros(cast(o_orderdate as timestamp)) div {_DAY_US}")
+    daily = o.groupBy(day.alias("day"), "o_orderpriority").agg(
+        F.expr("kll_sketch_agg_double(o_totalprice)").alias("sk")
+    )
+    merged = daily.groupBy("o_orderpriority").agg(
+        F.expr("kll_merge_agg_double(sk)").alias("sk"),
+        F.count("*").alias("n_days"),
+    )
+    return merged.select(
+        "o_orderpriority",
+        "n_days",
+        F.expr("kll_sketch_get_n_double(sk)").alias("n_orders"),
+        F.round(F.expr("kll_sketch_get_quantile_double(sk, 0.5)"), 2).alias(
+            "p50_value"
+        ),
+        F.round(F.expr("kll_sketch_get_quantile_double(sk, 0.9)"), 2).alias(
+            "p90_value"
+        ),
+    )
+
+
+@register("q163_theta_segment_overlap")  # sketch outputs: ε-tested, no SQL oracle
+def q163_theta_segment_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience SET ALGEBRA on theta sketches: one sketch of distinct
+    users per event type, then |A∩B|, |A∪B|, |A\\B| and Jaccard for
+    every type pair via ``theta_intersection`` / ``theta_union`` /
+    ``theta_difference`` — the estimates HLL cannot give (HLL unions
+    only; intersection needs inclusion-exclusion with compounding
+    error, theta supports it natively). The segment-overlap matrix is
+    the audience-dedup planning query: at 100 TB the per-type sketches
+    are built in ONE pass over events and every pairwise question is
+    answered from the |types|-row sketch table.
+
+    Scale: one hash agg over events to |types| sketches; the pair
+    enumeration is a self-join of that tiny table (t1 < t2 halves it);
+    ε-tested against exact pairwise distinct-user intersections
+    (tests/test_ml_quality.py)."""
+    ev = load_table(spark, sf_dir, "events")
+    sk = ev.groupBy("event_type").agg(
+        F.expr("theta_sketch_agg(user_id)").alias("sk")
+    )
+    a = sk.select(F.col("event_type").alias("type_a"), F.col("sk").alias("sk_a"))
+    b = sk.select(F.col("event_type").alias("type_b"), F.col("sk").alias("sk_b"))
+    pairs = a.join(F.broadcast(b), F.col("type_a") < F.col("type_b"))
+    est = lambda e: F.round(F.expr(f"theta_sketch_estimate({e})"), 1)  # noqa: E731
+    return pairs.select(
+        "type_a",
+        "type_b",
+        est("theta_intersection(sk_a, sk_b)").alias("both_users"),
+        est("theta_union(sk_a, sk_b)").alias("either_users"),
+        est("theta_difference(sk_a, sk_b)").alias("only_a_users"),
+        F.round(
+            F.expr("theta_sketch_estimate(theta_intersection(sk_a, sk_b))")
+            / F.expr("theta_sketch_estimate(theta_union(sk_a, sk_b))"),
+            4,
+        ).alias("jaccard"),
+    )
+
+
+# --------------------------------------------------------------------------
 # Round-3 final batch: the remaining TPC-H shapes expressible on the
 # fixture schema (no partsupp / shipmode / commitdate columns, so Q2, Q9,
 # Q11, Q12 and Q20 are out of reach; Q6, Q19, Q16, Q21 and Q15 adapt).

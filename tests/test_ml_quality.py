@@ -115,3 +115,60 @@ def test_hll_weekly_rollup_accuracy(spark):
         assert abs(r["approx_users"] - ex) <= max(2, 0.10 * ex), (
             r["week"], r["event_type"], r["approx_users"], ex,
         )
+
+
+def test_kll_price_quantiles_accuracy(spark):
+    """q162 quality gate: per-priority p50/p90 estimates from MERGED
+    daily KLL sketches must land within 3% RANK error of the exact
+    distribution (Datasketches KLL at default k=200 guarantees ~1.3%
+    rank error with 99% confidence; 3% is breakage headroom). Checked
+    by rank, not by value: the estimate must sit between the exact
+    quantiles at rank q-0.03 and q+0.03."""
+    o = load_table(spark, SF_SMOKE, "orders")
+    bounds = {
+        r["o_orderpriority"]: r
+        for r in o.groupBy("o_orderpriority")
+        .agg(
+            F.expr("percentile(o_totalprice, array(0.47, 0.53))").alias("p50b"),
+            F.expr("percentile(o_totalprice, array(0.87, 0.93))").alias("p90b"),
+            F.count("*").alias("n"),
+        )
+        .collect()
+    }
+    rows = QUERIES["q162_kll_price_quantiles"](spark, SF_SMOKE).collect()
+    assert len(rows) == len(bounds)
+    for r in rows:
+        b = bounds[r["o_orderpriority"]]
+        assert r["n_orders"] == b["n"]
+        lo, hi = b["p50b"]
+        assert lo <= r["p50_value"] <= hi, (r["o_orderpriority"], r["p50_value"], lo, hi)
+        lo, hi = b["p90b"]
+        assert lo <= r["p90_value"] <= hi, (r["o_orderpriority"], r["p90_value"], lo, hi)
+
+
+def test_theta_segment_overlap_accuracy(spark):
+    """q163 quality gate: pairwise |A∩B| / |A∪B| / |A\\B| estimates
+    from per-type theta sketches must land within 10% of the exact
+    distinct-user set sizes (theta at default lgK=12 keeps every hash
+    until 4096 distincts, so small cells are near-exact; 10% covers the
+    sampled regime), for every type pair."""
+    ev = load_table(spark, SF_SMOKE, "events").select("event_type", "user_id")
+    users = {
+        r["event_type"]: set(r["us"])
+        for r in ev.groupBy("event_type")
+        .agg(F.collect_set("user_id").alias("us"))
+        .collect()
+    }
+    rows = QUERIES["q163_theta_segment_overlap"](spark, SF_SMOKE).collect()
+    n_types = len(users)
+    assert len(rows) == n_types * (n_types - 1) // 2
+    for r in rows:
+        a, b = users[r["type_a"]], users[r["type_b"]]
+        for col, exact in (
+            ("both_users", len(a & b)),
+            ("either_users", len(a | b)),
+            ("only_a_users", len(a - b)),
+        ):
+            assert abs(r[col] - exact) <= max(2, 0.10 * exact), (
+                r["type_a"], r["type_b"], col, r[col], exact,
+            )
