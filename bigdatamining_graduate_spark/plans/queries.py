@@ -6633,6 +6633,48 @@ def q161_top_revenue_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q164_best_order_no_window",
+    oracle="""
+    SELECT o_custkey,
+           count(*) AS n_orders,
+           max_by(o_orderkey,
+                  cast(cast(o_totalprice as decimal(20,2)) * 100 as bigint)
+                    * 10000000000 + o_orderkey)
+             AS best_order,
+           max(o_totalprice) AS best_value,
+           min(cast(epoch_us(o_orderdate) as bigint)) AS first_order_us
+    FROM orders
+    GROUP BY o_custkey
+    """,
+)
+def q164_best_order_no_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zero-window argmax: the highest-value order per customer via
+    ``max_by`` in ONE hash aggregate — the scale alternative to q15's
+    ``row_number`` top-1, which must SORT every customer's orders inside
+    a window. ``max_by`` is an associative aggregate: partial argmax
+    per map task, merge at the reducer, no per-key sort anywhere.
+
+    Determinism: ``max_by`` breaks value ties arbitrarily in BOTH
+    engines, so the ordering key folds the tiebreaker in — exact cents
+    (2-decimal fixture money, lossless ×100) scaled past the orderkey
+    domain plus the orderkey itself gives a totally-ordered bigint that
+    the engines agree on. (The 1e10 orderkey bound holds to ~SF1000;
+    past that, widen to decimal or int128.)"""
+    o = load_table(spark, sf_dir, "orders")
+    rank_key = (
+        F.col("o_totalprice").cast("decimal(20,2)") * 100
+    ).cast("bigint") * F.lit(10_000_000_000).cast("bigint") + F.col("o_orderkey")
+    return o.groupBy("o_custkey").agg(
+        F.count("*").alias("n_orders"),
+        F.max_by("o_orderkey", rank_key).alias("best_order"),
+        F.max("o_totalprice").alias("best_value"),
+        F.min(F.unix_micros(F.col("o_orderdate").cast("timestamp"))).alias(
+            "first_order_us"
+        ),
+    )
+
+
 # --------------------------------------------------------------------------
 # Driver-window rotation
 # --------------------------------------------------------------------------
