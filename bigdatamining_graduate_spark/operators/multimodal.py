@@ -455,7 +455,13 @@ def phash_pairs(with_payload: DataFrame) -> DataFrame:
 def phash_pairs_sql(table: str = "documents", max_len: int = 4096) -> str:
     """DuckDB twin of :func:`phash_pairs` (ASCII fixture text = payload
     bytes, the q39 equivalence; shares every integer-threshold and
-    chunk-packing convention with the Spark path)."""
+    chunk-packing convention with the Spark path).
+
+    DuckDB's ``range`` can't be lateral on ``length(text)``, so the
+    char unroll needs a static cap — but the Spark path fingerprints
+    the FULL payload, so a doc longer than ``max_len`` must FAIL the
+    oracle loudly (scalar ``error()`` guard below), never silently
+    truncate into a divergent hash."""
     per = PHASH_BUCKETS // PHASH_CHUNKS
     return f"""
     WITH chars AS (
@@ -464,6 +470,11 @@ def phash_pairs_sql(table: str = "documents", max_len: int = 4096) -> str:
              ((i - 1) * {PHASH_BUCKETS}) // length(text) AS b
       FROM {table}, range(1, {max_len} + 1) r(i)
       WHERE length(text) > 0 AND i <= length(text)
+        AND {max_len} >= (SELECT CASE WHEN max(length(text)) > {max_len}
+                                 THEN CAST(error('phash oracle: doc exceeds '
+                                                 || '{max_len}-char unroll cap')
+                                           AS BIGINT)
+                                 ELSE 0 END FROM {table})
     ),
     cells AS (
       SELECT doc_id, n, b, sum(code) AS s, count(*) AS cnt

@@ -4971,14 +4971,17 @@ _MIX_BUDGET = 1_000_000_000.0  # training-token budget the mixture fills
     oracle=f"""
     WITH s AS (
       SELECT source, count(*) AS n_docs, sum(n_chars) AS total_chars
-      FROM documents GROUP BY source)
+      FROM documents GROUP BY source),
+    w AS (
+      SELECT *, CAST(round(pow(total_chars, {_MIX_ALPHA}), 6)
+                     AS DECIMAL(38,6)) AS wgt
+      FROM s),
+    t AS (SELECT sum(wgt) AS tot_wgt FROM w)
     SELECT source, n_docs, total_chars,
-           round(pow(total_chars, {_MIX_ALPHA})
-                 / sum(pow(total_chars, {_MIX_ALPHA})) OVER (), 6) AS mix_share,
-           round(pow(total_chars, {_MIX_ALPHA})
-                 / sum(pow(total_chars, {_MIX_ALPHA})) OVER ()
+           round(CAST(wgt AS DOUBLE) / CAST(tot_wgt AS DOUBLE), 6) AS mix_share,
+           round(CAST(wgt AS DOUBLE) / CAST(tot_wgt AS DOUBLE)
                  * {_MIX_BUDGET} / total_chars, 6)                 AS epochs
-    FROM s
+    FROM w, t
     """,
 )
 def q130_source_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4988,18 +4991,30 @@ def q130_source_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     epoch count each source sustains under a {_MIX_BUDGET:.0e}-token
     budget — >1 epoch means that source repeats.
 
-    Scale: one hash-agg shuffle over the corpus; the share window runs
-    on the |sources|-row aggregate only (single tiny partition by
-    construction — that is the honest cost of a global normalizer, and
-    it is O(|sources|), not O(rows))."""
+    Determinism (q127/q151 rule): a window SUM of raw pow() doubles is
+    engine-order-dependent AND pow itself can differ by 1 ulp between
+    Math.pow and libm.  So the per-source weight is rounded to 6 dp and
+    cast to DECIMAL(38,6) — both engines then sum IDENTICAL exact
+    decimals, order-independently — and the normalizer comes from a
+    1-row aggregate broadcast-joined back (not a window), so shares are
+    bit-identical doubles on both sides before the final round.
+
+    Scale: one hash-agg shuffle over the corpus; the normalizer is a
+    1-row broadcast over the |sources|-row aggregate — O(|sources|),
+    not O(rows)."""
     docs = load_table(spark, sf_dir, "documents")
     s = docs.groupBy("source").agg(
         F.count("*").alias("n_docs"), F.sum("n_chars").alias("total_chars")
     )
-    w = Window.partitionBy()
-    wgt = F.pow(F.col("total_chars"), F.lit(_MIX_ALPHA))
-    share = wgt / F.sum(wgt).over(w)
-    return s.select(
+    w = s.withColumn(
+        "wgt",
+        F.round(F.pow(F.col("total_chars"), F.lit(_MIX_ALPHA)), 6).cast(
+            "decimal(38,6)"
+        ),
+    )
+    tot = w.agg(F.sum("wgt").alias("tot_wgt"))
+    share = F.col("wgt").cast("double") / F.col("tot_wgt").cast("double")
+    return w.crossJoin(F.broadcast(tot)).select(
         "source",
         "n_docs",
         "total_chars",
@@ -6036,8 +6051,8 @@ def _q153_oracle() -> str:
       SELECT i.doc_id, i.source
       FROM inc i
       JOIN q99 ON q99.doc_id = i.doc_id
-                AND q99.n_words >= 20
-                AND q99.n_req >= 1
+                AND q99.n_words >= {_Q153_MIN_WORDS}
+                AND q99.n_req >= {_Q153_MIN_REQ}
       JOIN nov ON nov.doc_id = i.doc_id
                 AND nov.novelty >= {_Q153_MIN_NOVELTY}
       WHERE NOT EXISTS (SELECT 1 FROM disc WHERE disc.vec_id = i.doc_id))
@@ -6687,40 +6702,53 @@ def q164_best_order_no_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 # preserved and nothing else changes — dicts only reorder, so every name
 # keeps its callable and oracle.
 _DRIVER_VERIFIED = frozenset(
-    f"q{i:02d}" for i in range(1, 51)
-)  # matched on the qNN prefix; set = CORRECTNESS_r01/r02 keys
+    # CORRECTNESS_r01/r02: the first 50 registry entries of rounds 1-2.
+    [f"q{i:02d}" for i in range(1, 51)]
+    # CORRECTNESS_r03: the rotated round-3 window (49 green + q91
+    # no_oracle rows-only — re-running q91 can't upgrade it, its gate is
+    # tests/test_ml_quality.py, so it counts as driver-checked).
+    + [
+        "q52", "q62", "q63", "q66", "q68", "q71", "q73", "q74", "q76",
+        "q77", "q78", "q79", "q80", "q81", "q84", "q86", "q87", "q89",
+        "q91", "q94", "q95", "q97", "q98", "q99",
+    ]
+    + [f"q{i}" for i in range(100, 126)]
+)  # matched on the qNN prefix
 
-# 57 unverified queries compete for the 50-entry window; defer the seven
-# that are structural near-twins of already-driver-green queries (same
-# operator shape, different columns) so every genuinely novel operator —
-# in particular the q99+ batch — gets the hard oracle first.  All seven
-# stay hash-matched by the local harness either way.
+# 64 unverified queries compete for the 50-entry window: the 39-query
+# round-3 batch (q126-q164, never driver-checked) plus 25 deferred
+# near-twins.  The batch goes first; the deferred list below is ordered
+# most-novel-first (the round-3 verdict's priority 11 at the top) so the
+# window's remaining slots pick up the most distinct shapes and the tail
+# rolls cleanly into round 5.  All stay hash-matched locally either way.
 _DEFERRED = [
+    # -- verdict-priority deferred (most novel first) --
+    "q55_ivf_knn",  # no oracle (recall-tested locally) -> rows-only
+    "q60_price_percentiles",  # exact-percentile agg, q02-class
+    "q70_winnow_fingerprints",  # fingerprint family: q23 green, feeds green q71
+    "q85_ann_lsh_wide",  # sign-LSH family: q30/q74 driver-green
+    "q88_pmi_collocations",  # co-occurrence family: q40 driver-green; benched
+    "q90_association_rules",  # derived from driver-green q89's FPGrowth fit
+    "q92_unpivot_measures",  # unpivot of q17's green rollup
+    "q93_order_quartiles",  # ntile; window family green via q14/q15/q18/q19
+    "q96_rolling_distinct_users",  # window-agg family; edge-tested locally
+    "q57_stream_foreachbatch",  # sink mechanism; stream family green q36-q48
+    "q65_stream_static_segments",  # stream-vs-static mechanism also in green q104
+    # -- structural near-twins of driver-green queries (round-5 tail) --
     "q56_sql_text_pricing",  # SQL-text twin of q01 (green)
     "q53_stopword_hits_by_lang",  # per-lang agg twin of q14 (green)
     "q58_user_value_trend",  # lag-window twin of q18/q19 (green)
     "q59_repeat_status_customers",  # set-op sibling of q46 (green)
-    "q60_price_percentiles",  # exact-percentile agg, q02-class
     "q61_geomean_value",  # single-agg twin of q02 (green)
     "q82_onehot_langs",  # pivot twin of q22 (green)
     "q83_table_profile",  # profiling twin of q04 (green)
-    "q93_order_quartiles",  # ntile; window family green via q14/q15/q18/q19
-    "q92_unpivot_measures",  # unpivot of q17's green rollup
-    "q57_stream_foreachbatch",  # sink mechanism; stream family green q36-q38/q47/q48
-    "q96_rolling_distinct_users",  # window-agg family; edge-tested locally
-    "q67_rate_stream_buckets",  # source mechanism; stream family green as above
-    "q72_thumbnail_payloads",  # 1:1 mapInPandas twin of driver-green q39
-    "q75_rep_ngram_quality",  # quality family: q28 driver-green, q99 in window
-    "q64_hash_split_profile",  # sampling family: q73/q97 stay in window
-    "q54_approx_distinct_users",  # no oracle (HLL) -> driver check is rows-only
-    "q55_ivf_knn",  # no oracle (recall-tested locally) -> rows-only
-    "q69_bpe_token_stats",  # token-stat family: q28 green, q103/q106 in window
-    "q90_association_rules",  # derived from q89's FPGrowth fit (q89 in window)
-    "q85_ann_lsh_wide",  # sign-LSH family: q30 driver-green, q74 in window
-    "q70_winnow_fingerprints",  # fingerprint family: q23 green, feeds q71 (in window)
-    "q65_stream_static_segments",  # stream-vs-static mechanism also in q104 (in window)
     "q51_label_centroids",  # vector-mean agg; arithmetic family green via q29/q30
-    "q88_pmi_collocations",  # co-occurrence family: q40 driver-green; benched
+    "q54_approx_distinct_users",  # no oracle (HLL) -> driver check is rows-only
+    "q64_hash_split_profile",  # sampling family: q73/q97 driver-green
+    "q67_rate_stream_buckets",  # source mechanism; stream family green
+    "q69_bpe_token_stats",  # token-stat family: q28/q103/q106 driver-green
+    "q72_thumbnail_payloads",  # 1:1 mapInPandas twin of driver-green q39
+    "q75_rep_ngram_quality",  # quality family: q28/q99 driver-green
 ]
 
 

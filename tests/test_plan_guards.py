@@ -28,6 +28,7 @@ ALLOWED = {
     "q111_embedding_quantization",  # 1-row per-dim min/max arrays broadcast
     "q125_gap_fill_locf",        # 1-row spine-bounds broadcast (q03 pattern)
     "q128_dormant_prospects",    # 1-row global-average broadcast (q03 pattern)
+    "q130_source_temperature_mix",  # 1-row weight-total broadcast (q03 pattern)
     "q149_benford_audit",        # 1-row digit-total broadcast onto 9-row table
     "q163_theta_segment_overlap",  # |types|-row sketch-table pair self-join
 }
