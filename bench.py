@@ -66,6 +66,8 @@ HEADLINE = [
     "q146_ppjoin_pairs",        # prefix-filtered exact set-similarity join
     "q157_forecast_revenue_change",  # TPC-H Q6 scan-only triple-range sum
     "q160_waiting_supplier",    # TPC-H Q21 per-order-agg rewrite (no self-joins)
+    "q165_zorder_roundtrip",    # z-order sink write + read-back + filtered agg
+    "q166_datasource_roundtrip",  # custom Python DataSource write/read round-trip
 ]
 
 

@@ -65,3 +65,46 @@ def test_unbucketed_join_needs_exchange_or_broadcast(warehouse):
     li = load_table(spark, sf, "lineitem")
     plan = _plan(li.join(od, li.l_orderkey == od.o_orderkey))
     assert "Exchange" in plan  # the cost bucketing removes
+
+
+def test_zorder_roundtrip_layout_prunes(spark):
+    """q165's pruning payoff, measured on the files it writes: after
+    ``zorder_write`` on (ux, hy), every output file must carry a tight
+    per-dimension bounding box (that IS the min/max statistic a
+    data-skipping reader consults), and the q165 predicate box
+    (ux 3-6 x hy 9-12) must intersect only a minority of files — i.e.
+    a stats-based scan skips most of the data. A random (hash) layout
+    puts every (ux, hy) combination in every file, so bboxes cover the
+    full domain and nothing prunes; a sort by ux alone prunes ux but
+    not hy. The Morton interleave is what buys BOTH dims at once."""
+    import pyspark.sql.functions as F
+
+    from bigdatamining_graduate_spark.plans.queries import (
+        _Q165_HY,
+        _Q165_UX,
+        QUERIES,
+    )
+
+    QUERIES["q165_zorder_roundtrip"](spark, "/root/testdata/sf0.01").count()
+    back = spark.read.parquet("/tmp/bdm_zorder_roundtrip/sf0.01")
+    boxes = (
+        back.groupBy(F.input_file_name().alias("f"))
+        .agg(
+            F.min("ux").alias("ux0"), F.max("ux").alias("ux1"),
+            F.min("hy").alias("hy0"), F.max("hy").alias("hy1"),
+        )
+        .collect()
+    )
+    assert len(boxes) >= 8  # the 16-way range partitioning materialized
+    domain = 32 * 24
+    areas = [(b.ux1 - b.ux0 + 1) * (b.hy1 - b.hy0 + 1) for b in boxes]
+    # tight boxes: on average a file covers a small slice of the domain
+    assert sum(areas) / len(areas) <= domain / 3, areas
+    hit = [
+        b
+        for b in boxes
+        if b.ux0 <= _Q165_UX[1] and b.ux1 >= _Q165_UX[0]
+        and b.hy0 <= _Q165_HY[1] and b.hy1 >= _Q165_HY[0]
+    ]
+    # the selective predicate touches a minority of files -> real skipping
+    assert len(hit) <= len(boxes) / 2, (len(hit), len(boxes))

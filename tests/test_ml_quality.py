@@ -94,13 +94,52 @@ def test_mllib_minhash_recalls_verified_pairs(spark):
     assert recall >= 0.85, f"recall {recall} ({len(q26)} verified pairs)"
 
 
-def test_hll_weekly_rollup_accuracy(spark):
-    """q139 quality gate: weekly distinct-user estimates from MERGED
-    daily HLL sketches must land within 10% of the exact weekly
-    distincts (Datasketches HLL at default lgK=12 gives ~1.6% relative
-    standard error; 10% is breakage headroom, not tuning), over the
-    same (week, type) cells."""
-    ev = load_table(spark, SF_SMOKE, "events")
+def test_lang_classifier_acceptance(spark):
+    """q91 hard acceptance gate (the last rows-only query without one).
+
+    The LR language classifier has no cross-engine oracle (iterative
+    MLlib fit), so pin it reference-style, mirroring how the FinalProject
+    notebook records its model accuracies as the acceptance artifact:
+
+    * **confusion-row structure**: the per-lang ``n_test`` counts must
+      equal the independently recomputed held-out class counts of the
+      seeded hash split (pmod(xxhash64(doc_id), 5) == 4 over docs with
+      non-null text+lang) — i.e. every test doc is scored exactly once;
+    * ``0 <= n_correct <= n_test`` and ``accuracy`` consistent with them;
+    * **quality**: overall held-out accuracy >= 0.10 (fixture languages
+      share one vocabulary, so the honest signal is ~chance = 0.2 over 5
+      classes — measured 0.234 at sf0.001; 0.10 is breakage headroom
+      that fails on a wrong-scale/garbage fit, not on seed drift), and
+      the class-balanced fit must NOT have collapsed to one class: at
+      least 3 languages need a correct prediction (measured: all 5)."""
+    docs = load_table(spark, SF_SMOKE, "documents")
+    expected = {
+        r["lang"]: r["n"]
+        for r in docs.filter(F.col("text").isNotNull() & F.col("lang").isNotNull())
+        .filter(F.pmod(F.xxhash64("doc_id"), F.lit(5)) == 4)
+        .groupBy("lang")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    rows = QUERIES["q91_lang_classifier"](spark, SF_SMOKE).collect()
+    assert {r["lang"] for r in rows} == set(expected)
+    for r in rows:
+        assert r["n_test"] == expected[r["lang"]], (r["lang"], r["n_test"])
+        assert 0 <= r["n_correct"] <= r["n_test"], (r["lang"], r["n_correct"])
+        assert abs(r["accuracy"] - round(r["n_correct"] / r["n_test"], 4)) < 1e-9
+    total = sum(r["n_test"] for r in rows)
+    correct = sum(r["n_correct"] for r in rows)
+    assert correct / total >= 0.10, f"held-out accuracy {correct / total:.3f}"
+    assert sum(1 for r in rows if r["n_correct"] > 0) >= 3, (
+        "fit collapsed despite class-balanced weights: "
+        + str({r['lang']: r['n_correct'] for r in rows})
+    )
+
+
+def check_hll_accuracy(spark, sf_dir):
+    """q139 ε-gate body, parameterized by fixture dir so the opt-in 10x
+    scale gate (tests/test_scale_gate.py) reruns it unchanged."""
+    ev = load_table(spark, sf_dir, "events")
     week = F.expr("unix_micros(ts) div 86400000000 div 7")
     exact = {
         (r["week"], r["event_type"]): r["n"]
@@ -108,7 +147,7 @@ def test_hll_weekly_rollup_accuracy(spark):
         .agg(F.countDistinct("user_id").alias("n"))
         .collect()
     }
-    approx = QUERIES["q139_hll_weekly_rollup"](spark, SF_SMOKE).collect()
+    approx = QUERIES["q139_hll_weekly_rollup"](spark, sf_dir).collect()
     assert len(approx) == len(exact)
     for r in approx:
         ex = exact[(r["week"], r["event_type"])]
@@ -117,14 +156,18 @@ def test_hll_weekly_rollup_accuracy(spark):
         )
 
 
-def test_kll_price_quantiles_accuracy(spark):
-    """q162 quality gate: per-priority p50/p90 estimates from MERGED
-    daily KLL sketches must land within 3% RANK error of the exact
-    distribution (Datasketches KLL at default k=200 guarantees ~1.3%
-    rank error with 99% confidence; 3% is breakage headroom). Checked
-    by rank, not by value: the estimate must sit between the exact
-    quantiles at rank q-0.03 and q+0.03."""
-    o = load_table(spark, SF_SMOKE, "orders")
+def test_hll_weekly_rollup_accuracy(spark):
+    """q139 quality gate: weekly distinct-user estimates from MERGED
+    daily HLL sketches must land within 10% of the exact weekly
+    distincts (Datasketches HLL at default lgK=12 gives ~1.6% relative
+    standard error; 10% is breakage headroom, not tuning), over the
+    same (week, type) cells."""
+    check_hll_accuracy(spark, SF_SMOKE)
+
+
+def check_kll_accuracy(spark, sf_dir):
+    """q162 ε-gate body, parameterized for the 10x scale gate."""
+    o = load_table(spark, sf_dir, "orders")
     bounds = {
         r["o_orderpriority"]: r
         for r in o.groupBy("o_orderpriority")
@@ -135,7 +178,7 @@ def test_kll_price_quantiles_accuracy(spark):
         )
         .collect()
     }
-    rows = QUERIES["q162_kll_price_quantiles"](spark, SF_SMOKE).collect()
+    rows = QUERIES["q162_kll_price_quantiles"](spark, sf_dir).collect()
     assert len(rows) == len(bounds)
     for r in rows:
         b = bounds[r["o_orderpriority"]]
@@ -146,20 +189,26 @@ def test_kll_price_quantiles_accuracy(spark):
         assert lo <= r["p90_value"] <= hi, (r["o_orderpriority"], r["p90_value"], lo, hi)
 
 
-def test_theta_segment_overlap_accuracy(spark):
-    """q163 quality gate: pairwise |A∩B| / |A∪B| / |A\\B| estimates
-    from per-type theta sketches must land within 10% of the exact
-    distinct-user set sizes (theta at default lgK=12 keeps every hash
-    until 4096 distincts, so small cells are near-exact; 10% covers the
-    sampled regime), for every type pair."""
-    ev = load_table(spark, SF_SMOKE, "events").select("event_type", "user_id")
+def test_kll_price_quantiles_accuracy(spark):
+    """q162 quality gate: per-priority p50/p90 estimates from MERGED
+    daily KLL sketches must land within 3% RANK error of the exact
+    distribution (Datasketches KLL at default k=200 guarantees ~1.3%
+    rank error with 99% confidence; 3% is breakage headroom). Checked
+    by rank, not by value: the estimate must sit between the exact
+    quantiles at rank q-0.03 and q+0.03."""
+    check_kll_accuracy(spark, SF_SMOKE)
+
+
+def check_theta_accuracy(spark, sf_dir):
+    """q163 ε-gate body, parameterized for the 10x scale gate."""
+    ev = load_table(spark, sf_dir, "events").select("event_type", "user_id")
     users = {
         r["event_type"]: set(r["us"])
         for r in ev.groupBy("event_type")
         .agg(F.collect_set("user_id").alias("us"))
         .collect()
     }
-    rows = QUERIES["q163_theta_segment_overlap"](spark, SF_SMOKE).collect()
+    rows = QUERIES["q163_theta_segment_overlap"](spark, sf_dir).collect()
     n_types = len(users)
     assert len(rows) == n_types * (n_types - 1) // 2
     for r in rows:
@@ -172,3 +221,12 @@ def test_theta_segment_overlap_accuracy(spark):
             assert abs(r[col] - exact) <= max(2, 0.10 * exact), (
                 r["type_a"], r["type_b"], col, r[col], exact,
             )
+
+
+def test_theta_segment_overlap_accuracy(spark):
+    """q163 quality gate: pairwise |A∩B| / |A∪B| / |A\\B| estimates
+    from per-type theta sketches must land within 10% of the exact
+    distinct-user set sizes (theta at default lgK=12 keeps every hash
+    until 4096 distincts, so small cells are near-exact; 10% covers the
+    sampled regime), for every type pair."""
+    check_theta_accuracy(spark, SF_SMOKE)

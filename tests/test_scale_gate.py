@@ -1,0 +1,75 @@
+"""Opt-in 10x scale gate: ``pytest -m scale``.
+
+Round 3 validated the iterative/sketch layer at 10x (and 100x) as one-off
+recorded experiments (SCALE.md §6e-§6j, commits 1c6c843/1060f99/f3c8ac7).
+This file makes the 10x half REPEATABLE: it regenerates the synthetic 10x
+fixture from sf0.1 with ``tools/synth_scale.py`` (bijective token remap for
+documents, join-preserving key shifts for facts, dims verbatim) and asserts
+
+* **hash-match vs the DuckDB oracle** for the iterative class — q71
+  near-dup connected components, q107 integer PageRank, q110 triangle
+  counts — the queries where AQE re-planning, partition counts, or loop
+  convergence could plausibly change RESULTS (not just plans) at scale;
+* the **sketch-family ε-gates** (q139 HLL, q162 KLL, q163 theta) rerun
+  against the 10x fixture — the mergeable-state substitute for exact
+  re-scans at 100 TB must keep its error bounds as partition counts and
+  merge fan-in grow.
+
+Excluded from the default run via pytest.ini addopts (regeneration plus
+the six checks take a few minutes); CI-style invocation:
+
+    python -m pytest tests/test_scale_gate.py -m scale -q
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from bigdatamining_graduate_spark.plans.queries import ORACLE, QUERIES
+from tests.oracle import assert_matches
+from tests.test_ml_quality import (
+    check_hll_accuracy,
+    check_kll_accuracy,
+    check_theta_accuracy,
+)
+
+pytestmark = pytest.mark.scale
+
+SYNTH_DIR = "/tmp/synth_sf1"
+BASE_SF_DIR = "/root/testdata/sf0.1"
+COPIES = 10
+
+#: iterative queries hash-matched against their embedded DuckDB oracle
+ITERATIVE = [
+    "q71_neardup_components",
+    "q107_part_pagerank",
+    "q110_part_triangles",
+]
+
+
+@pytest.fixture(scope="module")
+def synth_dir(spark):
+    """Regenerate the 10x fixture (all three table groups) from sf0.1."""
+    from tools.synth_scale import copy_dims, scale_documents, scale_facts
+
+    scale_documents(spark, BASE_SF_DIR, SYNTH_DIR, COPIES)
+    scale_facts(spark, BASE_SF_DIR, SYNTH_DIR, COPIES)
+    copy_dims(spark, BASE_SF_DIR, SYNTH_DIR)
+    return SYNTH_DIR
+
+
+@pytest.mark.parametrize("name", ITERATIVE)
+def test_iterative_hash_match_at_10x(spark, synth_dir, name):
+    assert_matches(QUERIES[name](spark, synth_dir), ORACLE[name], synth_dir)
+
+
+def test_hll_rollup_epsilon_at_10x(spark, synth_dir):
+    check_hll_accuracy(spark, synth_dir)
+
+
+def test_kll_quantiles_epsilon_at_10x(spark, synth_dir):
+    check_kll_accuracy(spark, synth_dir)
+
+
+def test_theta_overlap_epsilon_at_10x(spark, synth_dir):
+    check_theta_accuracy(spark, synth_dir)

@@ -7,8 +7,10 @@ this rewrites the whole block between the table header and the
 per-query plan notes (which are facts about the plan, not the run) in
 one place here.
 
-Usage: python bench.py | tail -1 > /tmp/bench.json
+Usage: python bench.py > /tmp/bench.json   # full record is the FIRST line;
        python tools/refresh_baseline.py /tmp/bench.json [--date YYYY-MM-DD]
+       # (also accepts BENCH_FULL.json, or a capture holding only the final
+       # summary line — the summary's full_record pointer is followed)
 """
 
 from __future__ import annotations
@@ -60,6 +62,8 @@ NOTES = {
     "q133_mad_outliers": "two-pass exact MAD, checkpointed thin proj",
     "q141_volume_shipping": "5x broadcast dims, nation joined twice",
     "q146_ppjoin_pairs": "rarest-prefix postings (4.7x fewer), lossless",
+    "q165_zorder_roundtrip": "range-shuffle z-sort write + pruned read-back",
+    "q166_datasource_roundtrip": "delimtext Python source, per-file partitions",
 }
 
 TABLE_HEAD = "| Query | sf | sec (warm) | sec (cold) | Notes | Run date |"
@@ -73,7 +77,23 @@ def main() -> None:
     args = ap.parse_args()
 
     with open(args.bench_json) as f:
-        bench = json.loads(f.read().strip().splitlines()[-1])
+        raw = f.read().strip()
+    # accept: a single JSON document (BENCH_FULL.json), a bench.py stdout
+    # capture ([full, summary] lines), or just the final summary line —
+    # prefer whichever record carries the complete per-query map, else
+    # follow the summary's full_record sidecar pointer
+    try:
+        records = [json.loads(raw)]
+    except json.JSONDecodeError:
+        records = [
+            json.loads(ln) for ln in raw.splitlines() if ln.lstrip().startswith("{")
+        ]
+    bench = next((r for r in records if "queries_cold" in r), None)
+    if bench is None:
+        import os
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        with open(os.path.join(repo, records[-1].get("full_record", "BENCH_FULL.json"))) as f:
+            bench = json.load(f)
     sf = bench["sf"]
     rows = [TABLE_HEAD, "|---|---|---|---|---|---|"]
     for q, warm in bench["queries"].items():
