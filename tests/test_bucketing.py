@@ -85,7 +85,18 @@ def test_zorder_roundtrip_layout_prunes(spark):
         QUERIES,
     )
 
-    QUERIES["q165_zorder_roundtrip"](spark, "/root/testdata/sf0.01").count()
+    q165 = QUERIES["q165_zorder_roundtrip"](spark, "/root/testdata/sf0.01")
+    # both range predicates reach the parquet scan as data-source filters
+    # (what row-group min/max skipping keys off) — not post-scan Filters
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    plan = q165._jdf.queryExecution().explainString(mode)
+    pushed = next(l for l in plan.splitlines() if "PushedFilters" in l)
+    for frag in ("GreaterThanOrEqual(ux,", "LessThanOrEqual(ux,",
+                 "GreaterThanOrEqual(hy,", "LessThanOrEqual(hy,"):
+        assert frag in pushed, pushed
+    q165.count()
     back = spark.read.parquet("/tmp/bdm_zorder_roundtrip/sf0.01")
     boxes = (
         back.groupBy(F.input_file_name().alias("f"))
