@@ -6782,7 +6782,7 @@ def q166_datasource_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     mirrored on both sides because ``concat_ws`` would silently drop a
     null field and shift columns (none exist in the fixtures; the guard
     keeps the pair honest at any SF)."""
-    from ..sources.datasource import DelimTextDataSource
+    from ..sources.datasource import register_delimtext
     from pyspark.sql import types as T
 
     docs = load_table(spark, sf_dir, "documents")
@@ -6796,10 +6796,7 @@ def q166_datasource_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     clean.select(
         F.concat_ws("::", "doc_id", "lang", "source", "n_chars").alias("value")
     ).write.mode("overwrite").text(out)
-    try:
-        spark.dataSource.register(DelimTextDataSource)
-    except Exception:
-        pass  # already registered in this session
+    register_delimtext(spark)  # idempotent, ships the module by value
     sch = T.StructType(
         [
             T.StructField("doc_id", T.LongType()),

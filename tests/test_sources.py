@@ -262,7 +262,7 @@ def test_delimtext_datasource_matches_expression_reader(spark, tmp_path):
     from pyspark.sql import types as T
 
     from bigdatamining_graduate_spark.sources import readers
-    from bigdatamining_graduate_spark.sources.datasource import DelimTextDataSource
+    from bigdatamining_graduate_spark.sources.datasource import register_delimtext
 
     (tmp_path / "a.dat").write_text("1::10::4.5::x\n2::20::bad::y\n")
     (tmp_path / "b.dat").write_text("3::30::2.0::z\n")
@@ -275,7 +275,7 @@ def test_delimtext_datasource_matches_expression_reader(spark, tmp_path):
         ]
     )
     glob_path = str(tmp_path / "*.dat")
-    spark.dataSource.register(DelimTextDataSource)
+    register_delimtext(spark)
     via_ds = spark.read.format("delimtext").schema(sch).option(
         "delimiter", "::"
     ).load(glob_path)
