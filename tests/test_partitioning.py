@@ -43,3 +43,52 @@ def test_partitioned_roundtrip_complete(spark, partitioned_events):
     assert back.count() == ev.count()
     # every original event id survives the partitioned rewrite
     assert back.select("event_id").distinct().count() == ev.count()
+
+
+def test_dynamic_partition_pruning_fires_on_dim_filtered_join(spark, tmp_path_factory):
+    """Dynamic partition pruning: when the partition-key predicate only
+    EXISTS at runtime (a filter on a non-join dim attribute, so nothing
+    is statically pushable to the fact side), Spark must inject a
+    ``dynamicpruningexpression`` into the fact scan's PartitionFilters —
+    at 100 TB this is what turns a star join against a filtered
+    dimension into a scan of just the matching hive partitions. The
+    stats heuristic is relaxed for the session (like the bloom-filter
+    capability pin) because at fixture scale the estimated benefit never
+    clears the bar; the assertion is that our layout + join shape are
+    DPP-ELIGIBLE (join on the partition column, selective literal
+    predicate on the dim, broadcast reuse), which a wrapped join key or
+    non-partition layout would silently break.
+
+    Note the static-pruning trap this test dodges: filtering the dim on
+    the JOIN column itself lets constraint propagation push a STATIC
+    partition filter, and DPP never needs to fire."""
+    out = tmp_path_factory.mktemp("dpp")
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    sinks.write_parquet(ev, str(out / "fact"), partition_by=["event_type"])
+    (
+        ev.select("event_type")
+        .distinct()
+        .withColumn(
+            "category",
+            F.when(F.col("event_type") == "error", "failure").otherwise("normal"),
+        )
+        .write.mode("overwrite")
+        .parquet(str(out / "dim"))
+    )
+    old = spark.conf.get("spark.sql.optimizer.dynamicPartitionPruning.useStats")
+    spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.useStats", "false")
+    try:
+        fact = spark.read.parquet(str(out / "fact"))
+        dim = spark.read.parquet(str(out / "dim")).filter(
+            F.col("category") == "failure"
+        )
+        j = fact.join(F.broadcast(dim), "event_type").groupBy("event_type").count()
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "dynamicpruningexpression(event_type" in plan, plan[:2000]
+        rows = j.collect()
+        assert [r["event_type"] for r in rows] == ["error"]
+        assert rows[0]["count"] == ev.filter("event_type = 'error'").count()
+    finally:
+        spark.conf.set(
+            "spark.sql.optimizer.dynamicPartitionPruning.useStats", old
+        )
