@@ -1,0 +1,82 @@
+"""Opt-in 100x facts gate: ``pytest -m scale100``.
+
+Repeatable form of the SCALE.md §6j experiment (round 3 ran it once,
+manually): regenerate the 100x synthetic fact fixture from sf0.1 —
+60M lineitem / 15M orders / 100M events, join-preserving key shifts,
+dims verbatim — and hash-match a representative slice of the relational
+core against the embedded DuckDB oracles at that volume:
+
+* q01  pricing summary        — exact decimal aggregate over 60M rows
+* q94  TPC-H Q3               — selective star join
+* q108 TPC-H Q17              — per-key-average correlated-agg join
+* q132 peak concurrency       — split prefix-sum sweep line over 200M edges
+* q160 TPC-H Q21              — 60M-row per-order aggregation (the query
+                                that OOMs a default 1 GB driver heap;
+                                this gate runs its own 8 GB engine session)
+* q164 zero-window argmax     — max_by over 15M orders
+
+Separate marker from the 10x `scale` gate because this one costs tens of
+minutes (fixture generation dominates) and ~5 GB under /tmp; both are
+excluded from the default pytest run via pytest.ini. Invocation:
+
+    python -m pytest tests/test_scale100_gate.py -m scale100 -q
+
+Uses its OWN SparkSession (local[16], 32 shuffle partitions, 8 GB heap
+via the engine factory) instead of the shared local[4] test session —
+run it alone, not inside the default suite process.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from bigdatamining_graduate_spark.plans.queries import ORACLE, QUERIES
+from tests.oracle import assert_matches
+
+pytestmark = pytest.mark.scale100
+
+SYNTH_DIR = "/tmp/synth_sf10"
+BASE_SF_DIR = "/root/testdata/sf0.1"
+COPIES = 100
+
+CHECKED = [
+    "q01_pricing_summary",
+    "q94_shipping_priority",
+    "q108_small_qty_revenue",
+    "q132_peak_concurrency",
+    "q160_waiting_supplier",
+    "q164_best_order_no_window",
+]
+
+
+@pytest.fixture(scope="module")
+def spark100():
+    from bigdatamining_graduate_spark.session import get_spark
+
+    s = get_spark(
+        app_name="bdm-scale100",
+        master="local[16]",
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
+    yield s
+
+
+@pytest.fixture(scope="module")
+def synth100_dir(spark100):
+    from tools.synth_scale import copy_dims, scale_facts
+
+    scale_facts(spark100, BASE_SF_DIR, SYNTH_DIR, COPIES)
+    copy_dims(spark100, BASE_SF_DIR, SYNTH_DIR)
+    # tests/oracle registers a view per fixture table; documents isn't
+    # scaled here (the 100x TEXT experiment is §6g) — link the sf0.1 one
+    link = os.path.join(SYNTH_DIR, "documents.parquet")
+    if not os.path.exists(link):
+        os.symlink(os.path.join(BASE_SF_DIR, "documents.parquet"), link)
+    return SYNTH_DIR
+
+
+@pytest.mark.parametrize("name", CHECKED)
+def test_relational_hash_match_at_100x(spark100, synth100_dir, name):
+    assert_matches(QUERIES[name](spark100, synth100_dir), ORACLE[name], synth100_dir)
