@@ -875,3 +875,39 @@ def test_ppjoin_prefix_filter_is_lossless(spark, sets):
             if union and 5 * inter >= 4 * union:
                 expect.add((a, b))
     assert got == expect
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 31), st.integers(0, 31)),
+        min_size=1,
+        max_size=16,
+    )
+)
+@settings(max_examples=20, deadline=None)
+def test_z_interleave_matches_python_morton(spark, pairs):
+    """The arithmetic Morton fragment (shared verbatim by the q87 audit,
+    q165's production write path, and the DuckDB oracles) must equal an
+    independent bit-twiddling reference: bit i of dim j lands at
+    position i*N + (N-1-j). Hypothesis drives the (x, y) grid corners
+    and interiors; any drift in the floor/div/mod arithmetic (an
+    off-by-one in the shift, a sign slip) breaks this before it can
+    silently skew every file's bounding box."""
+    import pyspark.sql.functions as F
+
+    from bigdatamining_graduate_spark.functions.layout import z_interleave_sql
+
+    def morton_ref(x: int, y: int, bits: int = 5) -> int:
+        z = 0
+        for i in range(bits):
+            z |= ((x >> i) & 1) << (2 * i + 1)  # first col: high slot
+            z |= ((y >> i) & 1) << (2 * i)
+        return z
+
+    df = spark.createDataFrame(pairs, "x int, y int")
+    got = [
+        r["z"]
+        for r in df.select(F.expr(z_interleave_sql(["x", "y"], 5)).alias("z"))
+        .collect()
+    ]
+    assert got == [morton_ref(x, y) for x, y in pairs]
