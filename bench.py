@@ -55,6 +55,7 @@ HEADLINE = [
     "q101_shared_passages",     # verbatim-passage dedup (inverted index)
     "q106_bm25_search",         # lexical retrieval (filtered postings)
     "q107_part_pagerank",       # iterative graph mining (6 integer rounds)
+    "q110_part_triangles",      # oriented-adjacency array_intersect closure
     "q108_small_qty_revenue",   # TPC-H Q17 correlated-agg join shape
     "q111_embedding_quantization",  # zero-shuffle int8 vector codes
     "q113_skipgram_pairs",      # window co-occurrence pair extraction

@@ -101,12 +101,23 @@ def triangle_counts(lineitem: DataFrame, min_support: int = 1) -> DataFrame:
 
     Each undirected edge is oriented from the (degree, id)-smaller
     endpoint to the larger; every triangle then has exactly ONE node with
-    two out-edges, so counting (u→v, u→w, v→w) triples counts each
-    triangle once.  The wedge self-join fans out per-node by OUT-degree,
-    which orientation bounds by O(sqrt(m)) regardless of hub size — a
-    hub of degree 10^6 contributes no wedges because all its edges point
-    IN.  That is what survives a power-law co-purchase graph at 100 TB;
-    the naive wedge join on raw degree does not.
+    two out-edges, so the closure (u→v, u→w, v→w) finds each triangle
+    once.  Orientation bounds per-node OUT-degree by O(sqrt(m))
+    regardless of hub size — a hub of degree 10^6 contributes nothing
+    because all its edges point IN.  That is what survives a power-law
+    co-purchase graph at 100 TB; the naive wedge join on raw degree does
+    not.
+
+    Closure strategy (round 4, measured): instead of materializing every
+    wedge (u→v, u→w) and equi-joining against the closing edge — ~16M
+    shuffled wedge rows at sf0.1, of which only ~3% close — each node's
+    oriented out-neighborhood is aggregated ONCE into a sorted array
+    (size O(sqrt(m)) by the orientation bound, so no hub blowup), and
+    each edge (u→v) emits exactly its triangles via
+    ``explode(array_intersect(N+(u), N+(v)))``.  Intersection work stays
+    row-local in the JVM; the only exploded rows are true triangles.
+    Measured at sf0.1: 10.4 s → 5.0 s warm median; results bit-identical
+    (same exact integer counts).
 
     ``min_support`` keeps only edges co-purchased in >= that many orders
     — the density dial: a catalog-bounded graph gets DENSER (not bigger)
@@ -139,36 +150,37 @@ def triangle_counts(lineitem: DataFrame, min_support: int = 1) -> DataFrame:
     lt = (F.col("dega") < F.col("degb")) | (
         (F.col("dega") == F.col("degb")) & (F.col("pa") < F.col("pb"))
     )
-    # materialize once: the plan references `oriented` three times (both
-    # wedge sides + the closing edge) and Spark would otherwise re-run
-    # the distinct self-join subtree for each — same checkpoint
-    # discipline as the CC/PageRank loops above
+    # materialize once: the plan references `oriented` on both sides of
+    # the adjacency join and Spark would otherwise re-run the distinct
+    # self-join subtree for each — same checkpoint discipline as the
+    # CC/PageRank loops above
     oriented = (
         pairs.join(da, "pa")
         .join(db, "pb")
         .select(
             F.when(lt, F.col("pa")).otherwise(F.col("pb")).alias("src"),
             F.when(lt, F.col("pb")).otherwise(F.col("pa")).alias("dst"),
-            F.when(lt, F.col("degb")).otherwise(F.col("dega")).alias("dst_deg"),
         )
         .localCheckpoint()
     )
-    e1 = oriented.select("src", F.col("dst").alias("v"), F.col("dst_deg").alias("v_deg"))
-    e2 = oriented.select("src", F.col("dst").alias("w"), F.col("dst_deg").alias("w_deg"))
-    # wedge (v, w) out of the same src, ordered by the SAME (deg, id)
-    # total order the orientation used, so the closing edge (v -> w) can
-    # only exist in that direction
-    wedges = e1.join(e2, "src").filter(
-        (F.col("v_deg") < F.col("w_deg"))
-        | ((F.col("v_deg") == F.col("w_deg")) & (F.col("v") < F.col("w")))
+    # oriented out-adjacency, sorted for a deterministic intersection
+    adj = oriented.groupBy("src").agg(
+        F.sort_array(F.collect_list("dst")).alias("nbrs")
     )
-    closing = oriented.select(F.col("src").alias("v"), F.col("dst").alias("w"))
+    au = adj.select(F.col("src").alias("u_key"), F.col("nbrs").alias("nu"))
+    av = adj.select(F.col("src").alias("v_key"), F.col("nbrs").alias("nv"))
+    # per edge (u->v): common oriented neighbors ARE its triangles'
+    # third nodes — only true closures get exploded, never open wedges
     tris = (
-        wedges.join(closing, ["v", "w"]).select("src", "v", "w").localCheckpoint()
+        oriented.join(au, oriented.src == au.u_key)
+        .join(av, oriented.dst == av.v_key)
+        .select(
+            "src", "dst", F.explode(F.array_intersect("nu", "nv")).alias("w")
+        )
     )
     per_node = (
         tris.select(F.col("src").alias("node"))
-        .unionByName(tris.select(F.col("v").alias("node")))
+        .unionByName(tris.select(F.col("dst").alias("node")))
         .unionByName(tris.select(F.col("w").alias("node")))
         .groupBy("node")
         .agg(F.count("*").alias("tri_cnt"))

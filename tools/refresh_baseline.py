@@ -62,6 +62,7 @@ NOTES = {
     "q133_mad_outliers": "two-pass exact MAD, checkpointed thin proj",
     "q141_volume_shipping": "5x broadcast dims, nation joined twice",
     "q146_ppjoin_pairs": "rarest-prefix postings (4.7x fewer), lossless",
+    "q110_part_triangles": "oriented adjacency arrays, intersect per edge",
     "q165_zorder_roundtrip": "range-shuffle z-sort write + pruned read-back",
     "q166_datasource_roundtrip": "delimtext Python source, per-file partitions",
 }
