@@ -52,6 +52,15 @@ def assert_matches(spark_df, sql: str, sf_dir: str, float_tol: float = 1e-9) -> 
     assert len(got) == len(exp), f"row count mismatch: spark={len(got)} oracle={len(exp)}"
     for c in got.columns:
         g, e = got[c], exp[c]
+        # Driver-strictness: the driver's value-hash is exact, so an
+        # int64-vs-float64 dtype split (e.g. DuckDB SUM(BIGINT) ->
+        # HUGEINT -> float64 via .df()) MUST fail here too, before any
+        # tolerance path masks it.  Cast integer SUMs in oracle SQL to
+        # BIGINT — see the HUGEINT trap note in SCALE.md.
+        assert g.dtype.kind == e.dtype.kind, (
+            f"dtype-kind mismatch in {c}: spark={g.dtype} oracle={e.dtype} "
+            "(DuckDB HUGEINT->float64? cast the oracle aggregate to BIGINT)"
+        )
         if g.dtype.kind == "f" or e.dtype.kind == "f":
             for i, (a, b) in enumerate(zip(g, e)):
                 if pd.isna(a) and pd.isna(b):
