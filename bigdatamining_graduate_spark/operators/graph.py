@@ -171,12 +171,16 @@ def triangle_counts(lineitem: DataFrame, min_support: int = 1) -> DataFrame:
     av = adj.select(F.col("src").alias("v_key"), F.col("nbrs").alias("nv"))
     # per edge (u->v): common oriented neighbors ARE its triangles'
     # third nodes — only true closures get exploded, never open wedges
+    # materialized: `per_node` references tris three times in the union
+    # below — without this the adjacency joins + explode subtree would be
+    # recomputed per branch (same discipline as `oriented` above)
     tris = (
         oriented.join(au, oriented.src == au.u_key)
         .join(av, oriented.dst == av.v_key)
         .select(
             "src", "dst", F.explode(F.array_intersect("nu", "nv")).alias("w")
         )
+        .localCheckpoint()
     )
     per_node = (
         tris.select(F.col("src").alias("node"))

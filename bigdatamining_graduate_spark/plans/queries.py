@@ -6701,7 +6701,9 @@ import os as _os  # noqa: E402
 
 from ..sources import sinks as _SNK  # noqa: E402
 
-_Q165_DIR = "/tmp/bdm_zorder_roundtrip"
+# per-process output roots: two concurrent sessions on the same fixture
+# (e.g. bench + test run) must not race overwrite-vs-read-back on one dir
+_Q165_DIR = f"/tmp/bdm_zorder_roundtrip_{_os.getpid()}"
 _Q165_UX = (3, 6)    # selective 2-dim predicate the z-layout serves
 _Q165_HY = (9, 12)
 
@@ -6756,7 +6758,7 @@ def q165_zorder_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_Q166_DIR = "/tmp/bdm_delimtext_roundtrip"
+_Q166_DIR = f"/tmp/bdm_delimtext_roundtrip_{_os.getpid()}"
 
 
 @register(
@@ -6815,6 +6817,73 @@ def q166_datasource_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_docs"),
         F.sum("doc_id").alias("sum_doc_id"),
         F.sum("n_chars").alias("sum_chars"),
+    )
+
+
+_Q167_BUCKETS = 8
+_Q167_WH = f"/tmp/bdm_bucketed_roundtrip_{_os.getpid()}"
+
+
+@register(
+    "q167_bucketed_join_roundtrip",
+    oracle=f"""
+    SELECT o.o_orderstatus,
+           count(*) AS n_items,
+           CAST(count(DISTINCT o.o_orderkey) AS BIGINT) AS n_orders,
+           {N.exact_sum_sql('l.l_extendedprice')} AS sum_price,
+           cast(sum({N.revenue_sql('l.l_extendedprice', 'l.l_discount')})
+                as double) AS sum_revenue
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    GROUP BY o.o_orderstatus
+    """,
+)
+def q167_bucketed_join_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed-table co-location exercised END-TO-END: orders and
+    lineitem are written ``bucketBy({_Q167_BUCKETS}, key).sortBy(key)``
+    to external parquet tables, read back through the catalog, and
+    sort-merge-joined — the one 100 TB join that can never broadcast,
+    served with ZERO runtime exchange because the shuffle happened once
+    at write time (SCALE.md §2; completes the physical-layout family
+    q87/q165/q166 with a driver-green round-trip). The ``merge`` hint
+    pins the SMJ path the planner would pick at scale (at fixture scale
+    it would otherwise broadcast and bypass bucketing entirely);
+    ``tests/test_bucketing.py`` asserts the no-Exchange property on
+    these same tables. Oracle runs the identical join + aggregate over
+    the ORIGINAL parquet, so a hash-match proves the bucketed layout is
+    lossless. Reference parity: the hw4 join pipeline
+    (``hw4/BDM_HW4.py``) re-shuffles both sides on every run.
+    """
+    tag = _os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    ob, lb = f"orders_b_{tag}", f"lineitem_b_{tag}"
+    if not (spark.catalog.tableExists(ob) and spark.catalog.tableExists(lb)):
+        (
+            load_table(spark, sf_dir, "orders")
+            .write.bucketBy(_Q167_BUCKETS, "o_orderkey")
+            .sortBy("o_orderkey")
+            .option("path", f"{_Q167_WH}/{ob}")
+            .mode("overwrite")
+            .saveAsTable(ob)
+        )
+        (
+            load_table(spark, sf_dir, "lineitem")
+            .write.bucketBy(_Q167_BUCKETS, "l_orderkey")
+            .sortBy("l_orderkey")
+            .option("path", f"{_Q167_WH}/{lb}")
+            .mode("overwrite")
+            .saveAsTable(lb)
+        )
+    o, l = spark.table(ob), spark.table(lb).hint("merge")
+    return (
+        o.join(l, o.o_orderkey == l.l_orderkey)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.countDistinct("o_orderkey").alias("n_orders"),
+            N.exact_sum(F.col("l_extendedprice")).alias("sum_price"),
+            F.sum(N.revenue(F.col("l_extendedprice"), F.col("l_discount")))
+            .cast("double")
+            .alias("sum_revenue"),
+        )
     )
 
 

@@ -56,6 +56,22 @@ def test_bucketed_join_has_no_exchange(warehouse):
     assert j.count() == 6000
 
 
+def test_q167_roundtrip_join_is_shuffle_free(spark):
+    """q167's whole point, asserted on its executed plan: the bucketed
+    write pays the shuffle once, so the read-back orders⋈lineitem SMJ
+    runs with ZERO exchange below the join — the only Exchange in the
+    plan is the final single-key groupBy. Values are covered by the
+    oracle (driver window + parity test); this pins the physical
+    property that makes it the 100 TB strategy."""
+    from bigdatamining_graduate_spark.plans.queries import QUERIES
+
+    df = QUERIES["q167_bucketed_join_roundtrip"](spark, "/root/testdata/sf0.001")
+    plan = _plan(df)
+    assert "SortMergeJoin" in plan
+    below_join = plan[plan.find("SortMergeJoin"):]
+    assert "Exchange hashpartitioning" not in below_join, below_join
+
+
 def test_unbucketed_join_needs_exchange_or_broadcast(warehouse):
     from bigdatamining_graduate_spark.sources.catalog import load_table
 
@@ -80,6 +96,7 @@ def test_zorder_roundtrip_layout_prunes(spark):
     import pyspark.sql.functions as F
 
     from bigdatamining_graduate_spark.plans.queries import (
+        _Q165_DIR,
         _Q165_HY,
         _Q165_UX,
         QUERIES,
@@ -97,7 +114,7 @@ def test_zorder_roundtrip_layout_prunes(spark):
                  "GreaterThanOrEqual(hy,", "LessThanOrEqual(hy,"):
         assert frag in pushed, pushed
     q165.count()
-    back = spark.read.parquet("/tmp/bdm_zorder_roundtrip/sf0.01")
+    back = spark.read.parquet(f"{_Q165_DIR}/sf0.01")
     boxes = (
         back.groupBy(F.input_file_name().alias("f"))
         .agg(

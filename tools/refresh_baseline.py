@@ -89,12 +89,25 @@ def main() -> None:
         records = [
             json.loads(ln) for ln in raw.splitlines() if ln.lstrip().startswith("{")
         ]
+    if not records:
+        raise SystemExit(
+            f"{args.bench_json}: no JSON record found — is this a bench.py "
+            "capture? (expected a JSON document or JSON lines)"
+        )
     bench = next((r for r in records if "queries_cold" in r), None)
     if bench is None:
         import os
         repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
         with open(os.path.join(repo, records[-1].get("full_record", "BENCH_FULL.json"))) as f:
             bench = json.load(f)
+        # the sidecar must belong to the same run as the capture's summary
+        summary = records[-1]
+        if "value" in summary and abs(bench.get("value", -1) - summary["value"]) > 1e-6:
+            raise SystemExit(
+                f"sidecar {records[-1].get('full_record', 'BENCH_FULL.json')} total "
+                f"({bench.get('value')}) != capture summary total ({summary['value']}) "
+                "— sidecar is from a different run; re-run bench.py"
+            )
     sf = bench["sf"]
     rows = [TABLE_HEAD, "|---|---|---|---|---|---|"]
     for q, warm in bench["queries"].items():
