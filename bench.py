@@ -69,6 +69,8 @@ HEADLINE = [
     "q160_waiting_supplier",    # TPC-H Q21 per-order-agg rewrite (no self-joins)
     "q165_zorder_roundtrip",    # z-order sink write + read-back + filtered agg
     "q166_datasource_roundtrip",  # custom Python DataSource write/read round-trip
+    "q167_bucketed_join_roundtrip",  # bucketed write + shuffle-free SMJ read-back
+    "q168_cmsketch_heavy_hitters",  # count-min sketch token heavy hitters
 ]
 
 

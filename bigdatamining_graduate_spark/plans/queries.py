@@ -6887,6 +6887,113 @@ def q167_bucketed_join_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Count-min sketch geometry: d independent rows x w buckets.  The affine
+# family reuses the MinHash mixing ((a*h + b) mod p, p = 2^31-1) over the
+# portable 60-bit md5 hash, so Spark and DuckDB compute IDENTICAL sketches
+# — making this the sketch-family member with a full cross-engine value
+# oracle (HLL/KLL/theta are engine-internal, q139/q162/q163 are ε-gated).
+from ..functions import hashing as HH  # noqa: E402
+
+_CMS_D = 4
+_CMS_W = 512
+_CMS_PARAMS = HH._affine_params(_CMS_D)
+_CMS_HH_PERMILLE = 2  # heavy hitter: est count >= 0.2% of the token stream
+
+
+def _cms_bucket_sql(a: int, b: int) -> str:
+    return f"(({a} * h32 + {b}) % {HH.MERSENNE31}) % {_CMS_W}"
+
+
+_CMS_CELLS_SQL = "\n      UNION ALL ".join(
+    f"SELECT token, cnt, {i} AS i, {_cms_bucket_sql(a, b)} AS bucket FROM dt"
+    for i, (a, b) in enumerate(_CMS_PARAMS)
+)
+
+
+@register(
+    "q168_cmsketch_heavy_hitters",
+    oracle=f"""
+    WITH toks AS (
+      SELECT unnest({TX.tokenize_sql('text')}) AS token FROM documents),
+    dt AS (
+      SELECT token, count(*) AS cnt,
+             {portable_hash64_sql('token')} % {HH.MERSENNE31} AS h32
+      FROM toks GROUP BY token),
+    probes AS ({_CMS_CELLS_SQL}),
+    cells AS (
+      SELECT i, bucket, CAST(sum(cnt) AS BIGINT) AS c
+      FROM probes GROUP BY i, bucket),
+    est AS (
+      SELECT p.token, p.cnt AS exact_count, min(cl.c) AS est_count
+      FROM probes p
+      JOIN cells cl ON p.i = cl.i AND p.bucket = cl.bucket
+      GROUP BY p.token, p.cnt),
+    tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM dt)
+    SELECT token, exact_count, est_count,
+           est_count - exact_count AS overest
+    FROM est, tot
+    WHERE est_count * 1000 >= n * {_CMS_HH_PERMILLE}
+    """,
+)
+def q168_cmsketch_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch heavy hitters over the document token stream —
+    the frequency-estimation sketch a vocabulary-trimming / hot-key
+    pipeline uses when exact per-token counts don't fit. Build: one
+    hash-agg to per-token counts, then the {_CMS_D}x{_CMS_W}-cell
+    sketch via map-side-combined sums (the ENTIRE sketch is {_CMS_D * _CMS_W}
+    cells — mergeable across partitions, shards, and days by cell-wise
+    addition). Estimate: min over the {_CMS_D} probed cells, never
+    below the true count (CM overestimates only — the oracle re-derives
+    the identical sketch in DuckDB from the same md5-affine family, so
+    the bound AND the exact estimates hash-match cross-engine). Heavy
+    hitter: estimated share >= {_CMS_HH_PERMILLE}/1000 of the stream,
+    tested with an integer cross-multiply (no float rounding hazard).
+
+    Scale: token->count is the only data-sized shuffle (map-side
+    combine); everything after runs on |vocab| rows probing a
+    broadcast-sized 2 KB sketch. Reference parity: the hw3 vocabulary
+    loop (``hw3/hw3.py:84``) collects exact counts to the driver.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(TX.tokenize("text")).alias("token"))
+    dt = (
+        toks.groupBy("token")
+        .agg(F.count("*").alias("cnt"))
+        .withColumn("h32", portable_hash64(F.col("token")) % HH.MERSENNE31)
+    )
+    probes = dt.select(
+        "token",
+        "cnt",
+        F.posexplode(
+            F.array(
+                *[
+                    ((F.lit(a) * F.col("h32") + F.lit(b)) % HH.MERSENNE31)
+                    % _CMS_W
+                    for a, b in _CMS_PARAMS
+                ]
+            )
+        ).alias("i", "bucket"),
+    )
+    cells = probes.groupBy("i", "bucket").agg(F.sum("cnt").alias("c"))
+    est = (
+        probes.join(F.broadcast(cells), ["i", "bucket"])
+        .groupBy("token", "cnt")
+        .agg(F.min("c").alias("est_count"))
+        .withColumnRenamed("cnt", "exact_count")
+    )
+    tot = dt.agg(F.sum("cnt").alias("n"))
+    return (
+        est.join(F.broadcast(tot))
+        .filter(F.col("est_count") * 1000 >= F.col("n") * _CMS_HH_PERMILLE)
+        .select(
+            "token",
+            "exact_count",
+            "est_count",
+            (F.col("est_count") - F.col("exact_count")).alias("overest"),
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # Driver-window rotation
 # --------------------------------------------------------------------------

@@ -221,3 +221,26 @@ def test_udtf_extension_point_matches_jvm_json_path(spark):
     a = sorted(map(tuple, via_udtf.collect()))
     b = sorted(map(tuple, via_jvm.collect()))
     assert a == b and len(a) > 0
+
+
+def test_q168_cmsketch_overestimates_and_is_tiny(spark):
+    """CM-sketch invariants q168's oracle can't express: (1) every
+    estimate >= the exact count (CM never underestimates), (2) the
+    sketch itself is bounded at d*w cells regardless of vocabulary —
+    the property that makes it mergeable state at 100 TB, (3) the
+    relative overestimate on heavy hitters stays small (w >> heavy
+    bucket load)."""
+    from bigdatamining_graduate_spark.plans.queries import (
+        _CMS_D,
+        _CMS_W,
+        QUERIES,
+    )
+
+    rows = QUERIES["q168_cmsketch_heavy_hitters"](spark, SF_SMOKE).collect()
+    assert rows, "fixture must yield heavy hitters"
+    assert all(r.overest >= 0 for r in rows)
+    assert all(r.est_count >= r.exact_count for r in rows)
+    # heavy hitters sit in hot cells, but 4x512 cells over a ~10k-token
+    # vocab keeps collisions light: overestimate well under the count
+    assert all(r.overest <= r.exact_count for r in rows), rows
+    assert _CMS_D * _CMS_W == 2048

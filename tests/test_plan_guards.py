@@ -31,6 +31,7 @@ ALLOWED = {
     "q130_source_temperature_mix",  # 1-row weight-total broadcast (q03 pattern)
     "q149_benford_audit",        # 1-row digit-total broadcast onto 9-row table
     "q163_theta_segment_overlap",  # |types|-row sketch-table pair self-join
+    "q168_cmsketch_heavy_hitters",  # 1-row stream-total broadcast (q31 pattern)
 }
 
 
