@@ -6956,10 +6956,14 @@ def q168_cmsketch_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(F.explode(TX.tokenize("text")).alias("token"))
+    # materialize the vocab-sized count table once: cells, est and tot all
+    # consume it, and Spark plans three separate corpus scans otherwise
+    # (verified: no ReusedExchange across the three consumers)
     dt = (
         toks.groupBy("token")
         .agg(F.count("*").alias("cnt"))
         .withColumn("h32", portable_hash64(F.col("token")) % HH.MERSENNE31)
+        .localCheckpoint()
     )
     probes = dt.select(
         "token",

@@ -14,6 +14,7 @@ core against the embedded DuckDB oracles at that volume:
                                 that OOMs a default 1 GB driver heap;
                                 this gate runs its own 8 GB engine session)
 * q164 zero-window argmax     — max_by over 15M orders
+* q167 bucketed round-trip    — bucketed write + exchange-free SMJ at 60M rows
 
 Separate marker from the 10x `scale` gate because this one costs tens of
 minutes (fixture generation dominates) and ~5 GB under /tmp; both are
@@ -48,6 +49,11 @@ CHECKED = [
     "q132_peak_concurrency",
     "q160_waiting_supplier",
     "q164_best_order_no_window",
+    # round 5: the bucketed-layout round-trip at real volume — 60M
+    # lineitem / 15M orders written bucketBy(8, key), read back and
+    # sort-merge-joined with zero runtime exchange; the hash-match vs
+    # the plain-parquet oracle proves the layout lossless at 100x
+    "q167_bucketed_join_roundtrip",
 ]
 
 

@@ -78,6 +78,16 @@ def test_streaming_hash_match_at_10x(spark, synth_dir, name):
     assert_matches(QUERIES[name](spark, synth_dir), ORACLE[name], synth_dir)
 
 
+def test_cmsketch_hash_match_at_10x(spark, synth_dir):
+    """q168 at 10x the token stream: the sketch stays 4x512 cells no
+    matter the volume (the mergeable-state claim), and because its hash
+    family is cross-engine portable the ESTIMATES — not just error
+    bounds — must still hash-match DuckDB as partition counts and
+    per-cell loads grow."""
+    name = "q168_cmsketch_heavy_hitters"
+    assert_matches(QUERIES[name](spark, synth_dir), ORACLE[name], synth_dir)
+
+
 def test_hll_rollup_epsilon_at_10x(spark, synth_dir):
     check_hll_accuracy(spark, synth_dir)
 

@@ -65,6 +65,8 @@ NOTES = {
     "q110_part_triangles": "oriented adjacency arrays, intersect per edge",
     "q165_zorder_roundtrip": "range-shuffle z-sort write + pruned read-back",
     "q166_datasource_roundtrip": "delimtext Python source, per-file partitions",
+    "q167_bucketed_join_roundtrip": "cold = bucketed write; warm = exchange-free SMJ",
+    "q168_cmsketch_heavy_hitters": "portable-hash CM sketch, 2048 mergeable cells",
 }
 
 TABLE_HEAD = "| Query | sf | sec (warm) | sec (cold) | Notes | Run date |"
