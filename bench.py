@@ -71,6 +71,7 @@ HEADLINE = [
     "q166_datasource_roundtrip",  # custom Python DataSource write/read round-trip
     "q167_bucketed_join_roundtrip",  # bucketed write + shuffle-free SMJ read-back
     "q168_cmsketch_heavy_hitters",  # count-min sketch token heavy hitters
+    "q169_part_communities",    # synchronous LPA community detection
 ]
 
 

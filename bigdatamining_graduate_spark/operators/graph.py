@@ -276,3 +276,110 @@ def integer_pagerank_sql(n_iter: int = N_ITER, top: int | None = None) -> str:
         + ",\n    ".join(ctes)
         + f"\n    SELECT node, r AS rank_mass FROM pr{n_iter} {limit}"
     )
+
+
+# -- label propagation communities ------------------------------------------
+
+LPA_ROUNDS = 3
+LPA_SUPPORT = 2  # co-purchase weight floor: the density dial (see q110)
+
+
+def label_propagation(
+    lineitem: DataFrame,
+    n_rounds: int = LPA_ROUNDS,
+    min_support: int = LPA_SUPPORT,
+) -> DataFrame:
+    """(node, community) after ``n_rounds`` SYNCHRONOUS label-propagation
+    rounds over the co-purchase graph — community detection, the third
+    canonical iterative graph op next to PageRank and triangles.
+
+    Async LPA (the common formulation) is order-dependent and therefore
+    not reproducible across engines or partitionings; this is the
+    synchronous variant with a TOTAL-ORDER tie-break — every node
+    simultaneously adopts the most frequent label among its neighbors,
+    ties broken toward the SMALLEST label — so the result after a fixed
+    round count is a pure function of the graph, bit-identical in any
+    engine at any parallelism (same determinism discipline as the
+    integer PageRank above; reference parity: the hw5 graph homework
+    stops at components, this completes the community layer).
+
+    Shape per round: one equi-join (edges ⋈ labels on src) + one
+    (dst, label) count + one per-dst argmax — ``max(struct(c, -lbl))``
+    picks highest count then smallest label without a window sort.
+    Edges are materialized once; labels re-checkpoint per round to keep
+    the plan constant-size (the CC/PageRank loop discipline)."""
+    op = lineitem.select("l_orderkey", "l_partkey").distinct()
+    a = op.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pa"))
+    b = op.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pb"))
+    # support-thresholded pairs (the q110 density dial): on the raw
+    # catalog-dense graph LPA collapses to one global community; edges
+    # that co-occur in >= min_support orders carry actual affinity
+    pairs = (
+        a.join(b, "k")
+        .filter(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count("*").alias("w"))
+        .filter(F.col("w") >= min_support)
+    )
+    edges = (
+        pairs.select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
+        .unionByName(
+            pairs.select(F.col("pb").alias("src"), F.col("pa").alias("dst"))
+        )
+        .localCheckpoint()
+    )
+    labels = edges.select(F.col("src").alias("node")).distinct().select(
+        "node", F.col("node").alias("lbl")
+    )
+    for _ in range(n_rounds):
+        votes = (
+            edges.join(labels, edges.src == labels.node)
+            .select("dst", "lbl")
+            .groupBy("dst", "lbl")
+            .agg(F.count("*").alias("c"))
+        )
+        labels = (
+            votes.groupBy("dst")
+            .agg(F.max(F.struct(F.col("c"), (-F.col("lbl")).alias("nl"))).alias("m"))
+            .select(F.col("dst").alias("node"), (-F.col("m.nl")).alias("lbl"))
+            .localCheckpoint()
+        )
+    return labels.select("node", F.col("lbl").alias("community"))
+
+
+def label_propagation_sql(n_rounds: int = LPA_ROUNDS) -> str:
+    """DuckDB twin: the same synchronous recurrence unrolled as chained
+    CTEs (argmax as row_number ORDER BY c DESC, lbl ASC — the identical
+    total order)."""
+    ctes = [
+        f"""op AS MATERIALIZED (SELECT DISTINCT l_orderkey AS k, l_partkey AS p FROM lineitem),
+    pairs AS MATERIALIZED (
+      SELECT a.p AS pa, b.p AS pb
+      FROM op a JOIN op b ON a.k = b.k AND a.p < b.p
+      GROUP BY 1, 2 HAVING count(*) >= {LPA_SUPPORT}
+    ),
+    edges AS MATERIALIZED (
+      SELECT pa AS src, pb AS dst FROM pairs
+      UNION ALL SELECT pb AS src, pa AS dst FROM pairs
+    ),
+    l0 AS MATERIALIZED (SELECT DISTINCT src AS node, src AS lbl FROM edges)"""
+    ]
+    for k in range(1, n_rounds + 1):
+        ctes.append(
+            f"""v{k} AS (
+      SELECT e.dst AS node, l.lbl, count(*) AS c
+      FROM edges e JOIN l{k - 1} l ON l.node = e.src
+      GROUP BY 1, 2
+    ),
+    l{k} AS MATERIALIZED (
+      SELECT node, lbl FROM (
+        SELECT node, lbl,
+               row_number() OVER (PARTITION BY node ORDER BY c DESC, lbl ASC) AS rn
+        FROM v{k}) WHERE rn = 1
+    )"""
+        )
+    joined = ",\n    ".join(ctes)
+    return f"""
+    WITH {joined}
+    SELECT node, lbl AS community FROM l{n_rounds}
+    """

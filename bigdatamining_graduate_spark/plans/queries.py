@@ -6998,6 +6998,20 @@ def q168_cmsketch_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("q169_part_communities", oracle=GR.label_propagation_sql())
+def q169_part_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection over the co-purchase graph: {GR.LPA_ROUNDS}
+    SYNCHRONOUS label-propagation rounds with a total-order tie-break
+    (most frequent neighbor label, ties to the smallest) — deterministic
+    by construction, so the per-node community assignment hash-matches
+    the unrolled DuckDB recurrence exactly. Completes the iterative
+    graph family (q71 components / q107 PageRank / q110 triangles) with
+    the clustering member. See ``operators/graph.label_propagation``
+    for the scale shape (one equi-join + two hash-aggs per round,
+    constant-size checkpointed plan)."""
+    return GR.label_propagation(load_table(spark, sf_dir, "lineitem"))
+
+
 # --------------------------------------------------------------------------
 # Driver-window rotation
 # --------------------------------------------------------------------------

@@ -244,3 +244,17 @@ def test_q168_cmsketch_overestimates_and_is_tiny(spark):
     # vocab keeps collisions light: overestimate well under the count
     assert all(r.overest <= r.exact_count for r in rows), rows
     assert _CMS_D * _CMS_W == 2048
+
+
+def test_q169_lpa_structure(spark):
+    """LPA invariants beyond the value oracle: every community label is
+    itself a graph node (labels only ever propagate from the initial
+    node-id labeling), and the support-thresholded graph yields real
+    structure — more than one community, fewer than one per node."""
+    from bigdatamining_graduate_spark.plans.queries import QUERIES
+
+    rows = QUERIES["q169_part_communities"](spark, SF_SMOKE).collect()
+    nodes = {r.node for r in rows}
+    labels = {r.community for r in rows}
+    assert labels <= nodes
+    assert 1 < len(labels) < len(nodes)

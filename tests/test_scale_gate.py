@@ -44,6 +44,7 @@ ITERATIVE = [
     "q71_neardup_components",
     "q107_part_pagerank",
     "q110_part_triangles",
+    "q169_part_communities",
 ]
 
 
