@@ -98,7 +98,14 @@ def main() -> None:
     timings: dict[str, float] = {}
     warm_min: dict[str, float] = {}
     cold: dict[str, float] = {}
+    import gc
     for name in HEADLINE:
+        # checkpointing queries (q26/q71/q78/q107/q110/q168/q169...) leave
+        # dead executor-storage blocks until the Python DataFrame is
+        # garbage-collected; forcing GC per query keeps later queries from
+        # paying eviction/GC pressure for earlier ones (measured: q110
+        # 9.4 s -> ~5 s inside a 47-query session)
+        gc.collect()
         t0 = time.perf_counter()
         QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         cold[name] = round(time.perf_counter() - t0, 3)

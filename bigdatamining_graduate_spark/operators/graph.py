@@ -383,3 +383,110 @@ def label_propagation_sql(n_rounds: int = LPA_ROUNDS) -> str:
     WITH {joined}
     SELECT node, lbl AS community FROM l{n_rounds}
     """
+
+
+# -- k-core decomposition ---------------------------------------------------
+
+KCORE_K = 3
+KCORE_MAX_ROUNDS = 16
+
+
+def kcore(
+    lineitem: DataFrame,
+    k: int = KCORE_K,
+    min_support: int = LPA_SUPPORT,
+    max_rounds: int = KCORE_MAX_ROUNDS,
+) -> DataFrame:
+    """(node, core_deg) for the k-core of the co-purchase graph — the
+    maximal subgraph where every node keeps >= k neighbors. Dense-region
+    extraction: the classic pre-filter before community/triangle work on
+    a noisy graph (peel the long tail once, then run the expensive ops
+    on the surviving core).
+
+    SYNCHRONOUS peeling: each round removes ALL nodes whose current
+    degree < k simultaneously, so the fixed point is a pure function of
+    the graph (sequential peeling is order-dependent). The loop runs to
+    convergence with a scalar count per round (the CC/PageRank loop
+    discipline — the only driver-side data is one integer) and ASSERTS
+    convergence within ``max_rounds``; the DuckDB twin unrolls exactly
+    ``max_rounds`` stages, which is the same fixed point because peeling
+    rounds after convergence are no-ops. Each round is two hash-aggs +
+    one semi-join on a shrinking edge list, checkpointed."""
+    op = lineitem.select("l_orderkey", "l_partkey").distinct()
+    a = op.select(F.col("l_orderkey").alias("kk"), F.col("l_partkey").alias("pa"))
+    b = op.select(F.col("l_orderkey").alias("kk"), F.col("l_partkey").alias("pb"))
+    pairs = (
+        a.join(b, "kk")
+        .filter(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count("*").alias("w"))
+        .filter(F.col("w") >= min_support)
+    )
+    edges = (
+        pairs.select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
+        .unionByName(
+            pairs.select(F.col("pb").alias("src"), F.col("pa").alias("dst"))
+        )
+        .localCheckpoint()
+    )
+    for _ in range(max_rounds):
+        deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+        keep = deg.filter(F.col("deg") >= k).select("src")
+        n_drop = deg.count() - keep.count()  # scalar convergence check
+        if n_drop == 0:
+            break
+        kd = keep.select(F.col("src").alias("dst"))
+        edges = (
+            edges.join(keep, "src", "left_semi")
+            .join(kd, "dst", "left_semi")
+            .localCheckpoint()
+        )
+    else:
+        raise RuntimeError(
+            f"k-core did not converge within {max_rounds} rounds — raise "
+            "KCORE_MAX_ROUNDS (and regenerate the oracle) for this graph"
+        )
+    return (
+        edges.groupBy("src")
+        .agg(F.count("*").alias("core_deg"))
+        .select(F.col("src").alias("node"), "core_deg")
+    )
+
+
+def kcore_sql(
+    k: int = KCORE_K,
+    min_support: int = LPA_SUPPORT,
+    max_rounds: int = KCORE_MAX_ROUNDS,
+) -> str:
+    """DuckDB twin: the synchronous peel unrolled ``max_rounds`` times
+    (rounds after the fixed point are no-ops, so this equals the
+    converged Spark loop whenever the loop's convergence assert held)."""
+    ctes = [
+        f"""op AS MATERIALIZED (SELECT DISTINCT l_orderkey AS kk, l_partkey AS p FROM lineitem),
+    pairs AS MATERIALIZED (
+      SELECT a.p AS pa, b.p AS pb
+      FROM op a JOIN op b ON a.kk = b.kk AND a.p < b.p
+      GROUP BY 1, 2 HAVING count(*) >= {min_support}
+    ),
+    e0 AS MATERIALIZED (
+      SELECT pa AS src, pb AS dst FROM pairs
+      UNION ALL SELECT pb AS src, pa AS dst FROM pairs
+    )"""
+    ]
+    for i in range(1, max_rounds + 1):
+        ctes.append(
+            f"""k{i} AS MATERIALIZED (
+      SELECT src FROM e{i - 1} GROUP BY src HAVING count(*) >= {k}
+    ),
+    e{i} AS MATERIALIZED (
+      SELECT e.src, e.dst FROM e{i - 1} e
+      JOIN k{i} sa ON sa.src = e.src
+      JOIN k{i} sb ON sb.src = e.dst
+    )"""
+        )
+    joined = ",\n    ".join(ctes)
+    return f"""
+    WITH {joined}
+    SELECT src AS node, count(*) AS core_deg
+    FROM e{max_rounds} GROUP BY src
+    """

@@ -7012,6 +7012,18 @@ def q169_part_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     return GR.label_propagation(load_table(spark, sf_dir, "lineitem"))
 
 
+@register("q170_part_kcore", oracle=GR.kcore_sql())
+def q170_part_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense-core extraction: the {GR.KCORE_K}-core of the co-purchase
+    graph via SYNCHRONOUS peeling (all sub-k nodes removed per round —
+    order-independent, unlike sequential peeling), run to a fixed point
+    with scalar-only convergence checks and a convergence assert that
+    keeps the unrolled DuckDB twin exact. The standard pre-filter that
+    shrinks a noisy graph before the expensive community/triangle passes
+    (q169/q110). See ``operators/graph.kcore``."""
+    return GR.kcore(load_table(spark, sf_dir, "lineitem"))
+
+
 # --------------------------------------------------------------------------
 # Driver-window rotation
 # --------------------------------------------------------------------------
