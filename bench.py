@@ -72,6 +72,7 @@ HEADLINE = [
     "q167_bucketed_join_roundtrip",  # bucketed write + shuffle-free SMJ read-back
     "q168_cmsketch_heavy_hitters",  # count-min sketch token heavy hitters
     "q169_part_communities",    # synchronous LPA community detection
+    "q170_part_kcore",          # synchronous k-core peel to fixed point
 ]
 
 

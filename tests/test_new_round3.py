@@ -258,3 +258,16 @@ def test_q169_lpa_structure(spark):
     labels = {r.community for r in rows}
     assert labels <= nodes
     assert 1 < len(labels) < len(nodes)
+
+
+def test_q170_kcore_invariant(spark):
+    """The defining k-core property, checked directly on the result:
+    every surviving node's degree WITHIN the core is >= k (the oracle
+    hash-match proves engine parity; this proves both engines computed
+    an actual k-core)."""
+    from bigdatamining_graduate_spark.operators.graph import KCORE_K
+    from bigdatamining_graduate_spark.plans.queries import QUERIES
+
+    rows = QUERIES["q170_part_kcore"](spark, SF_SMOKE).collect()
+    assert rows
+    assert all(r.core_deg >= KCORE_K for r in rows)

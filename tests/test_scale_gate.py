@@ -45,6 +45,7 @@ ITERATIVE = [
     "q107_part_pagerank",
     "q110_part_triangles",
     "q169_part_communities",
+    "q170_part_kcore",
 ]
 
 

@@ -68,6 +68,7 @@ NOTES = {
     "q167_bucketed_join_roundtrip": "cold = bucketed write; warm = exchange-free SMJ",
     "q168_cmsketch_heavy_hitters": "portable-hash CM sketch, 2048 mergeable cells",
     "q169_part_communities": "3 sync LPA rounds, argmax via max(struct)",
+    "q170_part_kcore": "sync peel, scalar-only convergence loop",
 }
 
 TABLE_HEAD = "| Query | sf | sec (warm) | sec (cold) | Notes | Run date |"
