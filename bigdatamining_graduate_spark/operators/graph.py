@@ -490,3 +490,119 @@ def kcore_sql(
     SELECT src AS node, count(*) AS core_deg
     FROM e{max_rounds} GROUP BY src
     """
+
+
+# -- BFS hop distance ---------------------------------------------------------
+
+BFS_HOPS = 4
+
+
+def bfs_hops(
+    lineitem: DataFrame,
+    max_hops: int = BFS_HOPS,
+    min_support: int = LPA_SUPPORT,
+) -> DataFrame:
+    """(node, hop) — minimum hop distance from a seed node, for every
+    node within ``max_hops`` of it on the support-thresholded
+    co-purchase graph. Reachability is the canonical RECURSIVE query —
+    inexpressible in one Spark SQL statement (no recursive CTE), so the
+    engine's answer is the Pregel-style frontier loop: each level is one
+    equi-join (edges x frontier) + DISTINCT + one LEFT-ANTI join against
+    the visited set, checkpointed per level (the CC/PageRank loop
+    discipline — constant-size plan, no lineage growth).
+
+    The seed is the smallest node id IN the edge set — computed from the
+    data (a broadcast 1-row aggregate), never hard-coded, so every SF
+    works. BFS level sets are order-independent, so the result is a pure
+    function of the graph: bit-identical across engines/parallelism.
+
+    Scale: the anti-join visited set grows to at most |V| keys, and each
+    level touches only frontier-incident edges — the standard
+    hop-bounded BFS on a 1000-executor graph; ``max_hops`` is the
+    latency dial (hop-k neighborhoods, not whole-graph closure).
+    Early-exits on an empty frontier via a scalar count (the only
+    driver-side data); the unrolled DuckDB twin matches because empty
+    levels stay empty.
+
+    Reference parity: the reference's graph homework (hw5) stops at
+    connected components; hop-distance completes the traversal layer
+    next to components (q71) / PageRank (q107) / triangles (q110) /
+    communities (q169) / cores (q170).
+    """
+    op = lineitem.select("l_orderkey", "l_partkey").distinct()
+    a = op.select(F.col("l_orderkey").alias("kk"), F.col("l_partkey").alias("pa"))
+    b = op.select(F.col("l_orderkey").alias("kk"), F.col("l_partkey").alias("pb"))
+    pairs = (
+        a.join(b, "kk")
+        .filter(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count("*").alias("w"))
+        .filter(F.col("w") >= min_support)
+    )
+    edges = (
+        pairs.select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
+        .unionByName(
+            pairs.select(F.col("pb").alias("src"), F.col("pa").alias("dst"))
+        )
+        .localCheckpoint()
+    )
+    seed = edges.agg(F.min("src").alias("node"))
+    visited = seed.select("node", F.lit(0).alias("hop")).localCheckpoint()
+    frontier = visited.select("node")
+    for h in range(1, max_hops + 1):
+        nxt = (
+            edges.join(
+                frontier.withColumnRenamed("node", "f_node"),
+                edges.src == F.col("f_node"),
+            )
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .select("node", F.lit(h).alias("hop"))
+            .localCheckpoint()
+        )
+        if nxt.count() == 0:  # scalar convergence check only
+            break
+        visited = visited.unionByName(nxt).localCheckpoint()
+        frontier = nxt.select("node")
+    return visited
+
+
+def bfs_hops_sql(
+    max_hops: int = BFS_HOPS, min_support: int = LPA_SUPPORT
+) -> str:
+    """DuckDB twin: the frontier recurrence unrolled ``max_hops`` levels
+    (DuckDB's recursive CTE could express this directly, but the
+    unrolled form keeps the per-level NOT-EXISTS visited check identical
+    to the Spark loop's anti-join, level for level)."""
+    ctes = [
+        f"""op AS MATERIALIZED (SELECT DISTINCT l_orderkey AS kk, l_partkey AS p FROM lineitem),
+    pairs AS MATERIALIZED (
+      SELECT a.p AS pa, b.p AS pb
+      FROM op a JOIN op b ON a.kk = b.kk AND a.p < b.p
+      GROUP BY 1, 2 HAVING count(*) >= {min_support}
+    ),
+    edges AS MATERIALIZED (
+      SELECT pa AS src, pb AS dst FROM pairs
+      UNION ALL SELECT pb AS src, pa AS dst FROM pairs
+    ),
+    f0 AS MATERIALIZED (SELECT min(src) AS node FROM edges),
+    v0 AS MATERIALIZED (SELECT node, 0 AS hop FROM f0)"""
+    ]
+    for h in range(1, max_hops + 1):
+        ctes.append(
+            f"""f{h} AS MATERIALIZED (
+      SELECT DISTINCT e.dst AS node
+      FROM edges e JOIN f{h - 1} p ON e.src = p.node
+      WHERE NOT EXISTS (SELECT 1 FROM v{h - 1} v WHERE v.node = e.dst)
+    ),
+    v{h} AS MATERIALIZED (
+      SELECT node, hop FROM v{h - 1}
+      UNION ALL SELECT node, {h} AS hop FROM f{h}
+    )"""
+        )
+    joined = ",\n    ".join(ctes)
+    return f"""
+    WITH {joined}
+    SELECT node, hop FROM v{max_hops}
+    """

@@ -7025,6 +7025,395 @@ def q170_part_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Derived-partsupp TPC-H completion (SURVEY.md §8 gap: Q2/Q9/Q11/Q20 were
+# "inexpressible — no partsupp".  plans/partsupp.py derives one
+# deterministically in BOTH engines, re-opening the four shapes.)
+# --------------------------------------------------------------------------
+from . import partsupp as PS  # noqa: E402
+
+_Q171_SIZE_LO, _Q171_SIZE_HI = 10, 20
+_Q171_REGION = "EUROPE"
+
+
+@register(
+    "q171_mincost_supplier",
+    oracle=f"""
+    WITH {PS.partsupp_cte()},
+    eu AS (
+      SELECT s.s_suppkey, s.s_name, s.s_acctbal, n.n_name
+      FROM supplier s
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+      JOIN region r ON r.r_regionkey = n.n_regionkey
+      WHERE r.r_name = '{_Q171_REGION}'
+    )
+    SELECT p.p_partkey, p.p_type,
+           ps.ps_supplycost AS min_cost,
+           e.s_suppkey, e.s_name, e.n_name, e.s_acctbal
+    FROM part p
+    JOIN partsupp ps ON ps.ps_partkey = p.p_partkey
+    JOIN eu e ON e.s_suppkey = ps.ps_suppkey
+    WHERE p.p_size BETWEEN {_Q171_SIZE_LO} AND {_Q171_SIZE_HI}
+    QUALIFY row_number() OVER (
+      PARTITION BY p.p_partkey
+      ORDER BY ps.ps_supplycost, e.s_suppkey) = 1
+    """,
+)
+def q171_mincost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape — cheapest in-region supplier per part: the
+    correlated-argmin-subquery pattern, decorrelated Spark-first as ONE
+    hash aggregate ``min(struct(cost, suppkey, ...))`` per part (no
+    window sort over the join output — the q164 argmax discipline).
+    Re-opens the first of the four shapes SURVEY §8 recorded as
+    inexpressible without partsupp; the oracle runs the textbook
+    QUALIFY-row_number form over the identically-derived relation, so a
+    hash-match proves the decorrelation.
+
+    Scale: partsupp-side is |part|x4; the region supplier dim prunes
+    before the join (nation/region broadcast as fixed dims, supplier
+    join left to AQE since it scales with SF); the argmin agg is
+    map-side combinable on ps_partkey. Struct-min carries (cost,
+    suppkey) — unique per part, so the tie-break is total.
+    Reference parity: hw4's TPC-H sweep runs Q2 on real partsupp
+    (``hw4/BDM_HW4.py``)."""
+    part = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_size").between(_Q171_SIZE_LO, _Q171_SIZE_HI))
+        .select("p_partkey", "p_type")
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    reg = load_table(spark, sf_dir, "region").filter(
+        F.col("r_name") == _Q171_REGION
+    )
+    eu = (
+        supp.join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
+        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    ps = PS.derived_partsupp(
+        load_table(spark, sf_dir, "part"), load_table(spark, sf_dir, "supplier")
+    )
+    best = (
+        ps.join(part, ps.ps_partkey == part.p_partkey)
+        .join(eu.select("s_suppkey"), ps.ps_suppkey == F.col("s_suppkey"))
+        .groupBy("p_partkey", "p_type")
+        .agg(
+            F.min(
+                F.struct(
+                    F.col("ps_supplycost").alias("min_cost"),
+                    F.col("ps_suppkey").alias("sk"),
+                )
+            ).alias("m")
+        )
+        .select(
+            "p_partkey",
+            "p_type",
+            F.col("m.min_cost").alias("min_cost"),
+            F.col("m.sk").alias("s_suppkey"),
+        )
+    )
+    return best.join(eu, "s_suppkey").select(
+        "p_partkey", "p_type", "min_cost",
+        "s_suppkey", "s_name", "n_name", "s_acctbal",
+    )
+
+
+_Q172_NATION = "NATION_3"  # has suppliers at every fixture SF
+_Q172_OVER_MEAN = 1.1  # keep parts whose share exceeds 1.1x the mean share
+
+
+@register(
+    "q172_important_stock",
+    oracle=f"""
+    WITH {PS.partsupp_cte()},
+    natsupp AS (
+      SELECT s_suppkey FROM supplier
+      JOIN nation ON n_nationkey = s_nationkey
+      WHERE n_name = '{_Q172_NATION}'
+    ),
+    v AS (
+      SELECT ps_partkey,
+             sum(cast(ps_supplycost as {N.DEC}) * ps_availqty) AS val
+      FROM partsupp JOIN natsupp ON ps_suppkey = s_suppkey
+      GROUP BY ps_partkey
+    ),
+    tot AS (SELECT sum(val) AS total, count(*) AS n FROM v)
+    SELECT ps_partkey, cast(val as double) AS stock_value
+    FROM v CROSS JOIN tot
+    WHERE cast(val as double) / cast(total as double) > {_Q172_OVER_MEAN} / n
+    """,
+)
+def q172_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape — parts whose one-nation stock value exceeds a
+    threshold of the GLOBAL stock value: per-group aggregate HAVING a
+    threshold computed from the whole relation. The global total AND
+    group count ride back as ONE broadcast 1-row aggregate (the engine's
+    standing scalar pattern), so the plan is two hash aggs + one
+    broadcast attach — no second scan, no window over the full relation.
+
+    Real Q11 keeps selectivity constant by scaling its fraction 1/SF;
+    here the threshold is mean-relative (share > {_Q172_OVER_MEAN}/n),
+    which is the same idea with no out-of-band SF knob — selectivity
+    holds at every scale. Determinism: per-part values are exact decimal
+    sums; the share compare divides the two decimals as doubles, and
+    both engines derive bit-identical doubles from identical decimals,
+    so the ``>`` cannot flip. Reference parity: hw4 TPC-H sweep Q11."""
+    ps = PS.derived_partsupp(
+        load_table(spark, sf_dir, "part"), load_table(spark, sf_dir, "supplier")
+    )
+    natsupp = (
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(
+                load_table(spark, sf_dir, "nation").filter(
+                    F.col("n_name") == _Q172_NATION
+                )
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey")
+    )
+    v = (
+        ps.join(natsupp, ps.ps_suppkey == natsupp.s_suppkey)
+        .groupBy("ps_partkey")
+        .agg(
+            F.sum(N.dec(F.col("ps_supplycost")) * F.col("ps_availqty")).alias(
+                "val"
+            )
+        )
+    )
+    tot = v.agg(F.sum("val").alias("total"), F.count("*").alias("n"))
+    return (
+        v.crossJoin(F.broadcast(tot))
+        .filter(
+            F.col("val").cast("double") / F.col("total").cast("double")
+            > F.lit(_Q172_OVER_MEAN) / F.col("n")
+        )
+        .select("ps_partkey", F.col("val").cast("double").alias("stock_value"))
+    )
+
+
+_Q173_NAME_PREFIX = "red%"
+_Q173_YEAR = 1998
+
+
+@register(
+    "q173_excess_stock_suppliers",
+    oracle=f"""
+    WITH {PS.partsupp_cte()},
+    rparts AS (
+      SELECT p_partkey FROM part WHERE p_name LIKE '{_Q173_NAME_PREFIX}'
+    ),
+    shipped AS (
+      SELECT l_partkey, {N.exact_sum_sql('l_quantity')} AS qty
+      FROM lineitem WHERE year(l_shipdate) = {_Q173_YEAR}
+      GROUP BY l_partkey
+    ),
+    cand AS (
+      SELECT ps_suppkey,
+             count(DISTINCT ps_partkey) AS n_excess_parts
+      FROM partsupp
+      JOIN rparts  ON p_partkey = ps_partkey
+      JOIN shipped ON l_partkey = ps_partkey
+      WHERE ps_availqty > 0.5 * qty
+      GROUP BY ps_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, n.n_name, cand.n_excess_parts
+    FROM supplier s
+    JOIN cand ON cand.ps_suppkey = s.s_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    """,
+)
+def q173_excess_stock_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape — suppliers holding excess stock of name-matched
+    parts: a nested semi-join chain (supplier <- partsupp <- {{parts by
+    name}} x {{per-part shipped quantity}}) with a correlated quantity
+    threshold. Spark-first: the correlated subquery decorrelates into a
+    per-part hash aggregate joined on the candidate's own key, then a
+    per-supplier count collapses to the semi-join's key set (reporting
+    HOW MANY excess parts each supplier holds — the count keeps the
+    cross-engine hash discriminating where a bare DISTINCT would
+    saturate to "every supplier" on the uniform fixture).
+
+    Determinism: shipped qty is an exact decimal sum cast once to
+    double; ``availqty > 0.5*qty`` compares bit-identical doubles.
+    Scale: the name filter prunes part BEFORE the join (pushed to the
+    scan); shipped is a map-side-combinable agg that shrinks lineitem to
+    |part| rows; everything downstream is dimension-sized.
+    Reference parity: hw4 TPC-H sweep Q20."""
+    ps = PS.derived_partsupp(
+        load_table(spark, sf_dir, "part"), load_table(spark, sf_dir, "supplier")
+    )
+    rparts = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").like(_Q173_NAME_PREFIX))
+        .select("p_partkey")
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    shipped = (
+        li.filter(F.year("l_shipdate") == _Q173_YEAR)
+        .groupBy("l_partkey")
+        .agg(N.exact_sum(F.col("l_quantity")).alias("qty"))
+    )
+    cand = (
+        ps.join(rparts, ps.ps_partkey == rparts.p_partkey)
+        .join(shipped, ps.ps_partkey == shipped.l_partkey)
+        .filter(F.col("ps_availqty") > 0.5 * F.col("qty"))
+        .groupBy("ps_suppkey")
+        .agg(F.countDistinct("ps_partkey").alias("n_excess_parts"))
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    return (
+        supp.join(cand, supp.s_suppkey == cand.ps_suppkey)
+        .join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
+        .select("s_suppkey", "s_name", "n_name", "n_excess_parts")
+    )
+
+
+_Q174_NAME_PATTERN = "%o%"
+
+
+@register(
+    "q174_profit_by_nation_year",
+    oracle=f"""
+    SELECT n.n_name AS nation, year(o.o_orderdate) AS o_year,
+           cast(sum(
+             {N.revenue_sql('l.l_extendedprice', 'l.l_discount')}
+             - cast({PS.supplycost_sql('l.l_partkey', 'l.l_suppkey')}
+                    as {N.DEC})
+               * cast(l.l_quantity as decimal(12,2))
+           ) as double) AS sum_profit
+    FROM lineitem l
+    JOIN orders   o ON o.o_orderkey = l.l_orderkey
+    JOIN part     p ON p.p_partkey  = l.l_partkey
+    JOIN supplier s ON s.s_suppkey  = l.l_suppkey
+    JOIN nation   n ON n.n_nationkey = s.s_nationkey
+    WHERE p.p_name LIKE '{_Q174_NAME_PATTERN}'
+    GROUP BY 1, 2
+    """,
+)
+def q174_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape — product-line profit by supplier nation and order
+    year: the widest star in the sweep (lineitem joined to orders, part,
+    supplier, nation) with a computed measure ``revenue - supplycost *
+    qty``. The supply cost binds to each line DIRECTLY via the
+    deterministic formula column on (l_partkey, l_suppkey) — no partsupp
+    materialization in the hot path at all, which is exactly how this
+    query should run at 100 TB (the cost lookup is a cheap expression,
+    not a 4-rows-per-part join).
+
+    Determinism: both profit terms are scale-4 exact decimals (the
+    ``plans.numerics`` revenue discipline applied to the cost side too),
+    so the sum is order-independent and cast to double once.
+    Scale: part's name filter prunes before its join; supplier/part
+    joins are key-equi on the fact's own columns; nation broadcast as a
+    fixed dim; one shuffle onto the (nation, year) group key.
+    Reference parity: hw4 TPC-H sweep Q9."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    p = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").like(_Q174_NAME_PATTERN))
+        .select("p_partkey")
+    )
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    cost4 = PS.supplycost_expr(F.col("l_partkey"), F.col("l_suppkey")).cast(
+        N.DEC
+    ) * F.col("l_quantity").cast("decimal(12,2)")
+    profit = N.revenue(F.col("l_extendedprice"), F.col("l_discount")) - cost4
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(p, li.l_partkey == p.p_partkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(F.sum(profit).cast("double").alias("sum_profit"))
+    )
+
+
+@register("q175_part_bfs_hops", oracle=GR.bfs_hops_sql())
+def q175_part_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hop-distance BFS from the smallest node of the co-purchase graph
+    ({GR.BFS_HOPS}-hop neighborhood): the canonical RECURSIVE query —
+    inexpressible in one Spark SQL statement — served as the
+    Pregel-style frontier loop (per-level equi-join + anti-join against
+    the visited set, checkpointed). Completes the graph family's
+    traversal layer. See ``operators/graph.bfs_hops`` for the
+    determinism and scale story; the oracle unrolls the identical
+    recurrence level by level."""
+    return GR.bfs_hops(load_table(spark, sf_dir, "lineitem"))
+
+
+from . import shipmode as SM  # noqa: E402
+
+_Q176_MODES = ("MAIL", "SHIP")
+_Q176_YEAR = 1998
+_Q176_HIGH = ("1-URGENT", "2-HIGH")
+
+
+@register(
+    "q176_shipmode_priority",
+    oracle=f"""
+    WITH {SM.shipping_cte()}
+    SELECT l.l_shipmode,
+           CAST(sum(CASE WHEN o.o_orderpriority IN {_Q176_HIGH!r}
+                    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o.o_orderpriority NOT IN {_Q176_HIGH!r}
+                    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM lineitem_ext l
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    WHERE l.l_shipmode IN {_Q176_MODES!r}
+      AND l.l_commitdate < l.l_receiptdate
+      AND l.l_shipdate < CAST(l.l_commitdate AS TIMESTAMP)
+      AND year(l.l_receiptdate) = {_Q176_YEAR}
+    GROUP BY l.l_shipmode
+    """,
+)
+def q176_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape — late-shipment priority counts by ship mode: the
+    join + dual conditional count under the three-way date predicate
+    ``shipdate < commitdate < receiptdate``.  The shipping columns are
+    the deterministic derived attributes from ``plans.shipmode`` (same
+    twinned-builder discipline as the q171+ partsupp family), which
+    completes ALL FIVE TPC-H queries SURVEY.md §8 had recorded as
+    inexpressible on the fixture schema (Q2/Q9/Q11/Q20 via partsupp,
+    Q12 here).
+
+    Spark-first: the mode filter and both date predicates are row-local
+    expressions pushed below the join, so only qualifying lines shuffle;
+    the conditional counts are one map-side-combinable hash aggregate on
+    a 2-value key.  Orders scales with SF, so its join side carries no
+    broadcast hint (AQE sizes it — the settled round-3 policy).
+    Determinism: integer-derived dates compare identically in both
+    engines; counts are exact integers (oracle sums cast to BIGINT —
+    the HUGEINT trap, SCALE.md).
+    Reference parity: hw4 TPC-H sweep Q12 (``hw4/BDM_HW4.py``)."""
+    li = SM.with_shipping(load_table(spark, sf_dir, "lineitem")).filter(
+        F.col("l_shipmode").isin(*_Q176_MODES)
+        & (F.col("l_commitdate") < F.col("l_receiptdate"))
+        & (F.col("l_shipdate") < F.col("l_commitdate").cast("timestamp"))
+        & (F.year("l_receiptdate") == _Q176_YEAR)
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    is_high = F.col("o_orderpriority").isin(*_Q176_HIGH)
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_shipmode")
+        .agg(
+            F.sum(F.when(is_high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~is_high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
 # Driver-window rotation
 # --------------------------------------------------------------------------
 # The driver's correctness harness oracle-checks the FIRST 50 registry

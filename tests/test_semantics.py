@@ -911,3 +911,116 @@ def test_z_interleave_matches_python_morton(spark, pairs):
         .collect()
     ]
     assert got == [morton_ref(x, y) for x, y in pairs]
+
+
+def test_bfs_hops_path_graph_and_early_exit(spark):
+    """q175 semantics on a crafted graph: a 5-node path seeded at its
+    min-id end yields hop == position; a disconnected component never
+    appears; capping max_hops truncates the neighborhood; and a graph
+    explored to exhaustion early-exits cleanly before max_hops."""
+    from bigdatamining_graduate_spark.operators import graph as GR
+
+    # path 1-2-3-4-5 plus disconnected pair {10, 11}
+    rows = [
+        (1, 1), (1, 2),
+        (2, 2), (2, 3),
+        (3, 3), (3, 4),
+        (4, 4), (4, 5),
+        (5, 10), (5, 11),
+    ]
+    li = spark.createDataFrame(
+        [(o, p) for o, p in rows], "l_orderkey long, l_partkey long"
+    )
+    got = {
+        r["node"]: r["hop"]
+        for r in GR.bfs_hops(li, max_hops=4, min_support=1).collect()
+    }
+    assert got == {1: 0, 2: 1, 3: 2, 4: 3, 5: 4}
+
+    capped = {
+        r["node"]: r["hop"]
+        for r in GR.bfs_hops(li, max_hops=2, min_support=1).collect()
+    }
+    assert capped == {1: 0, 2: 1, 3: 2}
+
+    # exhaustion inside the hop budget: path fully explored at hop 4 < 10
+    deep = {
+        r["node"]: r["hop"]
+        for r in GR.bfs_hops(li, max_hops=10, min_support=1).collect()
+    }
+    assert deep == got
+
+
+def test_derived_partsupp_invariants(spark):
+    """plans/partsupp derivation: exactly PS_PER_PART rows per part,
+    suppkeys inside the supplier domain, availqty in [1, 9999], and
+    supplycost a 2-decimal value in [100.00, 999.99] (the decimal(20,2)
+    lossless-cast precondition the exact-sum discipline relies on)."""
+    from pyspark.sql import functions as F
+
+    from bigdatamining_graduate_spark.plans import partsupp as PS
+    from bigdatamining_graduate_spark.sources.catalog import load_table
+
+    sf = "/root/testdata/sf0.001"
+    part = load_table(spark, sf, "part")
+    supp = load_table(spark, sf, "supplier")
+    ps = PS.derived_partsupp(part, supp).cache()
+    n_part, n_supp = part.count(), supp.count()
+
+    assert ps.count() == n_part * PS.PS_PER_PART
+    per_part = ps.groupBy("ps_partkey").count()
+    assert per_part.filter(F.col("count") != PS.PS_PER_PART).count() == 0
+
+    bad = ps.filter(
+        (F.col("ps_suppkey") < 0)
+        | (F.col("ps_suppkey") >= n_supp)
+        | (F.col("ps_availqty") < 1)
+        | (F.col("ps_availqty") > 9999)
+        | (F.col("ps_supplycost") < 100.0)
+        | (F.col("ps_supplycost") > 999.99)
+        # 2-decimal check: cost*100 must be integral (exact: the double
+        # is integer/100, so round-trip through bigint is identity)
+        | (
+            F.abs(
+                F.col("ps_supplycost") * 100
+                - F.round(F.col("ps_supplycost") * 100)
+            )
+            > 1e-6
+        )
+    )
+    assert bad.count() == 0
+    ps.unpersist()
+
+
+def test_derived_shipping_invariants(spark):
+    """plans/shipmode derivation: mode always one of the 7 TPC-H modes
+    (all 7 present), receiptdate strictly after the ship DATE (offset in
+    [1,30]), commitdate within +/-30 days of it, and the Q12 predicate
+    ``shipdate < commitdate`` equivalent to a positive commit offset."""
+    from pyspark.sql import functions as F
+
+    from bigdatamining_graduate_spark.plans import shipmode as SM
+    from bigdatamining_graduate_spark.sources.catalog import load_table
+
+    li = SM.with_shipping(
+        load_table(spark, "/root/testdata/sf0.001", "lineitem")
+    ).cache()
+
+    modes = {r[0] for r in li.select("l_shipmode").distinct().collect()}
+    assert modes == set(SM.MODES)
+
+    ship = F.to_date("l_shipdate")
+    bad = li.filter(
+        F.col("l_shipmode").isNull()
+        | (F.datediff("l_receiptdate", ship) < 1)
+        | (F.datediff("l_receiptdate", ship) > 30)
+        | (F.abs(F.datediff("l_commitdate", ship)) > 30)
+        # Q12's ship<commit must equal "commit is a LATER day": shipdate
+        # (timestamp) is always >= its own date's midnight and < the next
+        | (
+            (F.col("l_shipdate") < F.col("l_commitdate").cast("timestamp"))
+            != (F.datediff("l_commitdate", ship) >= 1)
+        )
+    )
+    assert bad.count() == 0
+    li.unpersist()
