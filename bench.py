@@ -73,6 +73,10 @@ HEADLINE = [
     "q168_cmsketch_heavy_hitters",  # count-min sketch token heavy hitters
     "q169_part_communities",    # synchronous LPA community detection
     "q170_part_kcore",          # synchronous k-core peel to fixed point
+    "q171_mincost_supplier",    # TPC-H Q2 argmin decorrelated to struct-min agg
+    "q174_profit_by_nation_year",  # TPC-H Q9 widest star, formula-bound supplycost
+    "q175_part_bfs_hops",       # frontier-loop BFS hop distance
+    "q176_shipmode_priority",   # TPC-H Q12 derived-shipmode dual conditional count
 ]
 
 

@@ -7090,18 +7090,26 @@ def q171_mincost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
         .select("s_suppkey", "s_name", "s_acctbal", "n_name")
     )
-    ps = PS.derived_partsupp(
-        load_table(spark, sf_dir, "part"), load_table(spark, sf_dir, "supplier")
-    )
-    best = (
+    # derive partsupp from the ALREADY-FILTERED part set: ps_* columns are
+    # pure functions of p_partkey, so pre-filtering is semantically
+    # identical and removes a second full part scan + shrinks generation
+    # to the size-qualified keys (round-5 scans audit: 9 scans -> 5)
+    ps = PS.derived_partsupp(part, load_table(spark, sf_dir, "supplier"))
+    # ONE eu join: the min-struct carries the supplier attributes along —
+    # (cost, suppkey) is unique per part, so trailing fields never decide
+    # the lexicographic order, and the argmin needs no join-back
+    return (
         ps.join(part, ps.ps_partkey == part.p_partkey)
-        .join(eu.select("s_suppkey"), ps.ps_suppkey == F.col("s_suppkey"))
+        .join(eu, ps.ps_suppkey == eu.s_suppkey)
         .groupBy("p_partkey", "p_type")
         .agg(
             F.min(
                 F.struct(
                     F.col("ps_supplycost").alias("min_cost"),
                     F.col("ps_suppkey").alias("sk"),
+                    F.col("s_name").alias("s_name"),
+                    F.col("n_name").alias("n_name"),
+                    F.col("s_acctbal").alias("s_acctbal"),
                 )
             ).alias("m")
         )
@@ -7110,11 +7118,10 @@ def q171_mincost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p_type",
             F.col("m.min_cost").alias("min_cost"),
             F.col("m.sk").alias("s_suppkey"),
+            F.col("m.s_name").alias("s_name"),
+            F.col("m.n_name").alias("n_name"),
+            F.col("m.s_acctbal").alias("s_acctbal"),
         )
-    )
-    return best.join(eu, "s_suppkey").select(
-        "p_partkey", "p_type", "min_cost",
-        "s_suppkey", "s_name", "n_name", "s_acctbal",
     )
 
 
@@ -7181,6 +7188,11 @@ def q172_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "val"
             )
         )
+        # |part|-sized output of the expensive generate+join+agg subtree,
+        # consumed twice (the global total and the filter) — materialized
+        # once (measured at sf0.1: 1.10 -> 0.95s; at scale it avoids a
+        # second full partsupp pass for a part-sized table)
+        .localCheckpoint(eager=False)
     )
     tot = v.agg(F.sum("val").alias("total"), F.count("*").alias("n"))
     return (
@@ -7241,14 +7253,15 @@ def q173_excess_stock_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan); shipped is a map-side-combinable agg that shrinks lineitem to
     |part| rows; everything downstream is dimension-sized.
     Reference parity: hw4 TPC-H sweep Q20."""
-    ps = PS.derived_partsupp(
-        load_table(spark, sf_dir, "part"), load_table(spark, sf_dir, "supplier")
-    )
     rparts = (
         load_table(spark, sf_dir, "part")
         .filter(F.col("p_name").like(_Q173_NAME_PREFIX))
         .select("p_partkey")
     )
+    # partsupp derived from the name-filtered part set directly (pure
+    # function of p_partkey — identical to deriving then joining rparts,
+    # minus one part scan; round-5 scans audit)
+    ps = PS.derived_partsupp(rparts, load_table(spark, sf_dir, "supplier"))
     li = load_table(spark, sf_dir, "lineitem")
     shipped = (
         li.filter(F.year("l_shipdate") == _Q173_YEAR)
@@ -7256,8 +7269,7 @@ def q173_excess_stock_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(N.exact_sum(F.col("l_quantity")).alias("qty"))
     )
     cand = (
-        ps.join(rparts, ps.ps_partkey == rparts.p_partkey)
-        .join(shipped, ps.ps_partkey == shipped.l_partkey)
+        ps.join(shipped, ps.ps_partkey == shipped.l_partkey)
         .filter(F.col("ps_availqty") > 0.5 * F.col("qty"))
         .groupBy("ps_suppkey")
         .agg(F.countDistinct("ps_partkey").alias("n_excess_parts"))
@@ -7410,6 +7422,155 @@ def q176_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(is_high, 1).otherwise(0)).alias("high_line_count"),
             F.sum(F.when(~is_high, 1).otherwise(0)).alias("low_line_count"),
         )
+    )
+
+
+_Q177_CAP = 2048  # context-window token capacity per pack
+_Q177_W = 64  # length-bucket width (tokens)
+_Q177_SHARDS = 8  # parallel shards per bucket (partition-size bound)
+
+
+@register(
+    "q177_context_packing",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             cast(len({TX.tokenize_sql('text')}) as bigint) AS n_tokens
+      FROM documents),
+    f AS (
+      SELECT doc_id, n_tokens,
+             n_tokens // {_Q177_W} AS bucket,
+             doc_id % {_Q177_SHARDS} AS shard
+      FROM t WHERE n_tokens BETWEEN 1 AND {_Q177_CAP}),
+    r AS (
+      SELECT bucket, shard, n_tokens,
+             row_number() OVER (PARTITION BY bucket, shard
+                                ORDER BY n_tokens DESC, doc_id) AS rn,
+             greatest(1, {_Q177_CAP} // ((bucket + 1) * {_Q177_W}))
+               AS cap_docs
+      FROM f)
+    SELECT bucket, shard, (rn - 1) // cap_docs AS pack_seq,
+           count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+           round(sum(n_tokens) * 1.0 / {_Q177_CAP}, 6) AS fill_ratio
+    FROM r GROUP BY 1, 2, 3
+    """,
+)
+def q177_context_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic context-window packing — assign documents to
+    fixed-capacity training packs (capacity {_Q177_CAP} tokens) without
+    the sequential first-fit scan. The distributed form: docs land in
+    integer length buckets of width {_Q177_W} (pure arithmetic — the
+    bucket ceiling is known analytically, no per-bucket max join), each
+    bucket splits into {_Q177_SHARDS} deterministic shards (doc_id mod),
+    and within a (bucket, shard) a row_number orders docs
+    (len desc, doc_id) into chunks of ``cap_docs = capacity div
+    bucket_ceiling`` docs. Every pack's token sum is PROVABLY <=
+    capacity: cap_docs * ceiling <= capacity by construction (the top
+    bucket degrades to 1-doc packs via greatest()).
+
+    Scale: this is the whole point of the shard key — the window
+    partitions by (bucket, shard), never globally, so no
+    single-partition WindowExec at any volume; shard count is the
+    partition-size dial, costing at most one underfilled tail pack per
+    (bucket, shard). One shuffle to the window, one map-side-combinable
+    agg on its output. Oversize docs (> capacity) are filtered to the
+    truncation path upstream. Extends the sampling/mixture/packing
+    family (q73/q78/q97/q130) with the packing step itself —
+    SURVEY.md §2 training-pipeline extensions."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id", TX.token_count("text").cast("long").alias("n_tokens")
+    ).filter(F.col("n_tokens").between(1, _Q177_CAP))
+    f = t.select(
+        "doc_id",
+        "n_tokens",
+        F.expr(f"n_tokens div {_Q177_W}").alias("bucket"),
+        (F.col("doc_id") % _Q177_SHARDS).alias("shard"),
+    )
+    w = Window.partitionBy("bucket", "shard").orderBy(
+        F.col("n_tokens").desc(), "doc_id"
+    )
+    r = f.select(
+        "bucket",
+        "shard",
+        "n_tokens",
+        F.row_number().over(w).alias("rn"),
+        F.greatest(
+            F.lit(1),
+            F.expr(f"{_Q177_CAP} div ((bucket + 1) * {_Q177_W})"),
+        ).alias("cap_docs"),
+    )
+    return (
+        r.select(
+            "bucket",
+            "shard",
+            F.expr("(rn - 1) div cap_docs").alias("pack_seq"),
+            "n_tokens",
+        )
+        .groupBy("bucket", "shard", "pack_seq")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("sum_tokens"),
+            F.round(F.sum("n_tokens") * 1.0 / _Q177_CAP, 6).alias(
+                "fill_ratio"
+            ),
+        )
+    )
+
+
+_Q178_W1, _Q178_W2 = "merge", "join"
+
+
+@register(
+    "q178_phrase_search",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id,
+             unnest({TX.tokenize_sql('text')}) AS term,
+             generate_subscripts({TX.tokenize_sql('text')}, 1) AS pos
+      FROM documents
+      WHERE list_contains({TX.tokenize_sql('text')}, '{_Q178_W1}')
+        AND list_contains({TX.tokenize_sql('text')}, '{_Q178_W2}')),
+    a AS (SELECT doc_id, pos FROM tok WHERE term = '{_Q178_W1}'),
+    b AS (SELECT doc_id, pos FROM tok WHERE term = '{_Q178_W2}')
+    SELECT a.doc_id, count(*) AS n_occurrences
+    FROM a JOIN b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+    GROUP BY a.doc_id
+    """,
+)
+def q178_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-phrase retrieval ("{_Q178_W1} {_Q178_W2}") over a positional
+    inverted index — the proximity-query layer BM25 (q106) lacks: docs
+    where the terms are ADJACENT, with per-doc occurrence counts.
+
+    Spark-first plan, in pruning order: (1) an `array_contains` guard on
+    BOTH terms runs BEFORE the explode, so only candidate docs (the
+    conjunctive postings intersection) pay tokenization fan-out — at
+    100 TB this is the difference between exploding the corpus and
+    exploding the hit set; (2) `posexplode` emits (pos, term) postings;
+    (3) the adjacency test is one equi-join on (doc_id, pos+1) between
+    the two term posting lists — never a string re-scan. Position bases
+    differ across engines (0- vs 1-based) but adjacency is
+    base-invariant. Overlap counting is well-defined: each (i, i+1)
+    adjacent pair counts once. Reference parity: extends the retrieval
+    family (SURVEY §2 A6 word-count lineage -> q106 BM25 -> phrase)."""
+    docs = load_table(spark, sf_dir, "documents")
+    tk = TX.tokenize("text")
+    cand = docs.filter(
+        F.array_contains(tk, _Q178_W1) & F.array_contains(tk, _Q178_W2)
+    ).select("doc_id", F.posexplode(tk).alias("pos", "term"))
+    a = cand.filter(F.col("term") == _Q178_W1).select("doc_id", "pos")
+    b = cand.filter(F.col("term") == _Q178_W2).select(
+        F.col("doc_id").alias("b_doc"), F.col("pos").alias("b_pos")
+    )
+    return (
+        a.join(
+            b,
+            (a.doc_id == b.b_doc) & (b.b_pos == a.pos + 1),
+        )
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_occurrences"))
     )
 
 

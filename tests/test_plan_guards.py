@@ -32,6 +32,9 @@ ALLOWED = {
     "q149_benford_audit",        # 1-row digit-total broadcast onto 9-row table
     "q163_theta_segment_overlap",  # |types|-row sketch-table pair self-join
     "q168_cmsketch_heavy_hitters",  # 1-row stream-total broadcast (q31 pattern)
+    "q171_mincost_supplier",     # 1-row supplier-count broadcast (partsupp derive)
+    "q172_important_stock",      # partsupp derive + 1-row global-total broadcast
+    "q173_excess_stock_suppliers",  # 1-row supplier-count broadcast (partsupp derive)
 }
 
 

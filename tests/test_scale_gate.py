@@ -46,6 +46,7 @@ ITERATIVE = [
     "q110_part_triangles",
     "q169_part_communities",
     "q170_part_kcore",
+    "q175_part_bfs_hops",
 ]
 
 
@@ -87,6 +88,21 @@ def test_cmsketch_hash_match_at_10x(spark, synth_dir):
     bounds — must still hash-match DuckDB as partition counts and
     per-cell loads grow."""
     name = "q168_cmsketch_heavy_hitters"
+    assert_matches(QUERIES[name](spark, synth_dir), ORACLE[name], synth_dir)
+
+
+#: derived-relation TPC-H shapes at 10x — the partsupp/shipmode formula
+#: columns are pure functions of keys, so scaling the FACT volume (shifted
+#: orderkeys, in-domain part/supp keys) must leave the derivation and the
+#: join/agg results in exact cross-engine agreement
+TPCH_DERIVED = [
+    "q174_profit_by_nation_year",
+    "q176_shipmode_priority",
+]
+
+
+@pytest.mark.parametrize("name", TPCH_DERIVED)
+def test_tpch_derived_hash_match_at_10x(spark, synth_dir, name):
     assert_matches(QUERIES[name](spark, synth_dir), ORACLE[name], synth_dir)
 
 

@@ -1024,3 +1024,37 @@ def test_derived_shipping_invariants(spark):
     )
     assert bad.count() == 0
     li.unpersist()
+
+
+def test_context_packing_capacity_invariant(spark):
+    """q177: every pack's token sum is <= capacity (the provable bound
+    cap_docs * bucket_ceiling <= capacity), packs are non-empty, and
+    within each (bucket, shard) only the LAST pack may be underfilled
+    below cap_docs docs (the documented tail cost of sharding)."""
+    from pyspark.sql import functions as F
+
+    from bigdatamining_graduate_spark.plans import queries as Q
+
+    df = Q.QUERIES["q177_context_packing"](
+        spark, "/root/testdata/sf0.001"
+    ).cache()
+    assert df.filter(F.col("sum_tokens") > Q._Q177_CAP).count() == 0
+    assert df.filter(F.col("n_docs") < 1).count() == 0
+
+    w_last = (
+        df.groupBy("bucket", "shard").agg(F.max("pack_seq").alias("last_seq"))
+    )
+    short = (
+        df.join(w_last, ["bucket", "shard"])
+        .filter(F.col("pack_seq") != F.col("last_seq"))
+        .withColumn(
+            "cap_docs",
+            F.greatest(
+                F.lit(1),
+                F.expr(f"{Q._Q177_CAP} div ((bucket + 1) * {Q._Q177_W})"),
+            ),
+        )
+        .filter(F.col("n_docs") != F.col("cap_docs"))
+    )
+    assert short.count() == 0
+    df.unpersist()
