@@ -69,6 +69,10 @@ NOTES = {
     "q168_cmsketch_heavy_hitters": "portable-hash CM sketch, 2048 mergeable cells",
     "q169_part_communities": "3 sync LPA rounds, argmax via max(struct)",
     "q170_part_kcore": "sync peel, scalar-only convergence loop",
+    "q171_mincost_supplier": "Q2 argmin as one min(struct) hash agg",
+    "q174_profit_by_nation_year": "Q9 star, formula-bound supplycost, 1 shuffle",
+    "q175_part_bfs_hops": "frontier loop, per-level checkpoint",
+    "q176_shipmode_priority": "Q12 derived-mode filters pushed below join",
 }
 
 TABLE_HEAD = "| Query | sf | sec (warm) | sec (cold) | Notes | Run date |"
