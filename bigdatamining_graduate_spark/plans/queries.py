@@ -7574,6 +7574,151 @@ def q178_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_Q179_LOW, _Q179_MID = 100, 500
+
+
+@register(
+    "q179_scd2_user_tiers",
+    oracle=f"""
+    WITH e AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN value < {_Q179_LOW} THEN 'low'
+                  WHEN value < {_Q179_MID} THEN 'mid'
+                  ELSE 'high' END AS tier
+      FROM events),
+    c AS (
+      SELECT *, CASE WHEN lag(tier) OVER w IS NULL
+                       OR lag(tier) OVER w <> tier THEN 1 ELSE 0 END AS chg
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    v AS (
+      SELECT user_id, tier, ts,
+             CAST(sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS version
+      FROM c),
+    g AS (
+      SELECT user_id, version, min(tier) AS tier,
+             min(epoch_us(ts)) AS valid_from_us
+      FROM v GROUP BY 1, 2)
+    SELECT user_id, version, tier, valid_from_us,
+           lead(valid_from_us) OVER (PARTITION BY user_id ORDER BY version)
+             AS valid_to_us,
+           lead(valid_from_us) OVER (PARTITION BY user_id ORDER BY version)
+             IS NULL AS is_current
+    FROM g
+    """,
+)
+def q179_scd2_user_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 dimension history built from the event stream — the
+    warehouse versioning op: per user, each value-tier CHANGE opens a
+    new version row with (valid_from, valid_to, is_current) validity
+    intervals. Gaps-and-islands lineage (q148's streaks), but producing
+    the versioned-dimension contract: half-open intervals that tile each
+    user's timeline, exactly one current row per user.
+
+    Spark-first: one window pass computes the change flag (lag) and the
+    running version id (sum over rows-unbounded) on the SAME (user_id,
+    ts, event_id) ordering — Catalyst fuses both into a single
+    WindowExec, one shuffle; the interval close is a lead() over the
+    per-user version table, which is dimension-sized (versions, not
+    events).  All window partitions key on user_id — bounded per-user
+    event counts, no global window.  At 100 TB this is the standard
+    CDC-compaction shape: events shuffle once, the history table that
+    comes out is orders of magnitude smaller.
+    Determinism: (ts, event_id) is a total order per user; tier
+    thresholds compare doubles identically in both engines; timestamps
+    surface as epoch-micros bigints (the registry convention), nullable
+    valid_to rides as float64+NaN identically on both sides.
+    Reference parity: extends the windowed-analytics family (SURVEY §2
+    W1/W2, q18/q19/q44/q148/q151) with the SCD2 contract."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.when(F.col("value") < _Q179_LOW, "low")
+        .when(F.col("value") < _Q179_MID, "mid")
+        .otherwise("high")
+        .alias("tier"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    chg = F.when(
+        F.lag("tier").over(w).isNull()
+        | (F.lag("tier").over(w) != F.col("tier")),
+        1,
+    ).otherwise(0)
+    v = ev.select(
+        "user_id",
+        "tier",
+        "ts",
+        F.sum(chg)
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("version"),
+    )
+    g = v.groupBy("user_id", "version").agg(
+        F.min("tier").alias("tier"),
+        F.min(F.unix_micros("ts")).alias("valid_from_us"),
+    )
+    w2 = Window.partitionBy("user_id").orderBy("version")
+    valid_to = F.lead("valid_from_us").over(w2)
+    return g.select(
+        "user_id",
+        "version",
+        "tier",
+        "valid_from_us",
+        valid_to.alias("valid_to_us"),
+        valid_to.isNull().alias("is_current"),
+    )
+
+
+@register(
+    "q180_vocab_broadcast_antijoin",
+    oracle=f"""
+    WITH tok AS (
+      SELECT source, unnest({TX.tokenize_sql('text')}) AS word
+      FROM documents)
+    SELECT source,
+           count(DISTINCT word) AS vocab,
+           count(*) AS n_tokens
+    FROM tok
+    WHERE word NOT IN {TX.stopwords_sql_list()}
+    GROUP BY source
+    """,
+)
+def q180_vocab_broadcast_antijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source vocabulary after stopword removal, with the stopword
+    set applied as a BROADCAST LEFT-ANTI JOIN against a real dimension
+    table — the DataFrame-native form of the reference's
+    broadcast-variable stopword filtering (``hw2/BDM_hw2_final.py``'s
+    ``sc.broadcast(stopwords)`` + closure lookup; SURVEY §2 J7/D11).
+    The registry's other stopword consumers compile the list to an
+    `isin`/NOT-IN literal (q16/q20) — correct for a 40-word constant,
+    but the anti-join FORM is what scales to a real stopword/blocklist
+    TABLE (thousands of terms, updated independently of the query):
+    the dim broadcasts once per executor exactly like the reference's
+    broadcast variable, and the filter stays JVM-side.
+
+    Scale: explode → broadcast anti-join (no shuffle for the filter) →
+    one hash agg on source; countDistinct expands to the standard
+    two-phase partial-distinct plan. The oracle's NOT-IN literal is the
+    same predicate — the hash-match proves join-form == literal-form.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "source", F.explode(TX.tokenize("text")).alias("word")
+    )
+    stop_dim = spark.createDataFrame(
+        [(w,) for w in TX.EN_STOPWORDS], "word string"
+    )
+    return (
+        tok.join(F.broadcast(stop_dim), "word", "left_anti")
+        .groupBy("source")
+        .agg(
+            F.countDistinct("word").alias("vocab"),
+            F.count("*").alias("n_tokens"),
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # Driver-window rotation
 # --------------------------------------------------------------------------

@@ -15,6 +15,8 @@ core against the embedded DuckDB oracles at that volume:
                                 this gate runs its own 8 GB engine session)
 * q164 zero-window argmax     — max_by over 15M orders
 * q167 bucketed round-trip    — bucketed write + exchange-free SMJ at 60M rows
+* q174 TPC-H Q9 (derived)     — widest star, formula-bound supplycost at 60M rows
+* q176 TPC-H Q12 (derived)    — derived shipmode/date predicates at 60M rows
 
 Separate marker from the 10x `scale` gate because this one costs tens of
 minutes (fixture generation dominates) and ~5 GB under /tmp; both are
@@ -54,6 +56,14 @@ CHECKED = [
     # sort-merge-joined with zero runtime exchange; the hash-match vs
     # the plain-parquet oracle proves the layout lossless at 100x
     "q167_bucketed_join_roundtrip",
+    # round 5: derived-relation TPC-H at real volume — supplycost is a
+    # row-local pure function of (l_partkey, l_suppkey) and shipmode/
+    # commit/receipt of (l_orderkey, l_linenumber); scaling facts 100x
+    # (shifted orderkeys, in-domain part/supp keys) must leave the
+    # widest-star profit rollup and the Q12 dual conditional count in
+    # exact cross-engine agreement
+    "q174_profit_by_nation_year",
+    "q176_shipmode_priority",
 ]
 
 

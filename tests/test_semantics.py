@@ -1058,3 +1058,49 @@ def test_context_packing_capacity_invariant(spark):
     )
     assert short.count() == 0
     df.unpersist()
+
+
+def test_scd2_contract_invariants(spark):
+    """q179: exactly one current row per user; half-open intervals tile
+    the timeline (valid_to == next version's valid_from, no overlap);
+    adjacent versions always differ in tier (a version opens ONLY on
+    change); version ids are contiguous from 1."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from bigdatamining_graduate_spark.plans import queries as Q
+
+    df = Q.QUERIES["q179_scd2_user_tiers"](
+        spark, "/root/testdata/sf0.001"
+    ).cache()
+
+    cur = df.groupBy("user_id").agg(
+        F.sum(F.col("is_current").cast("int")).alias("n_cur")
+    )
+    assert cur.filter(F.col("n_cur") != 1).count() == 0
+
+    w = Window.partitionBy("user_id").orderBy("version")
+    nxt = df.select(
+        "user_id",
+        "version",
+        "tier",
+        "valid_from_us",
+        "valid_to_us",
+        F.lead("valid_from_us").over(w).alias("nxt_from"),
+        F.lead("tier").over(w).alias("nxt_tier"),
+        F.lag("version").over(w).alias("prev_version"),
+    )
+    bad = nxt.filter(
+        # tiling: a closed interval must end exactly where the next opens
+        (F.col("nxt_from").isNotNull() & (F.col("valid_to_us") != F.col("nxt_from")))
+        # change-only versioning: adjacent versions must differ
+        | (F.col("nxt_tier").isNotNull() & (F.col("nxt_tier") == F.col("tier")))
+        # contiguity: versions step by 1, starting at 1
+        | (F.col("prev_version").isNull() & (F.col("version") != 1))
+        | (
+            F.col("prev_version").isNotNull()
+            & (F.col("version") != F.col("prev_version") + 1)
+        )
+    )
+    assert bad.count() == 0
+    df.unpersist()
