@@ -77,6 +77,8 @@ HEADLINE = [
     "q174_profit_by_nation_year",  # TPC-H Q9 widest star, formula-bound supplycost
     "q175_part_bfs_hops",       # frontier-loop BFS hop distance
     "q176_shipmode_priority",   # TPC-H Q12 derived-shipmode dual conditional count
+    "q177_context_packing",     # sharded length-bucket context packing
+    "q179_scd2_user_tiers",     # SCD2 versioned history (CDC compaction shape)
 ]
 
 

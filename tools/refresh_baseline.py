@@ -73,6 +73,8 @@ NOTES = {
     "q174_profit_by_nation_year": "Q9 star, formula-bound supplycost, 1 shuffle",
     "q175_part_bfs_hops": "frontier loop, per-level checkpoint",
     "q176_shipmode_priority": "Q12 derived-mode filters pushed below join",
+    "q177_context_packing": "bucket-sharded window, no global sort",
+    "q179_scd2_user_tiers": "lag+running-version fused in one WindowExec",
 }
 
 TABLE_HEAD = "| Query | sf | sec (warm) | sec (cold) | Notes | Run date |"
