@@ -7758,13 +7758,16 @@ _DRIVER_VERIFIED = frozenset(
     ]
 )  # matched on the qNN prefix
 
-# Round-5 window: 22 unverified queries fit easily in the 50-entry
-# window.  The six r04 hash-fails (oracle HUGEINT->float64 typing, now
-# cast to BIGINT) go FIRST so their re-verification is guaranteed, then
-# the 16 never-driver-checked near-twins.  Any query registered this
-# round that is absent from this list sorts ahead of it (the "not
-# verified and not deferred" bucket in _rotate_registry), so new
-# capability queries also land inside the window.
+# Round-5 window (50 entries): the 14 new capability queries registered
+# this round (q167-q180, absent from both lists, so they sort FIRST via
+# the "not verified and not deferred" bucket in _rotate_registry) + the
+# 22 below = 36 slots; the remainder re-checks already-verified entries.
+# Within the deferred block the six r04 hash-fails (oracle
+# HUGEINT->float64 typing, now cast to BIGINT) go first so their
+# re-verification is guaranteed, then the 16 never-driver-checked
+# near-twins.  Every one of the 36 was locally pre-verified at sf0.01
+# through the hardened harness under a vanilla fresh-process session
+# this round (tools/preverify_window.py + the /verify recipe).
 _DEFERRED = [
     # -- r04 hash-fails, oracle SQL fixed this round: re-verify first --
     "q130_source_temperature_mix",
