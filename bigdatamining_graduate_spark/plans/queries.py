@@ -7719,6 +7719,62 @@ def q180_vocab_broadcast_antijoin(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+_Q181_LONG = 7  # "long token" threshold (chars)
+
+
+@register(
+    "q181_token_stats_hof",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, {TX.tokenize_sql('text')} AS tk FROM documents)
+    SELECT doc_id,
+           cast(len(tk) as bigint) AS n_tokens,
+           cast(len(list_distinct(tk)) as bigint) AS n_distinct,
+           cast(list_aggregate(list_transform(tk, x -> length(x)), 'max')
+                as bigint) AS max_token_len,
+           cast(list_aggregate(list_transform(tk, x -> length(x)), 'sum')
+                as bigint) AS sum_token_chars,
+           cast(len(list_filter(tk, x -> length(x) > {_Q181_LONG}))
+                as bigint) AS n_long
+    FROM t WHERE len(tk) > 0
+    """,
+)
+def q181_token_stats_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token statistics computed ENTIRELY with higher-order
+    array functions — zero explode, zero shuffle: the Spark-idiomatic
+    fast path for per-row collection analytics. Every other token
+    consumer in the registry fans out through explode (correct when the
+    RESULT is token-grained); when the result is document-grained,
+    exploding multiplies the row count by avg document length just to
+    aggregate it straight back down. Here `transform`/`aggregate`/
+    `filter`/`array_distinct` keep the whole computation inside one
+    row's codegen — at 100 TB this is a pure map-only scan (plan: 0
+    Exchange nodes), embarrassingly parallel over file splits.
+
+    Determinism: all outputs are integer token/char counts; the
+    oracle's `list_aggregate(..., 'sum')` returns double and is cast
+    back to BIGINT (the HUGEINT/float trap, SCALE.md §9).
+    Reference parity: the reference computes per-record stats with
+    row-at-a-time Python lambdas (``hw0``/``hw2`` map phases, SURVEY §2
+    D1-D12); this is the same per-record shape with the lambda compiled
+    into Catalyst instead of pickled to a Python worker."""
+    docs = load_table(spark, sf_dir, "documents")
+    tk = TX.tokenize("text")
+    lens = F.transform(tk, lambda x: F.length(x))
+    return docs.select(
+        "doc_id",
+        F.size(tk).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(tk)).cast("long").alias("n_distinct"),
+        F.array_max(lens).cast("long").alias("max_token_len"),
+        F.aggregate(tk, F.lit(0), lambda acc, x: acc + F.length(x))
+        .cast("long")
+        .alias("sum_token_chars"),
+        F.size(F.filter(tk, lambda x: F.length(x) > _Q181_LONG))
+        .cast("long")
+        .alias("n_long"),
+    ).filter(F.col("n_tokens") > 0)
+
+
 # --------------------------------------------------------------------------
 # Driver-window rotation
 # --------------------------------------------------------------------------
