@@ -106,6 +106,23 @@ def test_tpch_derived_hash_match_at_10x(spark, synth_dir, name):
     assert_matches(QUERIES[name](spark, synth_dir), ORACLE[name], synth_dir)
 
 
+#: round-5 text/window ops at 10x — q177's packing claim ("no global
+#: window at any volume": partitions stay (bucket, shard)-bounded as the
+#: corpus grows), q179's SCD2 versioning as per-user event chains grow,
+#: q181's zero-shuffle HOF scan (token remap changes lengths, the
+#: cross-engine agreement must not care)
+TEXT_WINDOW = [
+    "q177_context_packing",
+    "q179_scd2_user_tiers",
+    "q181_token_stats_hof",
+]
+
+
+@pytest.mark.parametrize("name", TEXT_WINDOW)
+def test_text_window_hash_match_at_10x(spark, synth_dir, name):
+    assert_matches(QUERIES[name](spark, synth_dir), ORACLE[name], synth_dir)
+
+
 def test_hll_rollup_epsilon_at_10x(spark, synth_dir):
     check_hll_accuracy(spark, synth_dir)
 
