@@ -79,6 +79,7 @@ HEADLINE = [
     "q176_shipmode_priority",   # TPC-H Q12 derived-shipmode dual conditional count
     "q177_context_packing",     # sharded length-bucket context packing
     "q179_scd2_user_tiers",     # SCD2 versioned history (CDC compaction shape)
+    "q181_token_stats_hof",     # zero-explode HOF doc-grained token stats
 ]
 
 
