@@ -1104,3 +1104,80 @@ def test_scd2_contract_invariants(spark):
     )
     assert bad.count() == 0
     df.unpersist()
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 10**7), st.integers(1, 7)),
+        min_size=1,
+        max_size=16,
+    ),
+    st.sampled_from([10, 100, 1000]),
+)
+@settings(max_examples=15, deadline=None)
+def test_derived_partsupp_matches_python_formula(spark, keys, n_supp):
+    """plans/partsupp's Spark builder must equal an independent pure-
+    Python evaluation of the published formulas for arbitrary part keys
+    and supplier counts — any drift in the mod/affine arithmetic (sign
+    handling, operator precedence, int vs float division) breaks this
+    before it can silently split the engines. (The SQL twin is pinned
+    engine-vs-engine by the q171-q174 oracle hash-matches.)"""
+    from bigdatamining_graduate_spark.plans import partsupp as PS
+
+    part = spark.createDataFrame(
+        [(k,) for k, _ in keys], "p_partkey long"
+    ).distinct()
+    supplier = spark.createDataFrame(
+        [(i,) for i in range(n_supp)], "s_suppkey long"
+    )
+    got = {
+        (r["ps_partkey"], r["ps_suppkey"]): (
+            r["ps_availqty"],
+            r["ps_supplycost"],
+        )
+        for r in PS.derived_partsupp(part, supplier).collect()
+    }
+
+    expect = {}
+    for k in {k for k, _ in keys}:
+        for i in range(PS.PS_PER_PART):
+            sk = (k * 7 + i * 13) % n_supp
+            expect[(k, sk)] = (
+                1 + (k * 37 + sk * 11) % 9999,
+                ((k * 31 + sk * 17) % 90000 + 10000) / 100.0,
+            )
+    assert got == expect
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 10**7), st.integers(1, 7)),
+        min_size=1,
+        max_size=16,
+    )
+)
+@settings(max_examples=15, deadline=None)
+def test_derived_shipping_matches_python_formula(spark, keys):
+    """plans/shipmode's Spark builder vs pure Python: mode index and
+    both day offsets re-derived independently from the same constants;
+    date arithmetic checked as (date - shipdate) day deltas so the
+    assertion is calendar-free."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from bigdatamining_graduate_spark.plans import shipmode as SM
+
+    base = datetime.datetime(1997, 6, 15, 12, 30)
+    li = spark.createDataFrame(
+        [(o, ln, base) for o, ln in keys],
+        "l_orderkey long, l_linenumber long, l_shipdate timestamp",
+    )
+    rows = SM.with_shipping(li).collect()
+    for r in rows:
+        o, ln = r["l_orderkey"], r["l_linenumber"]
+        assert r["l_shipmode"] == SM.MODES[(o * 3 + ln * 5) % 7]
+        c_off = (o * 11 + ln * 7) % 61 - 30
+        r_off = (o * 13 + ln * 17) % 30 + 1
+        assert (r["l_commitdate"] - base.date()).days == c_off
+        assert (r["l_receiptdate"] - base.date()).days == r_off
