@@ -6850,8 +6850,9 @@ def q167_bucketed_join_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``tests/test_bucketing.py`` asserts the no-Exchange property on
     these same tables. Oracle runs the identical join + aggregate over
     the ORIGINAL parquet, so a hash-match proves the bucketed layout is
-    lossless. Reference parity: the hw4 join pipeline
-    (``hw4/BDM_HW4.py``) re-shuffles both sides on every run.
+    lossless. Extension beyond the reference (which has no bucketed-layout story:
+    hw4's only join, ``hw4/hw4.py``'s ALS input prep, re-shuffles on
+    every run) over the driver's TPC-H-ish fixtures.
     """
     tag = _os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
     ob, lb = f"orders_b_{tag}", f"lineitem_b_{tag}"
@@ -7073,8 +7074,8 @@ def q171_mincost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     join left to AQE since it scales with SF); the argmin agg is
     map-side combinable on ps_partkey. Struct-min carries (cost,
     suppkey) — unique per part, so the tie-break is total.
-    Reference parity: hw4's TPC-H sweep runs Q2 on real partsupp
-    (``hw4/BDM_HW4.py``)."""
+    Extension over the driver's TPC-H-ish fixtures (the reference has
+    no TPC-H; partsupp is DERIVED — ``plans/partsupp.py``)."""
     part = (
         load_table(spark, sf_dir, "part")
         .filter(F.col("p_size").between(_Q171_SIZE_LO, _Q171_SIZE_HI))
@@ -7404,7 +7405,8 @@ def q176_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     Determinism: integer-derived dates compare identically in both
     engines; counts are exact integers (oracle sums cast to BIGINT —
     the HUGEINT trap, SCALE.md).
-    Reference parity: hw4 TPC-H sweep Q12 (``hw4/BDM_HW4.py``)."""
+    Extension over the driver's TPC-H-ish fixtures (the reference has
+    no TPC-H; shipping columns are DERIVED — ``plans/shipmode.py``)."""
     li = SM.with_shipping(load_table(spark, sf_dir, "lineitem")).filter(
         F.col("l_shipmode").isin(*_Q176_MODES)
         & (F.col("l_commitdate") < F.col("l_receiptdate"))
@@ -7474,8 +7476,9 @@ def q177_context_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     single-partition WindowExec at any volume; shard count is the
     partition-size dial, costing at most one underfilled tail pack per
     (bucket, shard). One shuffle to the window, one map-side-combinable
-    agg on its output. Oversize docs (> capacity) are filtered to the
-    truncation path upstream. Extends the sampling/mixture/packing
+    agg on its output. Oversize (> capacity) and empty docs are
+    EXCLUDED from packing — a real pipeline truncates them upstream;
+    the packer itself never splits a doc. Extends the sampling/mixture/packing
     family (q73/q78/q97/q130) with the packing step itself —
     SURVEY.md §2 training-pipeline extensions."""
     docs = load_table(spark, sf_dir, "documents")
