@@ -3,10 +3,12 @@
 Design for image/audio/video at 100 TB: payloads are opaque ``binary``
 columns with typed metadata alongside; decode / feature-extraction runs as
 Arrow-batched ``mapInPandas`` so bytes never round-trip through pickled
-Python rows. The actual codec step is STUBBED (this container ships no
-image/audio libraries — ``decode_image`` raises ``NotImplementedError``);
-everything Spark-side — schema, batching, partitioning, UDF signatures —
-is real and tested via the deterministic byte-level feature path.
+Python rows. The codec step is an OPTIONAL EXTRA: ``decode_image`` uses
+pillow when importable (real decode branch, tested where the lib exists)
+and raises a clear ``NotImplementedError`` otherwise (this container
+ships no image/audio libraries). Everything Spark-side — schema,
+batching, partitioning, UDF signatures — is real and tested either way
+via the deterministic byte-level feature path.
 
 The reference has no binary processing; this is the training-pipeline
 extension layer (flagged extension, not parity).
@@ -31,13 +33,67 @@ FEATURE_SCHEMA = T.StructType(
 )
 
 
+try:  # optional extra: pillow, if the deployment installs it
+    from PIL import Image as _PILImage  # type: ignore
+except ImportError:  # this sandbox ships no image libs — documented env gate
+    _PILImage = None
+
+
 def decode_image(payload: bytes) -> "object":
-    """STUB — real deployments plug a codec (PIL/ffmpeg) in here; the
-    container has none, and the Spark-side plumbing does not depend on it."""
-    raise NotImplementedError(
-        "image/audio codecs are not available in this environment; "
-        "binary_features() exercises the mapInPandas plumbing instead"
-    )
+    """Decode an image payload with pillow WHEN the optional dependency
+    is installed (returns the loaded ``PIL.Image``); otherwise raise the
+    documented env-gate error. The Spark-side plumbing
+    (:func:`binary_features`, :func:`image_meta_features`) never depends
+    on the codec being present — ``image_meta_features`` routes each
+    Arrow batch through this function only if pillow imported."""
+    if _PILImage is None:
+        raise NotImplementedError(
+            "image/audio codecs are not available in this environment; "
+            "binary_features() exercises the mapInPandas plumbing instead "
+            "(install pillow to enable decode_image/image_meta_features)"
+        )
+    import io
+
+    img = _PILImage.open(io.BytesIO(payload))
+    img.load()
+    return img
+
+
+#: schema produced by :func:`image_meta_features`
+IMAGE_META_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.LongType()),
+        T.StructField("height", T.LongType()),
+        T.StructField("mode", T.StringType()),
+    ]
+)
+
+
+def image_meta_features(with_payload: DataFrame) -> DataFrame:
+    """Decode→metadata over image payloads via Arrow-batched
+    ``mapInPandas`` — the real decode branch of the multimodal layer,
+    exercised by tests only when pillow is importable (skipped in this
+    sandbox). Same batch shape / partitioning / signature contract as
+    :func:`binary_features`; errors surface per-task, not per-row."""
+    if _PILImage is None:  # fail fast on the driver, not inside tasks
+        raise NotImplementedError(
+            "image_meta_features requires the optional pillow extra"
+        )
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            metas = [decode_image(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": pd.Series([m.width for m in metas], dtype="int64"),
+                    "height": pd.Series([m.height for m in metas], dtype="int64"),
+                    "mode": [m.mode for m in metas],
+                }
+            )
+
+    return with_payload.mapInPandas(extract, schema=IMAGE_META_SCHEMA)
 
 
 def with_binary_payload(docs: DataFrame, text_col: str = "text") -> DataFrame:

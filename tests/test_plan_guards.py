@@ -7,6 +7,8 @@ internal ALS recommend-for-all cartesian."""
 
 from __future__ import annotations
 
+import re
+
 from bigdatamining_graduate_spark.plans.queries import QUERIES
 
 from .conftest import SF_SMOKE
@@ -38,15 +40,64 @@ ALLOWED = {
 }
 
 
+_PLAN_CACHE: dict[str, str] = {}
+
+
+def _all_plans(spark) -> dict[str, str]:
+    """Formatted physical plan per registered query, explained ONCE per
+    test session and shared by every whole-registry guard below."""
+    if not _PLAN_CACHE:
+        mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+        for name, fn in sorted(QUERIES.items()):
+            _PLAN_CACHE[name] = (
+                fn(spark, SF_SMOKE)._jdf.queryExecution().explainString(mode)
+            )
+    return _PLAN_CACHE
+
+
 def test_no_accidental_cross_joins(spark):
-    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
     offenders = {}
-    for name, fn in sorted(QUERIES.items()):
-        plan = fn(spark, SF_SMOKE)._jdf.queryExecution().explainString(mode)
+    for name, plan in _all_plans(spark).items():
         flags = [k for k in ("CartesianProduct", "BroadcastNestedLoopJoin") if k in plan]
         if flags and name not in ALLOWED:
             offenders[name] = flags
     assert not offenders, f"unexpected nested-loop joins: {offenders}"
+
+
+def test_scan_counts_do_not_regress(spark):
+    """Permanent form of the round-5 scans audit (SCALE.md §6l): a
+    query's physical plan must not scan parquet MORE times than the
+    audited golden count in ``tests/expected_scans.json`` — extra scans
+    mean a derived subtree silently started recomputing (the q168 class
+    caught by hand in r5). Counts use formatted-mode plans, which list
+    each scan twice (tree + node details); the guard is monotone so the
+    doubling is harmless. Fewer scans than golden is an improvement —
+    reported, and the golden file should be regenerated
+    (``python tools/gen_expected_scans.py``) to ratchet it down."""
+    import json
+    from pathlib import Path
+
+    golden = json.loads(
+        (Path(__file__).resolve().parent / "expected_scans.json").read_text()
+    )
+    scan_re = re.compile(r"\b(?:File)?Scan parquet\b")
+    plans = _all_plans(spark)
+    worse, better = {}, {}
+    for name, expected in golden.items():
+        assert name in plans, f"golden entry {name} no longer registered"
+        got = len(scan_re.findall(plans[name]))
+        if got > expected:
+            worse[name] = (expected, got)
+        elif got < expected:
+            better[name] = (expected, got)
+    assert not worse, (
+        f"parquet-scan regressions (expected, got): {worse} — if the plan "
+        "change is intentional, regenerate tests/expected_scans.json"
+    )
+    if better:  # ratchet hint, not a failure
+        print(f"scan-count improvements, regen golden: {better}")
 
 
 def test_boilerplate_flagback_is_broadcast(spark):
