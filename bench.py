@@ -80,6 +80,9 @@ HEADLINE = [
     "q177_context_packing",     # sharded length-bucket context packing
     "q179_scd2_user_tiers",     # SCD2 versioned history (CDC compaction shape)
     "q181_token_stats_hof",     # zero-explode HOF doc-grained token stats
+    "q183_position_attribution",  # struct-min conversion + per-user position windows
+    "q185_bigram_lm_quality",   # corpus bigram LM scoring (vocab joins + 1-row V)
+    "q187_token_entropy",       # per-doc Shannon entropy (doc-local window)
 ]
 
 

@@ -7779,6 +7779,409 @@ def q181_token_stats_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Round-6 capability additions (q182-q187): the literal crosstab API,
+# multi-touch attribution, domain-level quality gating, bigram-LM doc
+# scoring, PSI drift, and token-entropy lexical diversity — extensions
+# over the driver fixtures (SURVEY §8 / CHANGES.md round 6).
+# --------------------------------------------------------------------------
+
+_Q182_NATIONS = tuple(sorted(f"NATION_{i}" for i in range(25)))
+
+
+def _q182_oracle() -> str:
+    cols = ",\n           ".join(
+        f"cast(count(*) FILTER (n_name = '{n}') as bigint) AS {n.lower()}"
+        for n in _Q182_NATIONS
+    )
+    return f"""
+    SELECT c_mktsegment AS segment,
+           {cols}
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY c_mktsegment
+    """
+
+
+@register("q182_segment_nation_crosstab", oracle=_q182_oracle())
+def q182_segment_nation_crosstab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LITERAL ``df.stat.crosstab`` convenience API (A13) — the one
+    §2 row VERDICT r5 noted was served only by its enumerated-pivot twin
+    (q13/q22): segment x nation contingency counts through
+    ``stat.crosstab`` itself, made driver-checkable by pinning the
+    nondeterministic bits — columns re-selected in sorted nation order
+    (crosstab emits them in value-hash order), counts cast to bigint,
+    absent nations injected as zero so the shape is SF-independent.
+
+    Scale honesty: ``stat.crosstab`` materializes the |col1|x|col2|
+    contingency table driver-side (Spark caps it at 1e4 distinct
+    values) — it is the BOUNDED-cardinality convenience form; the
+    enumerated pivot (q13/q22) remains the unbounded-input scale path.
+    The nation dim rides in as a 25-row broadcast before the pivot."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_mktsegment", "c_nationkey"
+    )
+    nat = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    ct = cust.join(
+        F.broadcast(nat), F.col("c_nationkey") == F.col("n_nationkey")
+    ).stat.crosstab("c_mktsegment", "n_name")
+    present = set(ct.columns)
+    cols = [
+        (F.col(n) if n in present else F.lit(0)).cast("bigint").alias(n.lower())
+        for n in _Q182_NATIONS
+    ]
+    return ct.select(F.col("c_mktsegment_n_name").alias("segment"), *cols)
+
+
+@register(
+    "q183_position_attribution",
+    oracle="""
+    WITH p AS (
+      SELECT user_id, ts, event_id,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events WHERE event_type = 'purchase'
+    ), fp AS (
+      SELECT user_id, ts AS fts, event_id AS fid FROM p WHERE rn = 1
+    ), tch AS (
+      SELECT e.user_id, e.event_type,
+             row_number() OVER (PARTITION BY e.user_id
+                                ORDER BY e.ts, e.event_id) AS pos,
+             count(*)    OVER (PARTITION BY e.user_id) AS n
+      FROM events e JOIN fp USING (user_id)
+      WHERE e.event_type <> 'purchase'
+        AND (e.ts, e.event_id) < (fp.fts, fp.fid)
+    )
+    SELECT event_type,
+           count(*) AS n_touches,
+           round(cast(sum(
+             CASE WHEN n = 1 THEN cast(1.0 as double)
+                  WHEN pos = 1 OR pos = n THEN
+                    (CASE WHEN n = 2 THEN cast(0.5 as double)
+                          ELSE cast(0.4 as double) END)
+                  ELSE cast(0.2 as double) / (n - 2) END) as double), 6)
+             AS credit
+    FROM tch GROUP BY event_type
+    """,
+)
+def q183_position_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Position-based (40/20/40) multi-touch attribution — the
+    journey-weighted complement of q134's last-touch rule: every
+    non-purchase event before a user's FIRST purchase is a touch; the
+    first and last touch earn 0.4 each (n=1 -> 1.0, n=2 -> 0.5/0.5) and
+    the middles split the remaining 0.2 evenly. Credit totals roll up
+    per event type.
+
+    Spark-first: the first purchase per user is ONE map-side-combinable
+    ``min(struct(ts, event_id))`` hash aggregate (the q164 argmax
+    discipline — no window over the purchase stream); the touch filter
+    is a struct comparison pushed below the position windows, so only
+    pre-conversion touches are windowed. Both windows partition by
+    user_id — per-user cardinality, never global. The fp side scales
+    with |users|, so the join is unhinted (AQE broadcasts while small).
+    Determinism: credits are fixed dyadic/decimal weights; the float
+    sum is rounded to 6dp (q140 precedent).
+    Extension over the driver fixtures; the reference has no
+    attribution logic (closest shape: hw2's per-key rollups)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    fp = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min(F.struct("ts", "event_id")).alias("fp"))
+    )
+    tch = (
+        ev.filter(F.col("event_type") != "purchase")
+        .join(fp, "user_id")
+        .filter(F.struct("ts", "event_id") < F.col("fp"))
+    )
+    wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wn = Window.partitionBy("user_id")
+    tch = tch.withColumn("pos", F.row_number().over(wo)).withColumn(
+        "n", F.count("*").over(wn)
+    )
+    credit = (
+        F.when(F.col("n") == 1, F.lit(1.0))
+        .when(
+            (F.col("pos") == 1) | (F.col("pos") == F.col("n")),
+            F.when(F.col("n") == 2, F.lit(0.5)).otherwise(F.lit(0.4)),
+        )
+        .otherwise(F.lit(0.2) / (F.col("n") - 2))
+    )
+    return tch.groupBy("event_type").agg(
+        F.count("*").alias("n_touches"),
+        F.round(F.sum(credit), 6).alias("credit"),
+    )
+
+
+_Q184_MIN_TOKENS = 25   # docs under this are "short"
+_Q184_MAX_SHORT = 0.2   # flag sources whose short-doc share exceeds this
+
+
+@register(
+    "q184_source_quality_gate",
+    oracle=f"""
+    WITH d AS (
+      SELECT source, lang,
+             len({TX.tokenize_sql('text')}) AS n_tok
+      FROM documents
+    )
+    SELECT source,
+           count(*) AS n_docs,
+           cast(count(DISTINCT lang) as bigint) AS n_langs,
+           round(avg(cast(n_tok as double)), 6) AS avg_tokens,
+           round(avg(CASE WHEN n_tok < {_Q184_MIN_TOKENS}
+                          THEN cast(1.0 as double)
+                          ELSE cast(0.0 as double) END), 6) AS short_share,
+           (round(avg(CASE WHEN n_tok < {_Q184_MIN_TOKENS}
+                           THEN cast(1.0 as double)
+                           ELSE cast(0.0 as double) END), 6)
+              < {_Q184_MAX_SHORT}) AS keep
+    FROM d GROUP BY source
+    """,
+)
+def q184_source_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-level curation gate (the C4/RefinedWeb move): per-SOURCE
+    quality rollup — doc count, language spread, mean token length,
+    short-doc share — plus the keep/flag verdict, so filtering happens
+    at domain granularity instead of per-doc (q28/q99's grain). A
+    domain with >{_Q184_MAX_SHORT:.0%} short docs is flagged wholesale.
+
+    Scale: ONE hash aggregate on the |sources|-bounded key; token
+    counts stay inside per-row codegen (``size(tokenize(...))`` — no
+    explode, q181 discipline). The verdict compares the ROUNDED share
+    in both engines so the boundary cannot float-split. At 100 TB this
+    is the map-only scan + tiny agg that domain filtering must be.
+    Extension over the driver fixtures (training-pipeline layer);
+    reference's closest shape is hw3's per-file aggregation."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "source", "lang", F.size(TX.tokenize("text")).alias("n_tok")
+    )
+    short = F.when(
+        F.col("n_tok") < _Q184_MIN_TOKENS, F.lit(1.0)
+    ).otherwise(F.lit(0.0))
+    return (
+        d.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("lang").cast("bigint").alias("n_langs"),
+            F.round(F.avg(F.col("n_tok").cast("double")), 6).alias("avg_tokens"),
+            F.round(F.avg(short), 6).alias("short_share"),
+        )
+        .withColumn("keep", F.col("short_share") < F.lit(_Q184_MAX_SHORT))
+    )
+
+
+@register(
+    "q185_bigram_lm_quality",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, {TX.tokenize_sql('text')} AS tk FROM documents
+    ), bg AS (
+      SELECT doc_id, unnest({TX.word_ngrams_sql('tk', 2)}) AS bg FROM t
+    ), uni AS (
+      SELECT unnest(tk) AS w FROM t
+    ), c1 AS (
+      SELECT w, cast(count(*) as bigint) AS cw FROM uni GROUP BY w
+    ), c2 AS (
+      SELECT bg, cast(count(*) as bigint) AS cb FROM bg GROUP BY bg
+    ), v AS (
+      SELECT cast(count(*) as bigint) AS vocab FROM c1
+    )
+    SELECT b.doc_id,
+           count(*) AS n_bigrams,
+           round(cast(avg(ln((cb + cast(1.0 as double))
+                            / (cw + vocab))) as double), 6) AS avg_logprob
+    FROM bg b
+    JOIN c2 USING (bg)
+    JOIN c1 ON string_split(b.bg, ' ')[1] = c1.w
+    CROSS JOIN v
+    GROUP BY b.doc_id
+    """,
+)
+def q185_bigram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM perplexity-proxy document scoring — the 2-gram upgrade
+    of q103's unigram log-prob: corpus bigram counts with add-one
+    smoothing over the unigram vocabulary, P(w2|w1) =
+    (C(w1 w2)+1)/(C(w1)+V), each doc scored by its mean log
+    probability. Low scorers read as off-distribution/gibberish — the
+    model-free stand-in for a perplexity filter.
+
+    Scale: bigram generation is the q181 HOF slice (no token
+    self-join); both count tables are vocab-sized hash aggs; the
+    bigram/unigram joins are UNHINTED (vocabularies grow heaps-law with
+    corpus size — AQE broadcasts while they fit) and V rides in as a
+    1-row broadcast (q31 pattern, allowlisted). Determinism: counts are
+    exact ints; the log average is rounded to 6dp (q140 precedent).
+    Extension over the driver fixtures; the reference's token stats are
+    per-record scalar UDFs (D1-D12)."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", TX.tokenize("text").alias("tk"))
+    bg = t.select(
+        "doc_id", F.explode(TX.word_ngrams(F.col("tk"), 2)).alias("bg")
+    )
+    uni = t.select(F.explode("tk").alias("w"))
+    c1 = uni.groupBy("w").agg(F.count("*").alias("cw"))
+    c2 = bg.groupBy("bg").agg(F.count("*").alias("cb"))
+    v = c1.agg(F.count("*").alias("vocab"))
+    logp = F.log(
+        (F.col("cb") + F.lit(1.0)) / (F.col("cw") + F.col("vocab"))
+    )
+    return (
+        bg.join(c2, "bg")
+        .join(c1, F.split(F.col("bg"), " ").getItem(0) == F.col("w"))
+        .crossJoin(F.broadcast(v))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round(F.avg(logp), 6).alias("avg_logprob"),
+        )
+    )
+
+
+_Q186_SPLIT = "2024-01-16 00:00:00"
+
+
+@register(
+    "q186_event_type_psi",
+    oracle=f"""
+    WITH h AS (
+      SELECT event_type, cast(hour(ts) as bigint) AS hr,
+             CASE WHEN ts < TIMESTAMP '{_Q186_SPLIT}' THEN 0 ELSE 1 END
+               AS period
+      FROM events
+    ), c AS (
+      SELECT event_type, hr,
+             cast(count(*) FILTER (period = 0) as bigint) AS ca,
+             cast(count(*) FILTER (period = 1) as bigint) AS cb
+      FROM h GROUP BY event_type, hr
+    ), grid AS (
+      SELECT et.event_type, g.hr
+      FROM (SELECT DISTINCT event_type FROM events) et,
+           (SELECT unnest(generate_series(0, 23)) AS hr) g
+    ), f AS (
+      SELECT grid.event_type, grid.hr,
+             coalesce(ca, 0) AS ca, coalesce(cb, 0) AS cb
+      FROM grid LEFT JOIN c USING (event_type, hr)
+    ), w AS (
+      SELECT *,
+             sum(ca) OVER (PARTITION BY event_type) AS na,
+             sum(cb) OVER (PARTITION BY event_type) AS nb
+      FROM f
+    )
+    SELECT event_type,
+           cast(max(na) as bigint) AS n_a,
+           cast(max(nb) as bigint) AS n_b,
+           round(cast(sum(
+             ((ca + 1) / cast(na + 24 as double)
+              - (cb + 1) / cast(nb + 24 as double))
+             * ln(((ca + 1) / cast(na + 24 as double))
+                  / ((cb + 1) / cast(nb + 24 as double)))) as double), 6)
+             AS psi
+    FROM w GROUP BY event_type
+    """,
+)
+def q186_event_type_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population-stability-index drift per event type: hour-of-day
+    distributions of the first vs second half of the event range,
+    compared with the standard PSI Σ (p−q)·ln(p/q) under add-one
+    smoothing — the symmetric, binned complement of q140's KL (which
+    compares sources over an open vocabulary; PSI compares time periods
+    over FIXED bins, the ML-ops monitoring formulation).
+
+    Scale: one hash agg on the bounded (type, hour) key, densified onto
+    the full 24-bin grid via ``explode(sequence(0, 23))`` (missing bins
+    would silently change the formula; no join needed) and finished
+    with windows over 24-row partitions. Everything after the first agg
+    touches at most |types|x24 rows. Determinism: integer counts;
+    doubles only in the final smoothed ratio, rounded to 6dp.
+    Extension over the driver fixtures (drift-monitoring layer)."""
+    ev = load_table(spark, sf_dir, "events")
+    h = ev.select(
+        "event_type",
+        F.hour("ts").cast("long").alias("hr"),
+        (F.col("ts") < F.lit(_Q186_SPLIT).cast("timestamp"))
+        .cast("int")
+        .alias("is_a"),
+    )
+    c = h.groupBy("event_type", "hr").agg(
+        F.sum("is_a").cast("long").alias("ca"),
+        F.sum(1 - F.col("is_a")).cast("long").alias("cb"),
+    )
+    grid = (
+        ev.select("event_type")
+        .distinct()
+        .withColumn("hr0", F.explode(F.sequence(F.lit(0), F.lit(23))))
+        .select("event_type", F.col("hr0").cast("long").alias("hr"))
+    )
+    f = (
+        grid.join(c, ["event_type", "hr"], "left")
+        .na.fill({"ca": 0, "cb": 0})
+    )
+    wt = Window.partitionBy("event_type")
+    f = f.withColumn("na", F.sum("ca").over(wt)).withColumn(
+        "nb", F.sum("cb").over(wt)
+    )
+    pa = (F.col("ca") + 1) / (F.col("na") + 24).cast("double")
+    pb = (F.col("cb") + 1) / (F.col("nb") + 24).cast("double")
+    return f.groupBy("event_type").agg(
+        F.max("na").cast("long").alias("n_a"),
+        F.max("nb").cast("long").alias("n_b"),
+        F.round(F.sum((pa - pb) * F.log(pa / pb)), 6).alias("psi"),
+    )
+
+
+@register(
+    "q187_token_entropy",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, unnest({TX.tokenize_sql('text')}) AS w FROM documents
+    ), c AS (
+      SELECT doc_id, w, cast(count(*) as bigint) AS c FROM t
+      GROUP BY doc_id, w
+    ), n AS (
+      SELECT *, cast(sum(c) OVER (PARTITION BY doc_id) as bigint) AS n_tokens
+      FROM c
+    )
+    SELECT doc_id,
+           max(n_tokens) AS n_tokens,
+           count(*) AS n_distinct,
+           round(cast(-sum((c / cast(n_tokens as double))
+                           * ln(c / cast(n_tokens as double)))
+                 as double), 6) AS entropy
+    FROM n GROUP BY doc_id
+    """,
+)
+def q187_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token Shannon entropy — the lexical-diversity
+    quality signal (near-zero entropy = degenerate repetition, the
+    gibberish/boilerplate tail q75's duplicate-n-gram fraction only
+    partially sees; entropy also feeds compression-ratio-style filters).
+    H(doc) = −Σ p(w)·ln p(w) over the doc's token distribution.
+
+    Scale: token counts shuffle ONCE on (doc_id, word); the per-doc
+    total is a window over the doc's own vocabulary (bounded by doc
+    length, never global) and the entropy sum is a second hash agg back
+    to doc grain — both partition-local after the first shuffle since
+    the keys share the doc_id prefix. Determinism: integer counts;
+    the p·ln p sum is rounded to 6dp (q140 precedent).
+    Extension over the driver fixtures (quality layer); reference
+    parity: per-record stats as scalar UDFs (D1-D12) in
+    ``FinalProject/BDM_Final.py``."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(TX.tokenize("text")).alias("w"))
+    c = toks.groupBy("doc_id", "w").agg(F.count("*").alias("c"))
+    c = c.withColumn(
+        "n_tokens", F.sum("c").over(Window.partitionBy("doc_id")).cast("long")
+    )
+    p = F.col("c") / F.col("n_tokens").cast("double")
+    return c.groupBy("doc_id").agg(
+        F.max("n_tokens").alias("n_tokens"),
+        F.count("*").alias("n_distinct"),
+        F.round(-F.sum(p * F.log(p)), 6).alias("entropy"),
+    )
+
+
+# --------------------------------------------------------------------------
 # Driver-window rotation
 # --------------------------------------------------------------------------
 # The driver's correctness harness oracle-checks the FIRST 50 registry
@@ -7815,43 +8218,78 @@ _DRIVER_VERIFIED = frozenset(
         "q154", "q155", "q156", "q157", "q158", "q159", "q160", "q161",
         "q162", "q163", "q164",
     ]
+    # CORRECTNESS_r05: 49 green + 1 no_oracle (q54 HLL, ε-gated by
+    # design).  Closes the era: every one of q01-q181 is now
+    # driver-checked at least once.
+    + [
+        "q51", "q53", "q54", "q56", "q57", "q58", "q59", "q61", "q64",
+        "q65", "q67", "q69", "q72", "q75", "q82", "q83", "q130", "q133",
+        "q134", "q148", "q165", "q166",
+    ]
+    + [f"q{i}" for i in range(167, 182)]
 )  # matched on the qNN prefix
 
-# Round-5 window (50 entries): the 14 new capability queries registered
-# this round (q167-q180, absent from both lists, so they sort FIRST via
-# the "not verified and not deferred" bucket in _rotate_registry) + the
-# 22 below = 36 slots; the remainder re-checks already-verified entries.
-# Within the deferred block the six r04 hash-fails (oracle
-# HUGEINT->float64 typing, now cast to BIGINT) go first so their
-# re-verification is guaranteed, then the 16 never-driver-checked
-# near-twins.  Every one of the 36 was locally pre-verified at sf0.01
-# through the hardened harness under a vanilla fresh-process session
-# this round (tools/preverify_window.py + the /verify recipe).
+# Round-6 window (50 entries): the 6 new capability queries (q182-q187,
+# absent from both lists, so they sort FIRST via the "not verified and
+# not deferred" bucket in _rotate_registry) + the 44 below.  VERDICT r5
+# ordered the window onto the STALEST greens: q14-q50 (37 queries) were
+# last driver-checked in rounds 1-2, BEFORE the harness grew the
+# dtype-strict comparison — re-confirming them under the current exact
+# hash closes that era gap (q32-q35 are rows-only by design; their
+# quality gates live in tests/test_ml_quality.py).  The 7 fillers are
+# hash-checkable NEIGHBORS of the remaining rows-only queries, so every
+# ε-gated family gets a same-round exact-twin re-confirmation.  6 + 37
+# + 7 = 50 exactly.  Every deferred entry was locally pre-verified at
+# sf0.01 under a vanilla fresh-process session this round
+# (tools/preverify_window.py + the /verify recipe).
 _DEFERRED = [
-    # -- r04 hash-fails, oracle SQL fixed this round: re-verify first --
-    "q130_source_temperature_mix",
-    "q133_mad_outliers",
-    "q134_last_touch_attribution",
-    "q148_activity_streaks",
-    "q165_zorder_roundtrip",
-    "q166_datasource_roundtrip",
-    # -- never driver-checked (judge pre-verified all 16 clean in r4) --
-    "q57_stream_foreachbatch",  # sink mechanism; stream family green q36-q48
-    "q65_stream_static_segments",  # stream-vs-static also in green q104
-    "q56_sql_text_pricing",  # SQL-text twin of q01 (green)
-    "q53_stopword_hits_by_lang",  # per-lang agg twin of q14 (green)
-    "q58_user_value_trend",  # lag-window twin of q18/q19 (green)
-    "q59_repeat_status_customers",  # set-op sibling of q46 (green)
-    "q61_geomean_value",  # single-agg twin of q02 (green)
-    "q82_onehot_langs",  # pivot twin of q22 (green)
-    "q83_table_profile",  # profiling twin of q04 (green)
-    "q51_label_centroids",  # vector-mean agg; family green via q29/q30
-    "q54_approx_distinct_users",  # no oracle (HLL) -> rows-only
-    "q64_hash_split_profile",  # sampling family: q73/q97 driver-green
-    "q67_rate_stream_buckets",  # source mechanism; stream family green
-    "q69_bpe_token_stats",  # token-stat family: q28/q103/q106 green
-    "q72_thumbnail_payloads",  # 1:1 mapInPandas twin of driver-green q39
-    "q75_rep_ngram_quality",  # quality family: q28/q99 driver-green
+    # -- stalest greens: the full r1/r2 window, re-checked under the
+    #    hardened dtype-strict harness --
+    "q14_top5_words_per_lang",
+    "q15_best_order_per_customer",
+    "q16_monthly_order_rollup",
+    "q17_hourly_event_stats",
+    "q18_user_sessions",
+    "q19_customer_running_total",
+    "q20_wordcount_top100",
+    "q21_json_props_stats",
+    "q22_user_type_pivot",
+    "q23_doc_fingerprints",
+    "q24_exact_dedup",
+    "q25_ngram_jaccard_pairs",
+    "q26_minhash_lsh_pairs",
+    "q27_simhash_near_dups",
+    "q28_text_quality",
+    "q29_knn_bruteforce",
+    "q30_ann_lsh_pairs",
+    "q31_tfidf_top_terms",
+    "q32_als_recommendations",   # rows-only (MLlib); ε-gate in tests
+    "q33_kmeans_clusters",       # rows-only (MLlib); ε-gate in tests
+    "q34_mllib_minhash_pairs",   # rows-only (MLlib); ε-gate in tests
+    "q35_pca_variance",          # rows-only (MLlib); ε-gate in tests
+    "q36_stream_hourly_counts",
+    "q37_stream_sliding_avg",
+    "q38_stream_dedup_counts",
+    "q39_binary_features",
+    "q40_word_cooccurrence",
+    "q41_sales_rollup",
+    "q42_status_priority_cube",
+    "q43_salted_user_totals",
+    "q44_last_signup_asof",
+    "q45_type_user_stats",
+    "q46_inactive_automobile_customers",
+    "q47_stream_session_windows",
+    "q48_stateful_user_totals",
+    "q49_supplier_region_revenue",
+    "q50_brand_sales",
+    # -- exact-twin neighbors of the rows-only families --
+    "q60_price_percentiles",     # exact-percentile twin of q162 (KLL)
+    "q96_rolling_distinct_users",  # exact-distinct twin of q54/q139 (HLL)
+    "q119_source_overlap_matrix",  # exact set-overlap twin of q163 (theta)
+    "q66_ngram_langid",          # deterministic lang-id twin of q91
+    "q52_embedding_neardup_docs",  # exact-cosine twin of q55 (IVF ANN)
+    "q62_clicks_before_error",   # binned range join (r3-era green)
+    "q63_curated_corpus",        # widest composed pipeline (r3-era green)
 ]
 
 

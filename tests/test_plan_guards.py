@@ -37,6 +37,7 @@ ALLOWED = {
     "q171_mincost_supplier",     # 1-row supplier-count broadcast (partsupp derive)
     "q172_important_stock",      # partsupp derive + 1-row global-total broadcast
     "q173_excess_stock_suppliers",  # 1-row supplier-count broadcast (partsupp derive)
+    "q185_bigram_lm_quality",    # 1-row vocab-size broadcast (q31 pattern)
 }
 
 

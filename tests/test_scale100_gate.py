@@ -17,6 +17,8 @@ core against the embedded DuckDB oracles at that volume:
 * q167 bucketed round-trip    — bucketed write + exchange-free SMJ at 60M rows
 * q174 TPC-H Q9 (derived)     — widest star, formula-bound supplycost at 60M rows
 * q176 TPC-H Q12 (derived)    — derived shipmode/date predicates at 60M rows
+* q137 chained-window stream  — 100M events through a two-level stateful
+                                window-on-window pipeline (state-size pin)
 
 Separate marker from the 10x `scale` gate because this one costs tens of
 minutes (fixture generation dominates) and ~5 GB under /tmp; both are
@@ -64,6 +66,12 @@ CHECKED = [
     # exact cross-engine agreement
     "q174_profit_by_nation_year",
     "q176_shipmode_priority",
+    # round 6: chained-window STREAMING at 100x events — the
+    # window-on-window multi-stateful pipeline (hourly counts -> daily
+    # max) drains 100M events through two state-store levels; the
+    # hash-match vs the watermark-cutoff batch oracle pins state-size
+    # and emission behavior at volume (VERDICT r5 item #7)
+    "q137_stream_daily_peak_rate",
 ]
 
 

@@ -1181,3 +1181,123 @@ def test_derived_shipping_matches_python_formula(spark, keys):
         r_off = (o * 13 + ln * 17) % 30 + 1
         assert (r["l_commitdate"] - base.date()).days == c_off
         assert (r["l_receiptdate"] - base.date()).days == r_off
+
+
+# -- round-6 capability queries (q182-q187) ---------------------------------
+
+
+def test_q182_crosstab_shape_and_mass(spark):
+    """Literal stat.crosstab pinned: 5 segment rows, the 25 nation
+    columns in sorted order, and total mass == |customer| (every
+    customer lands in exactly one cell)."""
+    from bigdatamining_graduate_spark.plans.queries import (
+        _Q182_NATIONS,
+        q182_segment_nation_crosstab,
+    )
+    from bigdatamining_graduate_spark.sources.catalog import load_table
+
+    df = q182_segment_nation_crosstab(spark, SF_SMOKE)
+    assert df.columns == ["segment"] + [n.lower() for n in _Q182_NATIONS]
+    rows = df.collect()
+    assert len(rows) == 5
+    mass = sum(r[c] for r in rows for c in df.columns[1:])
+    assert mass == load_table(spark, SF_SMOKE, "customer").count()
+
+
+def test_q183_attribution_mass_conservation(spark):
+    """Position-based credit is a probability split: summed credit over
+    all event types == number of users with >=1 pre-purchase touch
+    (each journey distributes exactly 1.0)."""
+    from bigdatamining_graduate_spark.plans.queries import (
+        q183_position_attribution,
+    )
+    from bigdatamining_graduate_spark.sources.catalog import load_table
+
+    rows = q183_position_attribution(spark, SF_SMOKE).collect()
+    total_credit = sum(r["credit"] for r in rows)
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    fp = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min(F.struct("ts", "event_id")).alias("fp"))
+    )
+    n_users = (
+        ev.filter(F.col("event_type") != "purchase")
+        .join(fp, "user_id")
+        .filter(F.struct("ts", "event_id") < F.col("fp"))
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+    assert math.isclose(total_credit, n_users, abs_tol=1e-3)
+
+
+def test_q184_gate_verdict_consistency(spark):
+    """keep is exactly the documented threshold on the ROUNDED share,
+    and doc counts partition the corpus."""
+    from bigdatamining_graduate_spark.plans.queries import (
+        _Q184_MAX_SHORT,
+        q184_source_quality_gate,
+    )
+    from bigdatamining_graduate_spark.sources.catalog import load_table
+
+    rows = q184_source_quality_gate(spark, SF_SMOKE).collect()
+    assert sum(r["n_docs"] for r in rows) == load_table(
+        spark, SF_SMOKE, "documents"
+    ).count()
+    for r in rows:
+        assert r["keep"] == (r["short_share"] < _Q184_MAX_SHORT)
+        assert 0.0 <= r["short_share"] <= 1.0
+
+
+def test_q185_bigram_scores_are_log_probs(spark):
+    """Smoothed bigram log-probs are strictly negative, and the row set
+    is exactly the docs with >= 2 tokens (one bigram needs two)."""
+    from bigdatamining_graduate_spark.plans.queries import (
+        q185_bigram_lm_quality,
+    )
+    from bigdatamining_graduate_spark.sources.catalog import load_table
+
+    rows = q185_bigram_lm_quality(spark, SF_SMOKE).collect()
+    assert rows and all(r["avg_logprob"] < 0 for r in rows)
+    docs = load_table(spark, SF_SMOKE, "documents")
+    n_ge2 = docs.filter(F.size(TX.tokenize("text")) >= 2).count()
+    assert len(rows) == n_ge2
+    for r in rows:
+        assert r["n_bigrams"] >= 1
+
+
+def test_q186_psi_nonnegative_and_counts_partition(spark):
+    """Every PSI term (p-q)ln(p/q) is >= 0, so the sum must be; period
+    counts per type must partition that type's events."""
+    from bigdatamining_graduate_spark.plans.queries import (
+        q186_event_type_psi,
+    )
+    from bigdatamining_graduate_spark.sources.catalog import load_table
+
+    rows = q186_event_type_psi(spark, SF_SMOKE).collect()
+    assert len(rows) == 5
+    ev = load_table(spark, SF_SMOKE, "events")
+    totals = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type").agg(F.count("*").alias("n")).collect()
+    }
+    for r in rows:
+        assert r["psi"] >= 0
+        assert r["n_a"] + r["n_b"] == totals[r["event_type"]]
+
+
+def test_q187_entropy_bounds(spark):
+    """0 <= H <= ln(n_distinct) (uniform upper bound), H == 0 iff the
+    doc repeats one token; rows == docs with >= 1 token."""
+    from bigdatamining_graduate_spark.plans.queries import q187_token_entropy
+    from bigdatamining_graduate_spark.sources.catalog import load_table
+
+    rows = q187_token_entropy(spark, SF_SMOKE).collect()
+    docs = load_table(spark, SF_SMOKE, "documents")
+    assert len(rows) == docs.filter(F.size(TX.tokenize("text")) > 0).count()
+    for r in rows:
+        assert -1e-9 <= r["entropy"] <= math.log(r["n_distinct"]) + 1e-6
+        if r["n_distinct"] == 1:
+            assert abs(r["entropy"]) < 1e-9
