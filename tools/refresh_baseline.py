@@ -75,6 +75,9 @@ NOTES = {
     "q176_shipmode_priority": "Q12 derived-mode filters pushed below join",
     "q177_context_packing": "bucket-sharded window, no global sort",
     "q179_scd2_user_tiers": "lag+running-version fused in one WindowExec",
+    "q183_position_attribution": "struct-min conversion + per-user windows",
+    "q185_bigram_lm_quality": "HOF bigrams, vocab joins, 1-row V broadcast",
+    "q187_token_entropy": "one (doc,word) shuffle, doc-local window",
 }
 
 TABLE_HEAD = "| Query | sf | sec (warm) | sec (cold) | Notes | Run date |"
