@@ -179,6 +179,112 @@ def ngram_jaccard_pairs_sql(threshold: float) -> str:
     """
 
 
+# -- n-gram containment (asymmetric near-dup) -------------------------------
+
+CONTAIN_MIN_SZ = 5      # tiny gram sets are trivially contained — no signal
+
+
+def ngram_containment_pairs(docs: DataFrame, threshold: float) -> DataFrame:
+    """DIRECTED containment C(src→dst) = |src ∩ dst| / |src| over the
+    same capped word-n-gram universe as :func:`ngram_jaccard_pairs` —
+    the ASYMMETRIC dedup signal: a quote, excerpt, or subset document
+    scores high containment in its superset while their Jaccard stays
+    low (the union washes it out). The standard companion metric for
+    verbatim-inclusion sweeps (q101 finds shared passages; this ranks
+    whole-doc inclusion).
+
+    Same scale shape as Jaccard: one inverted-index aggregation, df-cap
+    on the postings, pair emission by position-sliced explode, sizes
+    broadcast back. The only difference is the final algebra: each
+    unordered candidate pair emits BOTH directions and divides by the
+    SOURCE size. Sources below ``CONTAIN_MIN_SZ`` grams are dropped
+    (trivially contained)."""
+    grams = doc_grams(docs)
+    postings = (
+        grams.groupBy("gram")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("docs"))
+        .filter(F.size("docs") <= MAX_DF)
+    )
+    pe = postings.select(F.posexplode("docs").alias("i", "doc_a"), F.col("docs"))
+    common = (
+        pe.select(
+            "doc_a",
+            F.explode(F.slice("docs", F.col("i") + 2, F.size("docs"))).alias("doc_b"),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("common"))
+    )
+    sizes = (
+        postings.select(F.explode("docs").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("sz"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
+    both = (
+        common.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+    )
+    # both directions from ONE pass over the candidate set: exploding a
+    # 2-struct array keeps a single consumer of the join subtree (a
+    # union of two selects re-computes the whole postings pipeline
+    # per branch — the recompute pattern the scans guard flags)
+    directed = F.explode(
+        F.array(
+            F.struct(
+                F.col("doc_a").alias("src"),
+                F.col("doc_b").alias("dst"),
+                (F.col("common") / F.col("sz_a")).alias("containment"),
+                F.col("sz_a").alias("src_sz"),
+            ),
+            F.struct(
+                F.col("doc_b").alias("src"),
+                F.col("doc_a").alias("dst"),
+                (F.col("common") / F.col("sz_b")).alias("containment"),
+                F.col("sz_b").alias("src_sz"),
+            ),
+        )
+    )
+    return (
+        both.select(directed.alias("p"))
+        .select("p.*")
+        .filter(
+            (F.col("containment") >= threshold)
+            & (F.col("src_sz") >= CONTAIN_MIN_SZ)
+        )
+        .select("src", "dst", "containment")
+    )
+
+
+def ngram_containment_pairs_sql(threshold: float) -> str:
+    return f"""
+    WITH grams AS ({doc_grams_sql()}),
+    capped AS (
+      SELECT doc_id, gram FROM (
+        SELECT doc_id, gram, count(*) OVER (PARTITION BY gram) AS df FROM grams)
+      WHERE df <= {MAX_DF}
+    ),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM capped GROUP BY doc_id),
+    common AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+      FROM capped a JOIN capped b ON a.gram = b.gram AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    dirs AS (
+      SELECT doc_a AS src, doc_b AS dst,
+             common / cast(sa.sz as double) AS containment, sa.sz AS src_sz
+      FROM common JOIN sizes sa ON sa.doc_id = doc_a
+      UNION ALL
+      SELECT doc_b AS src, doc_a AS dst,
+             common / cast(sb.sz as double) AS containment, sb.sz AS src_sz
+      FROM common JOIN sizes sb ON sb.doc_id = doc_b
+    )
+    SELECT src, dst, containment
+    FROM dirs
+    WHERE containment >= {threshold} AND src_sz >= {CONTAIN_MIN_SZ}
+    """
+
+
 # -- MinHash + LSH ----------------------------------------------------------
 
 def minhash_signatures(docs: DataFrame) -> DataFrame:

@@ -34,24 +34,39 @@ def test_entry_smoke(spark):
     assert set(e.oracle_sql()) <= set(e.queries())
 
 
-def test_driver_window_prioritizes_unverified_queries():
+def test_driver_window_rotation_structure():
     """The driver's correctness gate samples the FIRST 50 registry
-    entries; rounds 1-2 verified q01-q50, so the rotation must keep
-    every not-yet-driver-verified query ahead of all verified ones —
-    otherwise a round burns its oracle window re-checking known-good
-    queries."""
+    entries. Rotation policy (since round 6, when every query became
+    driver-verified at least once): brand-new queries sort first, then
+    the _DEFERRED block (which MAY deliberately re-check verified
+    queries — round 6 re-confirms the r1/r2-era greens under the
+    hardened harness — and may park new queries past slot 50 for the
+    next round's window), then the verified remainder. The invariant
+    that matters: no unverified query may sit in the verified tail —
+    everything not yet driver-checked is either in the head or
+    explicitly placed in _DEFERRED."""
     from bigdatamining_graduate_spark.plans.queries import (
+        _DEFERRED,
         _DRIVER_VERIFIED,
         ORACLE,
         QUERIES,
     )
 
     names = list(QUERIES)
-    verified_flags = [n.split("_", 1)[0] in _DRIVER_VERIFIED for n in names]
-    first_verified = verified_flags.index(True)
-    assert all(verified_flags[first_verified:]), (
-        "verified queries must form a contiguous tail"
+    deferred = set(_DEFERRED)
+
+    def verified(n):
+        return n.split("_", 1)[0] in _DRIVER_VERIFIED
+
+    head_len = sum(1 for n in names if not verified(n) and n not in deferred)
+    head = names[:head_len]
+    block = names[head_len : head_len + len(_DEFERRED)]
+    tail = names[head_len + len(_DEFERRED) :]
+    assert all(not verified(n) and n not in deferred for n in head)
+    assert block == _DEFERRED, "deferred block must sit right after the head"
+    assert all(verified(n) for n in tail), (
+        f"unverified query outside head/deferred: "
+        f"{[n for n in tail if not verified(n)]}"
     )
-    assert not any(verified_flags[:first_verified])
     # every name still has its callable, and oracles only for registered names
     assert set(ORACLE) <= set(QUERIES)

@@ -1301,3 +1301,93 @@ def test_q187_entropy_bounds(spark):
         assert -1e-9 <= r["entropy"] <= math.log(r["n_distinct"]) + 1e-6
         if r["n_distinct"] == 1:
             assert abs(r["entropy"]) < 1e-9
+
+
+def test_q188_containment_planted_subset(spark):
+    """A planted excerpt (first 12 tokens of a 40-token doc) must show
+    containment 1.0 toward its superset; the reverse direction must
+    score len-ratio; bounds hold for every emitted pair."""
+    from bigdatamining_graduate_spark.operators import dedup as DD
+
+    base = " ".join(f"w{i}" for i in range(40))
+    excerpt = " ".join(f"w{i}" for i in range(12))
+    other = " ".join(f"z{i}" for i in range(30))
+    docs = spark.createDataFrame(
+        [(1, base), (2, excerpt), (3, other)], "doc_id: long, text: string"
+    )
+    rows = {
+        (r["src"], r["dst"]): r["containment"]
+        for r in DD.ngram_containment_pairs(docs, 0.2).collect()
+    }
+    # excerpt: 10 3-grams, all inside base (38 3-grams)
+    assert abs(rows[(2, 1)] - 1.0) < 1e-9
+    assert abs(rows[(1, 2)] - 10 / 38) < 1e-9
+    assert all(0.0 < v <= 1.0 + 1e-9 for v in rows.values())
+    assert all(s != d for (s, d) in rows)
+
+
+def test_q188_fixture_bounds(spark):
+    from bigdatamining_graduate_spark.plans.queries import q188_containment_pairs
+
+    rows = q188_containment_pairs(spark, SF_SMOKE).collect()
+    for r in rows:
+        assert 0.8 <= r["containment"] <= 1.0 + 1e-9
+        assert r["src"] != r["dst"]
+
+
+def test_q189_diff_classification_consistency(spark):
+    """Null structure must match the class: added => no before-state,
+    removed => no after-state, changed => states differ, unchanged =>
+    states equal; user set == all users in events."""
+    from bigdatamining_graduate_spark.plans.queries import q189_snapshot_diff
+    from bigdatamining_graduate_spark.sources.catalog import load_table
+
+    rows = q189_snapshot_diff(spark, SF_SMOKE).collect()
+    ev_users = {
+        r["user_id"]
+        for r in load_table(spark, SF_SMOKE, "events").select("user_id").distinct().collect()
+    }
+    assert {r["user_id"] for r in rows} == ev_users
+    for r in rows:
+        ct = r["change_type"]
+        if ct == "added":
+            assert r["n_before"] is None and r["n_after"] is not None
+        elif ct == "removed":
+            assert r["n_after"] is None and r["n_before"] is not None
+        elif ct == "changed":
+            assert (r["n_before"], r["last_before"]) != (r["n_after"], r["last_after"])
+        else:
+            assert ct == "unchanged"
+            assert r["n_before"] == r["n_after"]
+            assert r["last_before"] == r["last_after"]
+
+
+def test_q190_native_sessions_match_derived_q18(spark):
+    """Literal F.session_window must agree with the gaps-and-islands
+    derivation: per-user session counts equal q18's, sessions tile
+    without overlap, and every session spans >= 1 event with
+    end = last_event + gap."""
+    from bigdatamining_graduate_spark.plans.queries import (
+        _Q190_GAP_S,
+        q18_user_sessions,
+        q190_session_window_batch,
+    )
+
+    rows = q190_session_window_batch(spark, SF_SMOKE).collect()
+    per_user = {}
+    for r in rows:
+        per_user.setdefault(r["user_id"], []).append(
+            (r["session_start_us"], r["session_end_us"], r["n_events"])
+        )
+    q18 = {
+        r["user_id"]: r["session_count"]
+        for r in q18_user_sessions(spark, SF_SMOKE).collect()
+    }
+    assert {u: len(s) for u, s in per_user.items()} == q18
+    gap_us = _Q190_GAP_S * 1_000_000
+    for sessions in per_user.values():
+        sessions.sort()
+        for (s1, e1, n1), (s2, _, _) in zip(sessions, sessions[1:]):
+            assert s2 >= e1  # non-overlapping, gap respected
+        for s, e, n in sessions:
+            assert n >= 1 and e - s >= gap_us  # end = last event + gap
