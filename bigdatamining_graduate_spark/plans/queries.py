@@ -8360,6 +8360,148 @@ def q190_session_window_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Portable HyperLogLog geometry: m = 2^b registers over the 60-bit
+# portable md5 hash (top b bits -> bucket, remaining 51 bits -> rank).
+# Like q168's CM sketch, the whole sketch is re-derivable bit-for-bit in
+# DuckDB — giving the HLL family its first FULL cross-engine value
+# oracle (q54/q139 use Spark's engine-internal HLL and are ε-gated).
+_HLL_B = 9
+_HLL_M = 1 << _HLL_B              # 512 registers
+_HLL_REM_BITS = 60 - _HLL_B       # 51
+_HLL_REM_MASK = (1 << _HLL_REM_BITS) - 1
+_HLL_MAX_RHO = _HLL_REM_BITS + 1  # 52 (all-zero remainder)
+_HLL_ALPHA = 0.7213 / (1 + 1.079 / _HLL_M)
+#: alpha * m^2 * 2^52 precomputed in PYTHON so both engines embed the
+#: IDENTICAL double literal; the estimate is then a single division of
+#: that constant by an exact integer — bit-identical cross-engine.
+_HLL_SCALE = _HLL_ALPHA * _HLL_M * _HLL_M * float(1 << _HLL_MAX_RHO)
+
+
+@register(
+    "q191_portable_hll_users",
+    oracle=f"""
+    WITH u AS (
+      SELECT event_type,
+             {HH.portable_hash64_sql('cast(user_id as varchar)')} AS h
+      FROM events
+    ), t AS (
+      SELECT event_type, h >> {_HLL_REM_BITS} AS bucket,
+             h & {_HLL_REM_MASK} AS rem
+      FROM u
+    ), r AS (
+      SELECT event_type, bucket,
+             max(CASE WHEN rem > 0 THEN {_HLL_MAX_RHO} - length(bin(rem))
+                      ELSE {_HLL_MAX_RHO} END) AS m
+      FROM t GROUP BY event_type, bucket
+    ), grid AS (
+      SELECT et.event_type, g.bucket
+      FROM (SELECT DISTINCT event_type FROM events) et,
+           (SELECT unnest(generate_series(0, {_HLL_M - 1})) AS bucket) g
+    ), dense AS (
+      SELECT grid.event_type, grid.bucket, coalesce(r.m, 0) AS m
+      FROM grid LEFT JOIN r USING (event_type, bucket)
+    ), s AS (
+      SELECT event_type,
+             CAST(sum(1::BIGINT << CAST({_HLL_MAX_RHO} - m AS INTEGER))
+                  AS BIGINT) AS s_scaled,
+             CAST(sum(CASE WHEN m = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_zero
+      FROM dense GROUP BY event_type
+    ), ex AS (
+      SELECT event_type, count(DISTINCT user_id) AS n_exact
+      FROM events GROUP BY event_type
+    )
+    SELECT s.event_type, ex.n_exact, s.n_zero,
+           round(CASE WHEN {_HLL_SCALE!r} / s_scaled <= {2.5 * _HLL_M}
+                       AND n_zero > 0
+                      THEN {float(_HLL_M)!r} * ln({float(_HLL_M)!r} / n_zero)
+                      ELSE {_HLL_SCALE!r} / s_scaled END, 6) AS hll_estimate
+    FROM s JOIN ex USING (event_type)
+    """,
+)
+def q191_portable_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hand-rolled HyperLogLog distinct-user estimates per event type,
+    built on the portable md5 hash so Spark and DuckDB derive IDENTICAL
+    {m}-register sketches — the HLL-family counterpart of q168's CM
+    sketch: the first HLL in the registry with a FULL cross-engine
+    value oracle (q54/q139 use the engine-internal
+    ``approx_count_distinct`` and can only be ε-gated). Standard LogLog
+    pieces, all in exact integer arithmetic: bucket = top {b} hash
+    bits, rank = leading-zero count of the remaining {rb} bits via
+    ``length(bin(x))`` (string-exact in both engines), registers
+    densified onto the full grid (q186 pattern), and the harmonic sum
+    kept INTEGER as Σ 2^({mr}−M) via bit-shifts — so the raw estimate
+    is one double division of a Python-precomputed constant, and the
+    small-range branch (E ≤ 2.5m with empty registers → linear
+    counting m·ln(m/V)) takes identical inputs in both engines.
+
+    Scale: ONE map-side-combinable hash agg to (type, bucket) registers
+    — {m} rows per group, mergeable across partitions/shards/days by
+    register-wise MAX (the mergeability that makes HLL the 100 TB
+    distinct-count workhorse); everything after runs on |types|×{m}
+    rows. The exact count rides along for judgment (at real scale you
+    would NOT compute it — it is the oracle's cross-check here).
+    Reference parity: extension; hw2 computes exact distincts by full
+    shuffle.""".format(
+        m=_HLL_M, b=_HLL_B, rb=_HLL_REM_BITS, mr=_HLL_MAX_RHO
+    )
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.col("user_id").cast("string").alias("uid")
+    )
+    h = HH.portable_hash64(F.col("uid"))
+    t = ev.select(
+        "event_type",
+        F.shiftright(h, _HLL_REM_BITS).alias("bucket"),
+        h.bitwiseAND(F.lit(_HLL_REM_MASK)).alias("rem"),
+    )
+    rho = F.when(
+        F.col("rem") > 0, F.lit(_HLL_MAX_RHO) - F.length(F.bin("rem"))
+    ).otherwise(F.lit(_HLL_MAX_RHO))
+    regs = (
+        t.select("event_type", "bucket", rho.alias("rho"))
+        .groupBy("event_type", "bucket")
+        .agg(F.max("rho").alias("m"))
+    )
+    grid = (
+        ev.select("event_type")
+        .distinct()
+        .withColumn(
+            "b0", F.explode(F.sequence(F.lit(0), F.lit(_HLL_M - 1)))
+        )
+        .select("event_type", F.col("b0").cast("long").alias("bucket"))
+    )
+    dense = grid.join(regs, ["event_type", "bucket"], "left").na.fill({"m": 0})
+    s = dense.groupBy("event_type").agg(
+        F.sum(
+            F.expr(
+                f"shiftleft(CAST(1 AS BIGINT), "
+                f"CAST({_HLL_MAX_RHO} - m AS INT))"
+            )
+        )
+        .cast("bigint")
+        .alias("s_scaled"),
+        F.sum(F.when(F.col("m") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_zero"),
+    )
+    ex = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n_exact"))
+    )
+    raw = F.lit(_HLL_SCALE) / F.col("s_scaled")
+    est = F.when(
+        (raw <= F.lit(2.5 * _HLL_M)) & (F.col("n_zero") > 0),
+        F.lit(float(_HLL_M)) * F.log(F.lit(float(_HLL_M)) / F.col("n_zero")),
+    ).otherwise(raw)
+    return s.join(ex, "event_type").select(
+        "event_type",
+        "n_exact",
+        "n_zero",
+        F.round(est, 6).alias("hll_estimate"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Driver-window rotation
 # --------------------------------------------------------------------------
@@ -8476,6 +8618,7 @@ _DEFERRED = [
     # -- past the 50-slot window BY DESIGN: locally green this round,
     #    rotates into the round-7 driver window --
     "q190_session_window_batch",
+    "q191_portable_hll_users",
 ]
 
 

@@ -1391,3 +1391,58 @@ def test_q190_native_sessions_match_derived_q18(spark):
             assert s2 >= e1  # non-overlapping, gap respected
         for s, e, n in sessions:
             assert n >= 1 and e - s >= gap_us  # end = last event + gap
+
+
+def test_q191_hll_accuracy_and_register_bounds(spark):
+    """Fixture sketch: estimate within 3σ (σ = 1.04/√512 ≈ 4.6%) of the
+    exact distinct count; register bookkeeping sane (0 <= empty
+    registers <= m)."""
+    from bigdatamining_graduate_spark.plans.queries import (
+        _HLL_M,
+        q191_portable_hll_users,
+    )
+
+    rows = q191_portable_hll_users(spark, SF_SMOKE).collect()
+    assert len(rows) == 5
+    sigma = 1.04 / (_HLL_M ** 0.5)
+    for r in rows:
+        assert 0 <= r["n_zero"] <= _HLL_M
+        rel = abs(r["hll_estimate"] - r["n_exact"]) / r["n_exact"]
+        assert rel <= 3 * sigma, f"{r['event_type']}: rel err {rel:.3f}"
+
+
+def test_q191_hll_planted_cardinality(spark):
+    """Planted 80k-distinct set (far above the linear-counting branch):
+    the raw-estimate branch must hold 3σ accuracy too — covers the
+    branch the small fixtures never reach."""
+    from pyspark.sql import functions as F
+
+    from bigdatamining_graduate_spark.functions import hashing as HH
+    from bigdatamining_graduate_spark.plans.queries import (
+        _HLL_M,
+        _HLL_MAX_RHO,
+        _HLL_REM_BITS,
+        _HLL_REM_MASK,
+        _HLL_SCALE,
+    )
+
+    n = 80_000
+    ids = spark.range(n).select(F.col("id").cast("string").alias("uid"))
+    h = HH.portable_hash64(F.col("uid"))
+    t = ids.select(
+        F.shiftright(h, _HLL_REM_BITS).alias("bucket"),
+        h.bitwiseAND(F.lit(_HLL_REM_MASK)).alias("rem"),
+    )
+    rho = F.when(
+        F.col("rem") > 0, F.lit(_HLL_MAX_RHO) - F.length(F.bin("rem"))
+    ).otherwise(F.lit(_HLL_MAX_RHO))
+    regs = t.select("bucket", rho.alias("rho")).groupBy("bucket").agg(
+        F.max("rho").alias("m")
+    )
+    collected = {r["bucket"]: r["m"] for r in regs.collect()}
+    s_scaled = sum(
+        1 << (_HLL_MAX_RHO - collected.get(b, 0)) for b in range(_HLL_M)
+    )
+    est = _HLL_SCALE / s_scaled
+    assert est > 2.5 * _HLL_M  # raw branch, not linear counting
+    assert abs(est - n) / n <= 3 * (1.04 / (_HLL_M ** 0.5))
