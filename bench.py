@@ -83,6 +83,10 @@ HEADLINE = [
     "q183_position_attribution",  # struct-min conversion + per-user position windows
     "q185_bigram_lm_quality",   # corpus bigram LM scoring (vocab joins + 1-row V)
     "q187_token_entropy",       # per-doc Shannon entropy (doc-local window)
+    "q188_containment_pairs",   # asymmetric inverted-index containment join
+    "q189_snapshot_diff",       # two-snapshot full-outer change data feed
+    "q190_session_window_batch",  # native session_window aggregation
+    "q191_portable_hll_users",  # portable 512-register HLL build + estimate
 ]
 
 

@@ -8502,6 +8502,183 @@ def q191_portable_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Portable KMV / bottom-k theta sketch geometry: per segment keep the
+# _KMV_K smallest DISTINCT portable-hash values; θ = the K-th smallest
+# (2^60 = "exact mode" when the segment has fewer than K distinct).
+# Like q168 (CM) and q191 (HLL), the sketch is re-derived bit-for-bit
+# in DuckDB — giving theta-style SET ALGEBRA (q163's family) its first
+# full cross-engine value oracle.
+_KMV_K = 128
+_KMV_SPACE_INT = 1 << 60           # portable hash space (exclusive max)
+_KMV_SPACE = float(_KMV_SPACE_INT)
+
+
+@register(
+    "q192_kmv_theta_overlap",
+    oracle=f"""
+    WITH du AS (
+      SELECT DISTINCT event_type, user_id FROM events
+    ), hashed AS (
+      SELECT event_type,
+             {HH.portable_hash64_sql('cast(user_id as varchar)')} AS h
+      FROM du
+    ), ranked AS (
+      SELECT event_type, h,
+             row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+      FROM hashed
+    ), sk AS (
+      SELECT event_type, h, rn FROM ranked WHERE rn <= {_KMV_K}
+    ), st AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n_s,
+             coalesce(max(CASE WHEN rn = {_KMV_K} THEN h END),
+                      {_KMV_SPACE_INT}) AS theta
+      FROM sk GROUP BY event_type
+    ), inter AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             CAST(count(*) FILTER (
+               a.h < least(sa.theta, sb.theta)) AS BIGINT) AS n_i,
+             least(sa.theta, sb.theta) AS theta_i
+      FROM sk a
+      JOIN sk b ON a.h = b.h AND a.event_type < b.event_type
+      JOIN st sa ON sa.event_type = a.event_type
+      JOIN st sb ON sb.event_type = b.event_type
+      GROUP BY 1, 2, least(sa.theta, sb.theta)
+    ), pairs AS (
+      SELECT sa.event_type AS type_a, sb.event_type AS type_b,
+             sa.n_s AS n_sa, sa.theta AS theta_a,
+             sb.n_s AS n_sb, sb.theta AS theta_b,
+             coalesce(i.n_i, 0) AS n_i,
+             least(sa.theta, sb.theta) AS theta_i
+      FROM st sa
+      JOIN st sb ON sa.event_type < sb.event_type
+      LEFT JOIN inter i
+        ON i.type_a = sa.event_type AND i.type_b = sb.event_type
+    ), ex AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             CAST(count(*) AS BIGINT) AS exact_inter
+      FROM du a JOIN du b
+        ON a.user_id = b.user_id AND a.event_type < b.event_type
+      GROUP BY 1, 2
+    )
+    SELECT p.type_a, p.type_b,
+           coalesce(ex.exact_inter, 0) AS exact_inter,
+           round(CASE WHEN p.n_sa < {_KMV_K} THEN CAST(p.n_sa AS DOUBLE)
+                      ELSE ({_KMV_K} - 1) * {_KMV_SPACE!r} / p.theta_a
+                 END, 6) AS est_a,
+           round(CASE WHEN p.n_sb < {_KMV_K} THEN CAST(p.n_sb AS DOUBLE)
+                      ELSE ({_KMV_K} - 1) * {_KMV_SPACE!r} / p.theta_b
+                 END, 6) AS est_b,
+           round(p.n_i * {_KMV_SPACE!r} / p.theta_i, 6) AS est_inter
+    FROM pairs p
+    LEFT JOIN ex ON ex.type_a = p.type_a AND ex.type_b = p.type_b
+    """,
+)
+def q192_kmv_theta_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience set-algebra on a PORTABLE bottom-k (KMV/theta) sketch —
+    the hand-rolled twin of q163's engine-internal theta sketches,
+    completing the portable-sketch trilogy (q168 CM counts, q191 HLL
+    cardinality, here SET INTERSECTION — the estimate HLL cannot give):
+    per event type keep the {k} smallest distinct md5 user hashes;
+    θ = the {k}-th smallest. |A| ≈ ({k}−1)·2^60/θ_A (exact when the
+    segment holds < {k} distinct — the sample IS the set), and for
+    every type pair |A∩B| ≈ |common hashes < min(θ_A,θ_B)| ·
+    2^60/min(θ_A,θ_B) — all branch conditions and set operations on
+    exact INTEGERS, the estimate a single double division of
+    Python-embedded constants, so DuckDB re-derives identical values
+    and the driver hash-matches the ESTIMATES themselves (the exact
+    pairwise intersection rides along as the oracle's cross-check).
+
+    Scale: distinct (type,user) is one shuffle; the per-type bottom-k
+    rank is a window over segment partitions; everything pairwise runs
+    on the |types|x{k}-row sketch table (self-join on hash value) —
+    the q163 property that every audience question is answered from a
+    tiny sketch table, now engine-independent. Fixture coverage: at
+    sf0.001 segments hold < {k} users (exact mode); at sf0.01+ they
+    exceed {k} (estimation mode) — both branches driver-checked.
+    Reference parity: extension; the closest reference shape is hw4's
+    exact pairwise overlaps via full joins.""".format(k=_KMV_K)
+    ev = load_table(spark, sf_dir, "events")
+    du = ev.select("event_type", "user_id").distinct()
+    h = HH.portable_hash64(F.col("user_id").cast("string"))
+    ranked = du.select("event_type", h.alias("h")).withColumn(
+        "rn",
+        F.row_number().over(Window.partitionBy("event_type").orderBy("h")),
+    )
+    sk = ranked.filter(F.col("rn") <= _KMV_K)
+    st = sk.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_s"),
+        F.coalesce(
+            F.max(F.when(F.col("rn") == _KMV_K, F.col("h"))),
+            F.lit(_KMV_SPACE_INT),
+        ).alias("theta"),
+    )
+    a = sk.select(F.col("event_type").alias("type_a"), "h")
+    b = sk.select(F.col("event_type").alias("type_b"), "h")
+    sa = st.select(
+        F.col("event_type").alias("type_a"),
+        F.col("n_s").alias("n_sa"),
+        F.col("theta").alias("theta_a"),
+    )
+    sb = st.select(
+        F.col("event_type").alias("type_b"),
+        F.col("n_s").alias("n_sb"),
+        F.col("theta").alias("theta_b"),
+    )
+    inter = (
+        a.join(b, ["h"])
+        .filter(F.col("type_a") < F.col("type_b"))
+        .join(F.broadcast(sa), "type_a")
+        .join(F.broadcast(sb), "type_b")
+        .groupBy("type_a", "type_b")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("h") < F.least("theta_a", "theta_b"), 1
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_i")
+        )
+    )
+    pairs = (
+        sa.join(F.broadcast(sb), F.col("type_a") < F.col("type_b"))
+        .join(inter, ["type_a", "type_b"], "left")
+        .na.fill({"n_i": 0})
+        .withColumn("theta_i", F.least("theta_a", "theta_b"))
+    )
+    exact = (
+        du.select(F.col("event_type").alias("type_a"), "user_id")
+        .join(
+            du.select(F.col("event_type").alias("type_b"), "user_id"),
+            "user_id",
+        )
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count("*").cast("bigint").alias("exact_inter"))
+    )
+
+    def est(n_col: str, theta_col: str):
+        return F.when(
+            F.col(n_col) < _KMV_K, F.col(n_col).cast("double")
+        ).otherwise(F.lit((_KMV_K - 1) * _KMV_SPACE) / F.col(theta_col))
+
+    return (
+        pairs.join(exact, ["type_a", "type_b"], "left")
+        .na.fill({"exact_inter": 0})
+        .select(
+            "type_a",
+            "type_b",
+            "exact_inter",
+            F.round(est("n_sa", "theta_a"), 6).alias("est_a"),
+            F.round(est("n_sb", "theta_b"), 6).alias("est_b"),
+            F.round(
+                F.col("n_i") * F.lit(_KMV_SPACE) / F.col("theta_i"), 6
+            ).alias("est_inter"),
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # Driver-window rotation
 # --------------------------------------------------------------------------
@@ -8619,6 +8796,7 @@ _DEFERRED = [
     #    rotates into the round-7 driver window --
     "q190_session_window_batch",
     "q191_portable_hll_users",
+    "q192_kmv_theta_overlap",
 ]
 
 

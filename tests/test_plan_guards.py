@@ -38,6 +38,7 @@ ALLOWED = {
     "q172_important_stock",      # partsupp derive + 1-row global-total broadcast
     "q173_excess_stock_suppliers",  # 1-row supplier-count broadcast (partsupp derive)
     "q185_bigram_lm_quality",    # 1-row vocab-size broadcast (q31 pattern)
+    "q192_kmv_theta_overlap",    # |types|-row sketch-stat pair self-join (q163 pattern)
 }
 
 

@@ -1446,3 +1446,195 @@ def test_q191_hll_planted_cardinality(spark):
     est = _HLL_SCALE / s_scaled
     assert est > 2.5 * _HLL_M  # raw branch, not linear counting
     assert abs(est - n) / n <= 3 * (1.04 / (_HLL_M ** 0.5))
+
+
+# -- round-6 property tests: new-query math vs pure-Python references -------
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 5),        # user
+            st.integers(0, 10**6),    # ts offset (seconds)
+            st.sampled_from(["view", "click", "error", "signup", "purchase"]),
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+@settings(max_examples=15, deadline=None)
+def test_q183_credit_formula_matches_python(spark, events):
+    """The Spark attribution credit must equal an independently-coded
+    pure-Python 40/20/40 walk over the same synthetic journeys, and
+    total credit == number of users with a non-empty journey."""
+    import datetime
+
+    from bigdatamining_graduate_spark.plans import queries as Q
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = [
+        (i, u, base + datetime.timedelta(seconds=off), et, 0.0, "{}")
+        for i, (u, off, et) in enumerate(events)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, user_id long, ts timestamp, event_type string,"
+        " value double, props string",
+    )
+
+    import tempfile, os
+    with tempfile.TemporaryDirectory() as d:
+        # route through a parquet dir so load_table sees a plain table
+        df.write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
+        got = {
+            (r["event_type"]): (r["n_touches"], r["credit"])
+            for r in Q.q183_position_attribution(spark, d).collect()
+        }
+
+    # pure-Python reference
+    per_user: dict[int, list[tuple]] = {}
+    for i, (u, off, et) in enumerate(events):
+        per_user.setdefault(u, []).append((off, i, et))
+    want_counts: dict[str, int] = {}
+    want_credit: dict[str, float] = {}
+    n_journeys = 0
+    for u, evs in per_user.items():
+        evs.sort()
+        purchases = [(o, i) for (o, i, et) in evs if et == "purchase"]
+        if not purchases:
+            continue
+        fp = min(purchases)
+        touches = [et for (o, i, et) in evs if et != "purchase" and (o, i) < fp]
+        if not touches:
+            continue
+        n_journeys += 1
+        n = len(touches)
+        for pos, et in enumerate(touches, 1):
+            if n == 1:
+                w = 1.0
+            elif pos in (1, n):
+                w = 0.5 if n == 2 else 0.4
+            else:
+                w = 0.2 / (n - 2)
+            want_counts[et] = want_counts.get(et, 0) + 1
+            want_credit[et] = want_credit.get(et, 0.0) + w
+    assert set(got) == set(want_counts)
+    total = 0.0
+    for et in got:
+        assert got[et][0] == want_counts[et]
+        assert math.isclose(got[et][1], want_credit[et], abs_tol=2e-6)
+        total += got[et][1]
+    assert math.isclose(total, n_journeys, abs_tol=1e-3)
+
+
+@given(st.integers(1, (1 << 51) - 1))
+@settings(max_examples=50, deadline=None)
+def test_q191_rank_matches_python_bit_length(spark, rem):
+    """The string-based rank (52 - length(bin(rem))) must equal the
+    pure-Python leading-zero count over the 51-bit remainder."""
+    from bigdatamining_graduate_spark.plans.queries import _HLL_MAX_RHO
+
+    want = _HLL_MAX_RHO - rem.bit_length()
+    df = spark.createDataFrame([(rem,)], "rem long")
+    got = df.select(
+        (F.lit(_HLL_MAX_RHO) - F.length(F.bin("rem"))).alias("rho")
+    ).collect()[0]["rho"]
+    assert got == want
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 2),       # event type index
+            st.integers(0, 29),      # day
+            st.integers(0, 23),      # hour
+        ),
+        min_size=4,
+        max_size=60,
+    )
+)
+@settings(max_examples=10, deadline=None)
+def test_q186_psi_matches_python(spark, events):
+    """Spark PSI must equal an independently-coded pure-Python add-one
+    PSI over the same synthetic (type, day, hour) events."""
+    import datetime
+    import os
+    import tempfile
+
+    from bigdatamining_graduate_spark.plans import queries as Q
+
+    types = ["view", "click", "error"]
+    base = datetime.datetime(2024, 1, 1)
+    rows = [
+        (
+            i,
+            base + datetime.timedelta(days=d, hours=h),
+            i,
+            types[t],
+            0.0,
+            "{}",
+        )
+        for i, (t, d, h) in enumerate(events)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    with tempfile.TemporaryDirectory() as d_:
+        df.write.mode("overwrite").parquet(os.path.join(d_, "events.parquet"))
+        got = {
+            r["event_type"]: (r["n_a"], r["n_b"], r["psi"])
+            for r in Q.q186_event_type_psi(spark, d_).collect()
+        }
+
+    split_day = 15  # _Q186_SPLIT = 2024-01-16: days 0..14 are period A
+    for ti, tname in enumerate(types):
+        evs = [(d, h) for (t, d, h) in events if t == ti]
+        if not evs:
+            assert tname not in got
+            continue
+        ca = [0] * 24
+        cb = [0] * 24
+        for d, h in evs:
+            (ca if d < split_day else cb)[h] += 1
+        na, nb = sum(ca), sum(cb)
+        psi = 0.0
+        for h in range(24):
+            pa = (ca[h] + 1) / (na + 24)
+            pb = (cb[h] + 1) / (nb + 24)
+            psi += (pa - pb) * math.log(pa / pb)
+        g = got[tname]
+        assert g[0] == na and g[1] == nb
+        assert math.isclose(g[2], psi, abs_tol=2e-6)
+
+
+def test_q192_kmv_accuracy_and_structure(spark):
+    """Bottom-k theta overlap: full 10-pair matrix; every intersection
+    estimate within 3σ (σ = 1/sqrt(K-2)) of the exact pairwise distinct
+    count; exact-mode segments (< K distinct) estimate EXACTLY."""
+    from bigdatamining_graduate_spark.plans.queries import (
+        _KMV_K,
+        q192_kmv_theta_overlap,
+    )
+    from bigdatamining_graduate_spark.sources.catalog import load_table
+
+    rows = q192_kmv_theta_overlap(spark, SF_SMOKE).collect()
+    assert len(rows) == 10  # C(5,2) type pairs
+    ev = load_table(spark, SF_SMOKE, "events")
+    n_distinct = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    sigma = 1.0 / (_KMV_K - 2) ** 0.5
+    for r in rows:
+        for side, t in (("est_a", r["type_a"]), ("est_b", r["type_b"])):
+            if n_distinct[t] < _KMV_K:  # exact mode
+                assert r[side] == n_distinct[t]
+            else:
+                assert abs(r[side] - n_distinct[t]) / n_distinct[t] <= 3 * sigma
+        if r["exact_inter"] > 0:
+            rel = abs(r["est_inter"] - r["exact_inter"]) / r["exact_inter"]
+            assert rel <= 3 * sigma, f"{r['type_a']}x{r['type_b']}: {rel:.3f}"

@@ -78,6 +78,10 @@ NOTES = {
     "q183_position_attribution": "struct-min conversion + per-user windows",
     "q185_bigram_lm_quality": "HOF bigrams, vocab joins, 1-row V broadcast",
     "q187_token_entropy": "one (doc,word) shuffle, doc-local window",
+    "q188_containment_pairs": "q25 postings shape, 2-struct explode directions",
+    "q189_snapshot_diff": "two pushed-filter aggs + one full-outer join",
+    "q190_session_window_batch": "native session agg, 1 shuffle",
+    "q191_portable_hll_users": "md5 registers, integer harmonic sum",
 }
 
 TABLE_HEAD = "| Query | sf | sec (warm) | sec (cold) | Notes | Run date |"
