@@ -8679,6 +8679,329 @@ def q192_kmv_theta_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q193_hll_merge_rollup",
+    oracle=f"""
+    WITH u AS (
+      SELECT event_type, date_trunc('week', ts) AS wk,
+             {HH.portable_hash64_sql('cast(user_id as varchar)')} AS h
+      FROM events
+    ), t AS (
+      SELECT event_type, wk, h >> {_HLL_REM_BITS} AS bucket,
+             h & {_HLL_REM_MASK} AS rem
+      FROM u
+    ), wr AS (
+      SELECT event_type, wk, bucket,
+             max(CASE WHEN rem > 0 THEN {_HLL_MAX_RHO} - length(bin(rem))
+                      ELSE {_HLL_MAX_RHO} END) AS m
+      FROM t GROUP BY event_type, wk, bucket
+    ), mr AS (
+      SELECT event_type, bucket, max(m) AS m FROM wr
+      GROUP BY event_type, bucket
+    ), buckets AS (
+      SELECT unnest(generate_series(0, {_HLL_M - 1})) AS bucket
+    ), grid AS (
+      SELECT et.event_type, b.bucket
+      FROM (SELECT DISTINCT event_type FROM events) et, buckets b
+    ), dense AS (
+      SELECT grid.event_type, grid.bucket, coalesce(mr.m, 0) AS m
+      FROM grid LEFT JOIN mr USING (event_type, bucket)
+    ), s AS (
+      SELECT event_type,
+             CAST(sum(1::BIGINT << CAST({_HLL_MAX_RHO} - m AS INTEGER))
+                  AS BIGINT) AS s_scaled,
+             CAST(sum(CASE WHEN m = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_zero
+      FROM dense GROUP BY event_type
+    ), wgrid AS (
+      SELECT tw.event_type, tw.wk, b.bucket
+      FROM (SELECT DISTINCT event_type, wk FROM u) tw, buckets b
+    ), wdense AS (
+      SELECT wgrid.event_type, wgrid.wk, wgrid.bucket,
+             coalesce(wr.m, 0) AS m
+      FROM wgrid LEFT JOIN wr USING (event_type, wk, bucket)
+    ), ws AS (
+      SELECT event_type, wk,
+             CAST(sum(1::BIGINT << CAST({_HLL_MAX_RHO} - m AS INTEGER))
+                  AS BIGINT) AS s_scaled,
+             CAST(sum(CASE WHEN m = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_zero
+      FROM wdense GROUP BY event_type, wk
+    ), west AS (
+      SELECT event_type, wk,
+             CASE WHEN {_HLL_SCALE!r} / s_scaled <= {2.5 * _HLL_M}
+                   AND n_zero > 0
+                  THEN {float(_HLL_M)!r} * ln({float(_HLL_M)!r} / n_zero)
+                  ELSE {_HLL_SCALE!r} / s_scaled END AS est
+      FROM ws
+    ), wagg AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n_weeks,
+             round(sum(est), 6) AS sum_weekly_est
+      FROM west GROUP BY event_type
+    ), ex AS (
+      SELECT event_type, count(DISTINCT user_id) AS n_exact
+      FROM events GROUP BY event_type
+    )
+    SELECT s.event_type, wagg.n_weeks, ex.n_exact,
+           round(CASE WHEN {_HLL_SCALE!r} / s_scaled <= {2.5 * _HLL_M}
+                       AND n_zero > 0
+                      THEN {float(_HLL_M)!r} * ln({float(_HLL_M)!r} / n_zero)
+                      ELSE {_HLL_SCALE!r} / s_scaled END, 6)
+             AS est_merged,
+           wagg.sum_weekly_est
+    FROM s JOIN ex USING (event_type) JOIN wagg USING (event_type)
+    """,
+)
+def q193_hll_merge_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch MERGEABILITY, value-oracled: build q191's portable HLL
+    per (event_type, WEEK) shard, then merge the weekly sketches into a
+    whole-horizon estimate by register-wise MAX — the exact operation
+    that makes HLL the 100 TB rollup workhorse (per-day/shard sketches
+    persisted once, any coarser window answered by merging registers,
+    never rescanning events). Because the registers are the portable
+    md5 construction, DuckDB re-derives the SAME weekly shards and the
+    SAME merge, so the driver hash-matches the merged estimates —
+    upgrading the capability q139 demonstrates with Spark's
+    engine-internal (ε-gated) HLL union to a full value oracle. The
+    merged estimate provably equals q191's single-pass estimate
+    (max-of-weekly-max == global max per register); ``sum_weekly_est``
+    rides along to show why naive roll-ups can't do this (summing
+    per-week distincts double-counts returning users — it exceeds
+    ``est_merged`` whenever users span weeks).
+
+    Scale: the weekly-shard agg is ONE map-side-combinable shuffle to
+    (type, week, bucket) — at most |types|x|weeks|x{m} rows; the merge
+    and both estimates run on that sketch table alone. The exact
+    distinct count rides along as the oracle's cross-check (at real
+    scale you would not compute it).
+    Reference parity: extension; hw2's rollups re-aggregate raw rows
+    per window.""".format(m=_HLL_M)
+    ev = load_table(spark, sf_dir, "events")
+    h = HH.portable_hash64(F.col("user_id").cast("string"))
+    t = ev.select(
+        "event_type",
+        F.date_trunc("week", "ts").alias("wk"),
+        F.shiftright(h, _HLL_REM_BITS).alias("bucket"),
+        h.bitwiseAND(F.lit(_HLL_REM_MASK)).alias("rem"),
+    )
+    rho = F.when(
+        F.col("rem") > 0, F.lit(_HLL_MAX_RHO) - F.length(F.bin("rem"))
+    ).otherwise(F.lit(_HLL_MAX_RHO))
+    wr = (
+        t.select("event_type", "wk", rho.alias("rho"), "bucket")
+        .groupBy("event_type", "wk", "bucket")
+        .agg(F.max("rho").alias("m"))
+    )
+    mr = wr.groupBy("event_type", "bucket").agg(F.max("m").alias("m"))
+
+    shift_sum = (
+        F.sum(
+            F.expr(
+                f"shiftleft(CAST(1 AS BIGINT), "
+                f"CAST({_HLL_MAX_RHO} - m AS INT))"
+            )
+        )
+        .cast("bigint")
+        .alias("s_scaled")
+    )
+    zero_sum = (
+        F.sum(F.when(F.col("m") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_zero")
+    )
+    raw = F.lit(_HLL_SCALE) / F.col("s_scaled")
+    est = F.when(
+        (raw <= F.lit(2.5 * _HLL_M)) & (F.col("n_zero") > 0),
+        F.lit(float(_HLL_M)) * F.log(F.lit(float(_HLL_M)) / F.col("n_zero")),
+    ).otherwise(raw)
+
+    def densify(regs: DataFrame, keys: list[str]) -> DataFrame:
+        grid = (
+            regs.select(*keys)
+            .distinct()
+            .withColumn(
+                "b0", F.explode(F.sequence(F.lit(0), F.lit(_HLL_M - 1)))
+            )
+            .select(*keys, F.col("b0").cast("long").alias("bucket"))
+        )
+        return grid.join(regs, [*keys, "bucket"], "left").na.fill({"m": 0})
+
+    s = densify(mr, ["event_type"]).groupBy("event_type").agg(
+        shift_sum, zero_sum
+    )
+    ws = densify(wr, ["event_type", "wk"]).groupBy("event_type", "wk").agg(
+        shift_sum, zero_sum
+    )
+    wagg = (
+        ws.select("event_type", est.alias("est"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n_weeks"),
+            F.round(F.sum("est"), 6).alias("sum_weekly_est"),
+        )
+    )
+    ex = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_exact")
+    )
+    return (
+        s.join(ex, "event_type")
+        .join(wagg, "event_type")
+        .select(
+            "event_type",
+            "n_weeks",
+            "n_exact",
+            F.round(est, 6).alias("est_merged"),
+            "sum_weekly_est",
+        )
+    )
+
+
+# Ranking-quality eval geometry: train on orders before the cutoff,
+# evaluate the per-customer predicted part ranking against post-cutoff
+# purchases with graded relevance (rel = #repeat orders, capped) and
+# log2 positional discounts — the standard nDCG@k offline metric.
+_Q194_CUT = "1999-01-01 00:00:00"
+_Q194_K = 10
+_Q194_RELMAX = 3
+
+
+@register(
+    "q194_ndcg_ranking_eval",
+    oracle=f"""
+    WITH fact AS (
+      SELECT o.o_custkey AS c, l.l_partkey AS p, o.o_orderdate AS d
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    ), train AS (
+      SELECT c, p, CAST(count(*) AS BIGINT) AS cnt
+      FROM fact WHERE d < TIMESTAMP '{_Q194_CUT}' GROUP BY c, p
+    ), predk AS (
+      SELECT c, p, rnk FROM (
+        SELECT c, p,
+               row_number() OVER (PARTITION BY c ORDER BY cnt DESC, p)
+                 AS rnk
+        FROM train) WHERE rnk <= {_Q194_K}
+    ), test AS (
+      SELECT c, p,
+             least({_Q194_RELMAX}, CAST(count(*) AS BIGINT)) AS rel
+      FROM fact WHERE d >= TIMESTAMP '{_Q194_CUT}' GROUP BY c, p
+    ), dcg AS (
+      SELECT pk.c,
+             sum((power(2, coalesce(t.rel, 0)) - 1) / log2(pk.rnk + 1))
+               AS dcg
+      FROM predk pk LEFT JOIN test t ON t.c = pk.c AND t.p = pk.p
+      GROUP BY pk.c
+    ), idcg AS (
+      SELECT c, sum((power(2, rel) - 1) / log2(rnk + 1)) AS idcg
+      FROM (
+        SELECT c, rel,
+               row_number() OVER (PARTITION BY c ORDER BY rel DESC, p)
+                 AS rnk
+        FROM test)
+      WHERE rnk <= {_Q194_K} GROUP BY c
+    )
+    SELECT cu.c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           round(avg(d.dcg / i.idcg), 6) AS avg_ndcg
+    FROM dcg d
+    JOIN idcg i ON i.c = d.c
+    JOIN customer cu ON cu.c_custkey = d.c
+    GROUP BY cu.c_mktsegment
+    """,
+)
+def q194_ndcg_ranking_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offline ranking-quality evaluation (nDCG@{k}) — the graded
+    companion of q74's recall@k: per customer, a popularity-personalized
+    part ranking is fit on pre-{cut} orders (order count desc, partkey
+    tiebreak) and scored against post-cutoff purchases with graded
+    relevance rel = min({rmax}, repeat orders), gain 2^rel − 1, and the
+    standard log2(rank+1) discount; nDCG = DCG@{k} / ideal-DCG@{k},
+    averaged per market segment. Every rank and relevance grade is an
+    exact integer in both engines; only the final discount division and
+    per-segment mean are floats (round 6), so the metric itself — the
+    thing a recsys/retrieval pipeline gates deploys on — is
+    value-oracled, not just row-counted.
+
+    Scale: one fact join (orders⋈lineitem on the order key), two
+    map-side-combinable (cust, part) aggs, and two windows partitioned
+    by customer — no global sort, no cross join; the eval reduces to
+    |customers|x{k} rows before the segment rollup. Evaluated customers
+    are those with BOTH train and test activity (standard offline
+    protocol; the train-only / cold-start populations are q128's
+    dormant-prospect family).
+    Reference parity: extension — hw4 evaluates ALS with RegressionEvaluator
+    RMSE on held-out ratings; this is the ranking-metric upgrade over the
+    driver's TPC-H-ish fixtures (the reference has no ranking eval).
+    """.format(k=_Q194_K, cut=_Q194_CUT[:10], rmax=_Q194_RELMAX)
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    cust = load_table(spark, sf_dir, "customer")
+    fact = orders.join(
+        li, li.l_orderkey == orders.o_orderkey
+    ).select(
+        F.col("o_custkey").alias("c"),
+        F.col("l_partkey").alias("p"),
+        F.col("o_orderdate").alias("d"),
+    )
+    cut = F.lit(_Q194_CUT).cast("timestamp")
+    train = (
+        fact.filter(F.col("d") < cut)
+        .groupBy("c", "p")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+    )
+    predk = train.withColumn(
+        "rnk",
+        F.row_number().over(
+            Window.partitionBy("c").orderBy(F.desc("cnt"), F.asc("p"))
+        ),
+    ).filter(F.col("rnk") <= _Q194_K)
+    test = (
+        fact.filter(F.col("d") >= cut)
+        .groupBy("c", "p")
+        .agg(
+            F.least(
+                F.lit(_Q194_RELMAX), F.count("*").cast("bigint")
+            ).alias("rel")
+        )
+    )
+    gain = lambda rel: F.pow(F.lit(2.0), rel) - F.lit(1.0)  # noqa: E731
+    dcg = (
+        predk.join(test, ["c", "p"], "left")
+        .na.fill({"rel": 0})
+        .groupBy("c")
+        .agg(
+            F.sum(
+                gain(F.col("rel")) / F.log2(F.col("rnk") + F.lit(1))
+            ).alias("dcg")
+        )
+    )
+    idcg = (
+        test.withColumn(
+            "rnk",
+            F.row_number().over(
+                Window.partitionBy("c").orderBy(F.desc("rel"), F.asc("p"))
+            ),
+        )
+        .filter(F.col("rnk") <= _Q194_K)
+        .groupBy("c")
+        .agg(
+            F.sum(
+                gain(F.col("rel")) / F.log2(F.col("rnk") + F.lit(1))
+            ).alias("idcg")
+        )
+    )
+    return (
+        dcg.join(idcg, "c")
+        .join(cust, F.col("c") == F.col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").cast("bigint").alias("n_customers"),
+            F.round(F.avg(F.col("dcg") / F.col("idcg")), 6).alias(
+                "avg_ndcg"
+            ),
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # Driver-window rotation
 # --------------------------------------------------------------------------
@@ -8797,6 +9120,8 @@ _DEFERRED = [
     "q190_session_window_batch",
     "q191_portable_hll_users",
     "q192_kmv_theta_overlap",
+    "q193_hll_merge_rollup",
+    "q194_ndcg_ranking_eval",
 ]
 
 
