@@ -9002,6 +9002,235 @@ def q194_ndcg_ranking_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Reciprocal-rank-fusion geometry: the standard RRF constant and the
+# fused-list depth.  Score = Σ_r 1/(C + rank_r) over the input rankings —
+# every input is an exact integer rank, so the fused scores are
+# bit-identical cross-engine doubles.
+_RRF_C = 60
+_RRF_K = 10
+
+
+@register(
+    "q195_rrf_rank_fusion",
+    oracle=f"""
+    WITH scored AS (
+      SELECT lang, doc_id, n_chars,
+             CAST(length(list_distinct({TX.tokenize_sql('text')}))
+                  AS BIGINT) AS n_vocab
+      FROM documents
+    ), ranked AS (
+      SELECT lang, doc_id,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY n_chars DESC, doc_id) AS rank_a,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY n_vocab DESC, doc_id) AS rank_b
+      FROM scored
+    ), fused AS (
+      SELECT lang, doc_id, rank_a, rank_b,
+             1.0 / ({_RRF_C} + rank_a) + 1.0 / ({_RRF_C} + rank_b)
+               AS rrf,
+             row_number() OVER (PARTITION BY lang ORDER BY
+               1.0 / ({_RRF_C} + rank_a) + 1.0 / ({_RRF_C} + rank_b)
+                 DESC, doc_id) AS fused_rank
+      FROM ranked
+    )
+    SELECT lang, doc_id, rank_a, rank_b, fused_rank,
+           round(rrf, 6) AS rrf_score
+    FROM fused WHERE fused_rank <= {_RRF_K}
+    """,
+)
+def q195_rrf_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion — the standard trick for combining
+    heterogeneous retrieval rankings (BM25 + embeddings, or any mix)
+    without score calibration: per language, documents are ranked two
+    ways (by length, and by vocabulary size = distinct normalized
+    tokens — the q181/q187 lexical family), then fused by
+    RRF = Σ 1/({c} + rank) and the top {k} per language returned. Both
+    input ranks are exact integers with doc_id tiebreaks, so the fused
+    double scores are bit-identical in both engines and the driver
+    hash-matches the fused ORDER itself — the property that matters
+    when RRF gates what enters a retrieval index.
+
+    Scale: two windows over the same (lang) partitioning — ONE shuffle,
+    both ranks computed without rescanning (the vocabulary score is a
+    per-row higher-order-function pipeline, no explode); fusion adds no
+    shuffle because the second window reuses the partitioning. In a real
+    hybrid-search stack the two rankings arrive as (query, doc, rank)
+    tables and this is a single equi-join + window — same shape.
+    Reference parity: extension; the closest reference shape is hw3's
+    single-signal TF-IDF ranking.""".format(c=_RRF_C, k=_RRF_K)
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "lang",
+        "doc_id",
+        "n_chars",
+        F.size(F.array_distinct(TX.tokenize("text")))
+        .cast("bigint")
+        .alias("n_vocab"),
+    )
+    w = Window.partitionBy("lang")
+    ranked = scored.select(
+        "lang",
+        "doc_id",
+        F.row_number()
+        .over(w.orderBy(F.desc("n_chars"), F.asc("doc_id")))
+        .alias("rank_a"),
+        F.row_number()
+        .over(w.orderBy(F.desc("n_vocab"), F.asc("doc_id")))
+        .alias("rank_b"),
+    )
+    rrf = F.lit(1.0) / (F.lit(_RRF_C) + F.col("rank_a")) + F.lit(1.0) / (
+        F.lit(_RRF_C) + F.col("rank_b")
+    )
+    fused = ranked.withColumn("rrf", rrf).withColumn(
+        "fused_rank",
+        F.row_number().over(w.orderBy(F.desc("rrf"), F.asc("doc_id"))),
+    )
+    return fused.filter(F.col("fused_rank") <= _RRF_K).select(
+        "lang",
+        "doc_id",
+        "rank_a",
+        "rank_b",
+        "fused_rank",
+        F.round("rrf", 6).alias("rrf_score"),
+    )
+
+
+# Mergeable equi-width histogram sketch: {bins} bins over the exact
+# per-group [min, max]; quantiles read off the cumulative counts with
+# linear interpolation inside the hit bin.  Bin counts merge by ADDITION
+# (map-side combine IS the merge), giving the quantile-sketch family its
+# first full cross-engine value oracle (q162's KLL is ε-gated; q60 is
+# the exact-percentile twin).
+_HIST_BINS = 64
+_HIST_QS = (0.5, 0.95, 0.99)
+
+
+@register(
+    "q196_histogram_quantiles",
+    oracle=f"""
+    WITH st AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             min(value) AS vmin, max(value) AS vmax
+      FROM events GROUP BY event_type
+    ), b AS (
+      SELECT e.event_type,
+             CASE WHEN st.vmax = st.vmin THEN 0
+                  ELSE least({_HIST_BINS - 1},
+                             CAST(floor((e.value - st.vmin) * {_HIST_BINS}
+                                        / (st.vmax - st.vmin)) AS BIGINT))
+             END AS bin
+      FROM events e JOIN st USING (event_type)
+    ), hist AS (
+      SELECT event_type, bin, CAST(count(*) AS BIGINT) AS cnt
+      FROM b GROUP BY event_type, bin
+    ), cum AS (
+      SELECT event_type, bin, cnt,
+             CAST(sum(cnt) OVER (PARTITION BY event_type ORDER BY bin)
+                  AS BIGINT) AS cum
+      FROM hist
+    ), hit AS (
+      SELECT c.event_type, q.ql, c.bin, c.cnt, c.cum,
+             row_number() OVER (PARTITION BY c.event_type, q.ql
+                                ORDER BY c.bin) AS rn
+      FROM cum c
+      CROSS JOIN (SELECT unnest([{', '.join(map(str, _HIST_QS))}]) AS ql) q
+      JOIN st USING (event_type)
+      WHERE c.cum >= q.ql * st.n
+    )
+    SELECT h.event_type, h.ql AS quantile, st.n,
+           round(st.vmin
+                 + (h.bin + (h.ql * st.n - (h.cum - h.cnt)) / h.cnt)
+                   * (st.vmax - st.vmin) / {_HIST_BINS}, 6) AS est
+    FROM hit h JOIN st USING (event_type)
+    WHERE h.rn = 1
+    """,
+)
+def q196_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate quantiles from a MERGEABLE equi-width histogram
+    sketch — the third leg of the sketch-portability program (q168 CM
+    counts, q191/q193 HLL cardinality, here QUANTILES, the family where
+    q162's KLL could only be ε-gated): per event type, {bins} bins over
+    the exact [min, max], p50/p95/p99 read off the cumulative counts
+    with linear interpolation inside the hit bin. Bin counts are exact
+    integers that merge by ADDITION — Spark's map-side combine IS the
+    sketch merge, and per-shard histograms roll up the same way at any
+    granularity — and the interpolation is one formula over integers
+    and the two exact bounds, so DuckDB re-derives identical estimates
+    and the driver hash-matches the QUANTILE VALUES.
+
+    Scale: pass 1 is a tiny (type, min, max, n) agg; pass 2 is one
+    map-side-combinable shuffle to at most |types|x{bins} rows;
+    everything after runs on the sketch table. At 100 TB the bounds
+    pass comes free from table/file statistics (or yesterday's
+    histogram), making this effectively single-pass — the histogram is
+    what engines actually deploy when KLL/t-digest portability across
+    systems is required. Accuracy is bounded by bin width (gate in
+    tests vs the exact q60-family percentiles).
+    Reference parity: extension; the reference computes exact
+    quantiles by full sort.""".format(bins=_HIST_BINS)
+    ev = load_table(spark, sf_dir, "events")
+    st = ev.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.min("value").alias("vmin"),
+        F.max("value").alias("vmax"),
+    )
+    b = ev.join(F.broadcast(st), "event_type").select(
+        "event_type",
+        F.when(F.col("vmax") == F.col("vmin"), F.lit(0).cast("bigint"))
+        .otherwise(
+            F.least(
+                F.lit(_HIST_BINS - 1).cast("bigint"),
+                F.floor(
+                    (F.col("value") - F.col("vmin"))
+                    * F.lit(_HIST_BINS)
+                    / (F.col("vmax") - F.col("vmin"))
+                ),
+            )
+        )
+        .alias("bin"),
+    )
+    hist = b.groupBy("event_type", "bin").agg(
+        F.count("*").cast("bigint").alias("cnt")
+    )
+    cum = hist.withColumn(
+        "cum",
+        F.sum("cnt")
+        .over(
+            Window.partitionBy("event_type")
+            .orderBy("bin")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        .cast("bigint"),
+    )
+    qs = F.explode(
+        F.array(*[F.lit(float(q)) for q in _HIST_QS])
+    ).alias("ql")
+    hit = (
+        cum.select("*", qs)
+        .join(F.broadcast(st), "event_type")
+        .filter(F.col("cum") >= F.col("ql") * F.col("n"))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("event_type", "ql").orderBy("bin")
+            ),
+        )
+        .filter(F.col("rn") == 1)
+    )
+    est = F.col("vmin") + (
+        F.col("bin")
+        + (F.col("ql") * F.col("n") - (F.col("cum") - F.col("cnt")))
+        / F.col("cnt")
+    ) * (F.col("vmax") - F.col("vmin")) / F.lit(_HIST_BINS)
+    return hit.select(
+        "event_type",
+        F.col("ql").alias("quantile"),
+        "n",
+        F.round(est, 6).alias("est"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Driver-window rotation
 # --------------------------------------------------------------------------
@@ -9122,6 +9351,8 @@ _DEFERRED = [
     "q192_kmv_theta_overlap",
     "q193_hll_merge_rollup",
     "q194_ndcg_ranking_eval",
+    "q195_rrf_rank_fusion",
+    "q196_histogram_quantiles",
 ]
 
 

@@ -1638,3 +1638,102 @@ def test_q192_kmv_accuracy_and_structure(spark):
         if r["exact_inter"] > 0:
             rel = abs(r["est_inter"] - r["exact_inter"]) / r["exact_inter"]
             assert rel <= 3 * sigma, f"{r['type_a']}x{r['type_b']}: {rel:.3f}"
+
+
+def test_q193_merge_equals_single_pass(spark):
+    """Sketch mergeability: register-wise MAX over weekly shards must
+    reproduce the whole-corpus q191 estimate EXACTLY (max of per-week
+    maxima == global max per register), and the naive sum of weekly
+    estimates must over-count whenever users span weeks."""
+    from bigdatamining_graduate_spark.plans.queries import (
+        q191_portable_hll_users,
+        q193_hll_merge_rollup,
+    )
+
+    single = {
+        r["event_type"]: r["hll_estimate"]
+        for r in q191_portable_hll_users(spark, SF_SMOKE).collect()
+    }
+    merged = q193_hll_merge_rollup(spark, SF_SMOKE).collect()
+    assert len(merged) == len(single)
+    for r in merged:
+        assert r["est_merged"] == single[r["event_type"]]
+        if r["n_weeks"] > 1:
+            assert r["sum_weekly_est"] >= r["est_merged"]
+
+
+def test_q194_ndcg_bounds_and_population(spark):
+    """nDCG is a [0, 1] metric by construction (DCG <= ideal DCG); the
+    evaluated population is exactly the customers with BOTH train and
+    test activity."""
+    from bigdatamining_graduate_spark.plans.queries import (
+        _Q194_CUT,
+        q194_ndcg_ranking_eval,
+    )
+    from bigdatamining_graduate_spark.sources.catalog import load_table
+
+    rows = q194_ndcg_ranking_eval(spark, SF_SMOKE).collect()
+    assert rows, "no evaluated segments"
+    for r in rows:
+        assert 0.0 < r["avg_ndcg"] <= 1.0, r
+
+    orders = load_table(spark, SF_SMOKE, "orders")
+    cut = F.lit(_Q194_CUT).cast("timestamp")
+    train_c = orders.filter(F.col("o_orderdate") < cut).select("o_custkey")
+    test_c = orders.filter(F.col("o_orderdate") >= cut).select("o_custkey")
+    both = train_c.intersect(test_c).count()
+    assert sum(r["n_customers"] for r in rows) == both
+
+
+def test_q195_rrf_matches_python(spark):
+    """RRF scores recomputed in pure Python from the emitted integer
+    ranks must match the engine's fused scores, and fused_rank must be
+    a dense 1..k prefix per language."""
+    from bigdatamining_graduate_spark.plans.queries import (
+        _RRF_C,
+        _RRF_K,
+        q195_rrf_rank_fusion,
+    )
+
+    rows = q195_rrf_rank_fusion(spark, SF_SMOKE).collect()
+    by_lang: dict[str, list] = {}
+    for r in rows:
+        expected = 1.0 / (_RRF_C + r["rank_a"]) + 1.0 / (_RRF_C + r["rank_b"])
+        assert abs(r["rrf_score"] - round(expected, 6)) < 1e-12
+        by_lang.setdefault(r["lang"], []).append(r["fused_rank"])
+    for lang, ranks in by_lang.items():
+        assert sorted(ranks) == list(range(1, min(_RRF_K, len(ranks)) + 1)), lang
+
+
+def test_q196_histogram_quantiles_within_bin_width(spark):
+    """Histogram-sketch quantile estimates must land within one bin
+    width of the DISCRETE empirical quantile (the value at rank
+    ceil(q*n)) — the sketch's guaranteed bound: that order statistic
+    provably falls inside the hit bin, and the estimate interpolates
+    inside the same bin. (Interpolated percentile() is NOT the right
+    yardstick: across sparse tail gaps it can straddle bins.)"""
+    import math
+
+    from bigdatamining_graduate_spark.plans.queries import (
+        _HIST_BINS,
+        _HIST_QS,
+        q196_histogram_quantiles,
+    )
+    from bigdatamining_graduate_spark.sources.catalog import load_table
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    vals = {}
+    for r in ev.select("event_type", "value").collect():
+        vals.setdefault(r["event_type"], []).append(r["value"])
+    for v in vals.values():
+        v.sort()
+    bounds = {t: (v[-1] - v[0]) / _HIST_BINS for t, v in vals.items()}
+    rows = q196_histogram_quantiles(spark, SF_SMOKE).collect()
+    assert len(rows) == len(bounds) * len(_HIST_QS)
+    for r in rows:
+        v = vals[r["event_type"]]
+        k = max(1, math.ceil(r["quantile"] * len(v)))
+        exact_discrete = v[k - 1]
+        width = bounds[r["event_type"]]
+        err = abs(r["est"] - exact_discrete)
+        assert err <= width + 1e-9, (r, err, width)
