@@ -9231,6 +9231,188 @@ def q196_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Path-analysis guards: sessions longer than _Q197_MAXLEN events are
+# excluded (unbounded path strings are the classic path-explosion trap),
+# and only the _Q197_TOPK most frequent paths are returned.
+_Q197_MAXLEN = 8
+_Q197_TOPK = 20
+
+
+@register(
+    "q197_top_session_paths",
+    oracle=f"""
+    WITH gaps AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+                    OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                  IS NULL THEN 1
+                  WHEN epoch_us(ts) - lag(epoch_us(ts))
+                    OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                    > {_SESSION_GAP_S} * 1000000 THEN 1
+                  ELSE 0 END AS new_s
+      FROM events
+    ), sess AS (
+      SELECT user_id, ts, event_id, event_type,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND CURRENT ROW) AS sid
+      FROM gaps
+    ), paths AS (
+      SELECT user_id, sid,
+             string_agg(event_type, '>' ORDER BY ts, event_id) AS path,
+             count(*) AS n
+      FROM sess GROUP BY user_id, sid
+    )
+    SELECT path,
+           CAST(count(*) AS BIGINT) AS n_sessions,
+           count(DISTINCT user_id) AS n_users
+    FROM paths WHERE n <= {_Q197_MAXLEN}
+    GROUP BY path
+    ORDER BY n_sessions DESC, path
+    LIMIT {_Q197_TOPK}
+    """,
+)
+def q197_top_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral path analysis: the q18 gaps-and-islands sessions,
+    materialized as ORDERED event-type path strings ('view>click>…')
+    and rolled up to the {k} most frequent journeys with their reach
+    (distinct users). The ordered per-session aggregation is the
+    pattern Spark lacks a direct ``string_agg(... ORDER BY)`` for —
+    expressed as sort_array(collect_list(struct(ts, event_id, type)))
+    → transform → array_join, which stays whole-stage-codegen and
+    needs NO per-session window sort beyond the sessionization window
+    itself.
+
+    Scale: ONE shuffle on user_id serves the lag window, the running
+    session-id sum, and the per-session collect (same partitioning,
+    no re-exchange); the path rollup shuffles at most one row per
+    session, and the top-{k} is TakeOrderedAndProject (no global
+    window). Sessions longer than {maxlen} events are excluded — the
+    documented path-explosion guard every production path-analysis
+    applies (unbounded concatenated paths grow without limit; the
+    long-session population is q18's/q190's aggregate family).
+    Reference parity: extension; the reference has no ordered-path
+    aggregation (hw2's rollups are orderless counts).""".format(
+        k=_Q197_TOPK, maxlen=_Q197_MAXLEN
+    )
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)
+    new_s = F.when(
+        gap.isNull() | (gap > _SESSION_GAP_S * 1_000_000), 1
+    ).otherwise(0)
+    sess = ev.withColumn(
+        "sid",
+        F.sum(new_s).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    paths = sess.groupBy("user_id", "sid").agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(
+                    F.collect_list(F.struct("ts", "event_id", "event_type"))
+                ),
+                lambda x: x["event_type"],
+            ),
+            ">",
+        ).alias("path"),
+        F.count("*").alias("n"),
+    )
+    return (
+        paths.filter(F.col("n") <= _Q197_MAXLEN)
+        .groupBy("path")
+        .agg(
+            F.count("*").cast("bigint").alias("n_sessions"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .orderBy(F.desc("n_sessions"), F.asc("path"))
+        .limit(_Q197_TOPK)
+    )
+
+
+# Reconciliation-checksum geometry: rows hash into _CHK_BUCKETS digests;
+# per-row contribution is reduced mod 2^30 so a per-bucket BIGINT sum
+# cannot overflow until ~2^33 rows per bucket (~half a trillion rows
+# total) in EITHER engine (DuckDB would promote to HUGEINT — the SCALE.md
+# §9 trap — hence the explicit BIGINT cast on the sum).
+_CHK_BUCKETS = 64
+_CHK_MOD = 1 << 30
+
+
+@register(
+    "q198_table_checksums",
+    oracle=f"""
+    WITH canon AS (
+      SELECT concat_ws('|',
+               cast(o_orderkey as varchar),
+               cast(o_custkey as varchar),
+               o_orderstatus,
+               cast(cast(round(o_totalprice * 100) as bigint) as varchar),
+               cast(datediff('day', DATE '1970-01-01',
+                             cast(o_orderdate as date)) as varchar),
+               o_orderpriority) AS row_str
+      FROM orders
+    ), hashed AS (
+      SELECT {HH.portable_hash64_sql('row_str')} AS h FROM canon
+    )
+    SELECT h % {_CHK_BUCKETS} AS bucket,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(h % {_CHK_MOD}) AS BIGINT) AS checksum,
+           min(h) AS h_min, max(h) AS h_max
+    FROM hashed
+    GROUP BY bucket
+    """,
+)
+def q198_table_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-system table reconciliation digests — the operational tool
+    every 100 TB migration/replication needs: each row is canonicalized
+    to a typed string (doubles as exact integer cents, timestamps as
+    epoch days — never engine-formatted floats or timestamps), hashed with the
+    portable md5 hash, and folded into {b} bucket digests (row count,
+    mod-2^30 hash sum, min/max hash). Two copies of the table — on
+    different engines, clusters, or clouds — agree iff the {b} digests
+    agree; a mismatch localizes to 1/{b} of the data for drill-down
+    (recurse with a finer bucket key). The oracle IS the use case: the
+    driver hash-match proves DuckDB derives identical digests from its
+    copy of the table.
+
+    Scale: one map-side-combinable agg to {b} rows — no window, no
+    join; the digest comparison moves {b} rows instead of the table.
+    Order-independence of the sum makes the digest partitioning-proof
+    (the property XOR/sum digests are chosen for); the mod-2^30
+    row-contribution keeps the BIGINT sum overflow-free to ~2^33 rows
+    per bucket in both engines.
+    Reference parity: extension; the reference verifies copies by
+    recounting rows (``hw1``-style full rescans).""".format(b=_CHK_BUCKETS)
+    od = load_table(spark, sf_dir, "orders")
+    row_str = F.concat_ws(
+        "|",
+        F.col("o_orderkey").cast("string"),
+        F.col("o_custkey").cast("string"),
+        F.col("o_orderstatus"),
+        F.round(F.col("o_totalprice") * 100)
+        .cast("bigint")
+        .cast("string"),
+        F.datediff(
+            F.col("o_orderdate").cast("date"),
+            F.lit("1970-01-01").cast("date"),
+        ).cast("string"),
+        F.col("o_orderpriority"),
+    )
+    h = HH.portable_hash64(row_str)
+    return (
+        od.select(h.alias("h"))
+        .groupBy((F.col("h") % _CHK_BUCKETS).alias("bucket"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.sum(F.col("h") % _CHK_MOD).cast("bigint").alias("checksum"),
+            F.min("h").alias("h_min"),
+            F.max("h").alias("h_max"),
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # Driver-window rotation
 # --------------------------------------------------------------------------
@@ -9353,6 +9535,8 @@ _DEFERRED = [
     "q194_ndcg_ranking_eval",
     "q195_rrf_rank_fusion",
     "q196_histogram_quantiles",
+    "q197_top_session_paths",
+    "q198_table_checksums",
 ]
 
 
