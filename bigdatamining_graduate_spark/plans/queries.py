@@ -9413,6 +9413,215 @@ def q198_table_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q199_time_weighted_avg",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, value, epoch_us(ts) AS t_us,
+             lead(epoch_us(ts)) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS next_us
+      FROM events
+    )
+    SELECT user_id,
+           CAST(count(*) + 1 AS BIGINT) AS n_events,
+           CAST(max(next_us) - min(t_us) AS BIGINT) AS span_us,
+           round(sum(value * (next_us - t_us)) / sum(next_us - t_us), 6)
+             AS twap,
+           round(sum(value) / count(*), 6) AS plain_avg
+    FROM seq
+    WHERE next_us IS NOT NULL
+    GROUP BY user_id
+    """,
+)
+def q199_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average (TWAP-style) of the event ``value`` per
+    user — the left-continuous step-function integral every
+    finance/IoT/metering pipeline needs and plain ``avg`` silently gets
+    wrong when observations are irregular: each value is weighted by
+    the INTEGER microsecond interval until the next observation
+    (``lead`` over the user timeline; the last point has no holding
+    interval), so the weights are exact cross-engine and only the
+    final weighted-sum ratio is a float. The unweighted mean of the
+    same weighted points rides along — the gap between the two columns
+    is precisely the sampling bias TWAP removes.
+
+    Scale: ONE shuffle on user_id serves the lead window and the
+    per-user aggregate (same partitioning, no re-exchange); output is
+    one row per user with >= 2 events. Sliced/windowed variants (TWAP
+    per day) only change the window's partition keys.
+    Reference parity: extension; the reference's hw2 means are
+    count-weighted only."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        "value",
+        F.unix_micros("ts").alias("t_us"),
+        F.lead(F.unix_micros("ts")).over(w).alias("next_us"),
+    ).filter(F.col("next_us").isNotNull())
+    dt = F.col("next_us") - F.col("t_us")
+    return seq.groupBy("user_id").agg(
+        (F.count("*") + F.lit(1)).cast("bigint").alias("n_events"),
+        (F.max("next_us") - F.min("t_us")).cast("bigint").alias("span_us"),
+        F.round(F.sum(F.col("value") * dt) / F.sum(dt), 6).alias("twap"),
+        F.round(F.sum("value") / F.count("*"), 6).alias("plain_avg"),
+    )
+
+
+# Join-key skew diagnostics: per fact-side key, the count-of-counts
+# (cnt -> how many keys occur cnt times) is the SCALE-CORRECT basis for
+# the whole report — Gini and top-k coverage computed from runs of equal
+# counts, so the only window runs over the tiny count-of-counts table
+# (|distinct counts| rows), never over the keys themselves.
+_Q200_KEYS = (
+    ("lineitem.l_partkey", "lineitem", "l_partkey"),
+    ("lineitem.l_suppkey", "lineitem", "l_suppkey"),
+    ("orders.o_custkey", "orders", "o_custkey"),
+    ("events.user_id", "events", "user_id"),
+)
+_Q200_TOPK = 10
+
+
+def _q200_key_sql(name: str, table: str, col: str) -> str:
+    return f"""
+    SELECT '{name}' AS key_name, n_keys, n_rows, max_cnt,
+           round(CAST(2 * s_rank - (n_keys + 1) * n_rows AS DOUBLE)
+                 / (CAST(n_keys AS DOUBLE) * n_rows), 6) AS gini,
+           round(CAST(max_cnt AS DOUBLE) / n_rows, 6) AS top1_share,
+           round(CAST(topk_rows AS DOUBLE) / n_rows, 6) AS topk_share
+    FROM (
+      SELECT CAST(sum(freq) AS BIGINT) AS n_keys,
+             CAST(sum(cnt * freq) AS BIGINT) AS n_rows,
+             max(cnt) AS max_cnt,
+             CAST(sum(cnt * (freq * (cum_asc - freq + 1)
+                             + (freq * (freq - 1)) // 2)) AS BIGINT)
+               AS s_rank,
+             CAST(sum(cnt * least(freq,
+                                  greatest(0, {_Q200_TOPK}
+                                              - (cum_desc - freq))))
+                  AS BIGINT) AS topk_rows
+      FROM (
+        SELECT cnt, freq,
+               CAST(sum(freq) OVER (ORDER BY cnt) AS BIGINT) AS cum_asc,
+               CAST(sum(freq) OVER (ORDER BY cnt DESC) AS BIGINT)
+                 AS cum_desc
+        FROM (
+          SELECT cnt, CAST(count(*) AS BIGINT) AS freq
+          FROM (
+            SELECT {col}, CAST(count(*) AS BIGINT) AS cnt
+            FROM {table} GROUP BY {col}
+          ) GROUP BY cnt
+        )
+      )
+    )"""
+
+
+@register(
+    "q200_join_key_skew_report",
+    oracle="\nUNION ALL\n".join(
+        _q200_key_sql(*k) for k in _Q200_KEYS
+    ),
+)
+def q200_join_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnostics — the report you run BEFORE sizing a
+    100 TB shuffle: for each fact-side join key, cardinality, the
+    heaviest key's share, top-{k} coverage, and the Gini coefficient of
+    the key distribution (0 = uniform, →1 = one key owns the table; the
+    direct input to the salt-or-AQE decision the engine's skew tests
+    pin). The whole report is computed from the COUNT-OF-COUNTS table
+    (cnt → #keys with that cnt): Gini's rank sum collapses over runs of
+    equal counts to Σ cnt·(freq·first_rank + C(freq,2)) and top-{k}
+    coverage to a capped prefix over descending counts — all exact
+    integers until the final divisions, so the driver hash-matches the
+    skew numbers themselves. This is the scale-correct formulation: the
+    only windows run over |distinct count values| rows (tiny, heavy-
+    tailed), never a global sort of the keys.
+
+    Scale: per key, one map-side-combinable count agg + one tiny
+    count-of-counts agg; the single-partition window is over the
+    count-of-counts table only (bounded by max multiplicity, not key
+    cardinality). The rank-sum terms stay inside int64 up to ~10^9
+    keys x typical multiplicities; beyond that promote s_rank to
+    decimal — documented, not silently wrong (DuckDB would error on
+    overflow, Spark wraps; the fixture peak is ~10^10).
+    Reference parity: extension; the reference never measures skew
+    (its joins are driver-side pandas merges).""".format(k=_Q200_TOPK)
+    parts = []
+    for name, table, col in _Q200_KEYS:
+        counts = (
+            load_table(spark, sf_dir, table)
+            .groupBy(col)
+            .agg(F.count("*").cast("bigint").alias("cnt"))
+        )
+        cc = counts.groupBy("cnt").agg(
+            F.count("*").cast("bigint").alias("freq")
+        )
+        w_asc = Window.orderBy("cnt").rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        w_desc = Window.orderBy(F.desc("cnt")).rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        ranked = cc.select(
+            "cnt",
+            "freq",
+            F.sum("freq").over(w_asc).cast("bigint").alias("cum_asc"),
+            F.sum("freq").over(w_desc).cast("bigint").alias("cum_desc"),
+        )
+        agg = ranked.agg(
+            F.sum("freq").cast("bigint").alias("n_keys"),
+            F.sum(F.col("cnt") * F.col("freq")).cast("bigint").alias("n_rows"),
+            F.max("cnt").alias("max_cnt"),
+            F.sum(
+                F.col("cnt")
+                * (
+                    F.col("freq") * (F.col("cum_asc") - F.col("freq") + 1)
+                    + F.expr("(freq * (freq - 1)) div 2")
+                )
+            )
+            .cast("bigint")
+            .alias("s_rank"),
+            F.sum(
+                F.col("cnt")
+                * F.least(
+                    F.col("freq"),
+                    F.greatest(
+                        F.lit(0).cast("bigint"),
+                        F.lit(_Q200_TOPK) - (F.col("cum_desc") - F.col("freq")),
+                    ),
+                )
+            )
+            .cast("bigint")
+            .alias("topk_rows"),
+        )
+        parts.append(
+            agg.select(
+                F.lit(name).alias("key_name"),
+                "n_keys",
+                "n_rows",
+                "max_cnt",
+                F.round(
+                    (
+                        F.lit(2) * F.col("s_rank")
+                        - (F.col("n_keys") + F.lit(1)) * F.col("n_rows")
+                    ).cast("double")
+                    / (F.col("n_keys").cast("double") * F.col("n_rows")),
+                    6,
+                ).alias("gini"),
+                F.round(
+                    F.col("max_cnt").cast("double") / F.col("n_rows"), 6
+                ).alias("top1_share"),
+                F.round(
+                    F.col("topk_rows").cast("double") / F.col("n_rows"), 6
+                ).alias("topk_share"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 # --------------------------------------------------------------------------
 # Driver-window rotation
 # --------------------------------------------------------------------------
@@ -9537,6 +9746,8 @@ _DEFERRED = [
     "q196_histogram_quantiles",
     "q197_top_session_paths",
     "q198_table_checksums",
+    "q199_time_weighted_avg",
+    "q200_join_key_skew_report",
 ]
 
 

@@ -1737,3 +1737,69 @@ def test_q196_histogram_quantiles_within_bin_width(spark):
         width = bounds[r["event_type"]]
         err = abs(r["est"] - exact_discrete)
         assert err <= width + 1e-9, (r, err, width)
+
+
+def test_q199_twap_matches_python(spark):
+    """TWAP recomputed in pure Python from the raw event stream must
+    match the engine for every user, and must differ from plain_avg
+    somewhere (the sampling bias the operator exists to remove)."""
+    from bigdatamining_graduate_spark.plans.queries import (
+        q199_time_weighted_avg,
+    )
+    from bigdatamining_graduate_spark.sources.catalog import load_table
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    per_user: dict[int, list] = {}
+    for r in ev.select("user_id", "ts", "event_id", "value").collect():
+        per_user.setdefault(r["user_id"], []).append(
+            (r["ts"], r["event_id"], r["value"])
+        )
+    expected = {}
+    for u, rows in per_user.items():
+        rows.sort()
+        if len(rows) < 2:
+            continue
+        num = den = 0.0
+        for (t0, _, v), (t1, _, _) in zip(rows, rows[1:]):
+            dt = (t1 - t0).total_seconds() * 1e6
+            num += v * dt
+            den += dt
+        expected[u] = num / den
+    got = q199_time_weighted_avg(spark, SF_SMOKE).collect()
+    assert {r["user_id"] for r in got} == set(expected)
+    diffs = 0
+    for r in got:
+        assert abs(r["twap"] - expected[r["user_id"]]) < 1e-4, r
+        if abs(r["twap"] - r["plain_avg"]) > 1e-6:
+            diffs += 1
+    assert diffs > 0
+
+
+def test_q200_gini_matches_python(spark):
+    """The run-collapsed count-of-counts Gini must equal the textbook
+    sorted-ranks formula computed in pure Python on the raw counts."""
+    from bigdatamining_graduate_spark.plans.queries import (
+        _Q200_KEYS,
+        _Q200_TOPK,
+        q200_join_key_skew_report,
+    )
+    from bigdatamining_graduate_spark.sources.catalog import load_table
+
+    got = {r["key_name"]: r for r in q200_join_key_skew_report(spark, SF_SMOKE).collect()}
+    assert set(got) == {k[0] for k in _Q200_KEYS}
+    for name, table, col in _Q200_KEYS:
+        counts = sorted(
+            r["cnt"]
+            for r in load_table(spark, SF_SMOKE, table)
+            .groupBy(col)
+            .agg(F.count("*").alias("cnt"))
+            .collect()
+        )
+        n, total = len(counts), sum(counts)
+        s_rank = sum(i * x for i, x in enumerate(counts, start=1))
+        gini = (2 * s_rank - (n + 1) * total) / (n * total)
+        r = got[name]
+        assert r["n_keys"] == n and r["n_rows"] == total
+        assert abs(r["gini"] - round(gini, 6)) < 1e-9, (name, r["gini"], gini)
+        topk = sum(sorted(counts, reverse=True)[:_Q200_TOPK])
+        assert abs(r["topk_share"] - round(topk / total, 6)) < 1e-9
