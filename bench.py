@@ -87,6 +87,12 @@ HEADLINE = [
     "q189_snapshot_diff",       # two-snapshot full-outer change data feed
     "q190_session_window_batch",  # native session_window aggregation
     "q191_portable_hll_users",  # portable 512-register HLL build + estimate
+    "q193_hll_merge_rollup",    # weekly HLL shards + register-max merge
+    "q194_ndcg_ranking_eval",   # graded nDCG@10 offline ranking metric
+    "q196_histogram_quantiles",  # mergeable equi-width histogram sketch
+    "q197_top_session_paths",   # ordered per-session path strings + top-k
+    "q198_table_checksums",     # bucketed reconciliation digests
+    "q200_join_key_skew_report",  # count-of-counts Gini skew diagnostics
 ]
 
 

@@ -133,3 +133,22 @@ def test_kll_quantiles_epsilon_at_10x(spark, synth_dir):
 
 def test_theta_overlap_epsilon_at_10x(spark, synth_dir):
     check_theta_accuracy(spark, synth_dir)
+
+
+#: round-6 portable-sketch + ops-diagnostics layer at 10x — q193's
+#: register-max merge must keep hash-matching as weekly shard count and
+#: per-register load grow; q196's bin counts merge by addition across
+#: 10x the partitions; q198's reconciliation digests are the operator
+#: whose WHOLE purpose is cross-copy agreement at scale; q200's
+#: count-of-counts Gini must stay exact as key multiplicities shift
+SKETCH_OPS_R6 = [
+    "q193_hll_merge_rollup",
+    "q196_histogram_quantiles",
+    "q198_table_checksums",
+    "q200_join_key_skew_report",
+]
+
+
+@pytest.mark.parametrize("name", SKETCH_OPS_R6)
+def test_sketch_ops_hash_match_at_10x(spark, synth_dir, name):
+    assert_matches(QUERIES[name](spark, synth_dir), ORACLE[name], synth_dir)

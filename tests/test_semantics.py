@@ -1803,3 +1803,77 @@ def test_q200_gini_matches_python(spark):
         assert abs(r["gini"] - round(gini, 6)) < 1e-9, (name, r["gini"], gini)
         topk = sum(sorted(counts, reverse=True)[:_Q200_TOPK])
         assert abs(r["topk_share"] - round(topk / total, 6)) < 1e-9
+
+
+def test_q201_rolling_estimates_within_3sigma(spark):
+    """Every rolling 7-day HLL estimate must be within 3σ of the exact
+    rolling distinct count recomputed in pure Python from raw events."""
+    from collections import defaultdict
+
+    from bigdatamining_graduate_spark.plans.queries import (
+        _HLL_M,
+        _Q201_WIN_DAYS,
+        q201_hll_sliding_distinct,
+    )
+    from bigdatamining_graduate_spark.sources.catalog import load_table
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    byday: dict = defaultdict(set)
+    for r in ev.select(
+        "event_type",
+        F.datediff(
+            F.col("ts").cast("date"), F.lit("1970-01-01").cast("date")
+        ).alias("d"),
+        "user_id",
+    ).collect():
+        byday[(r["event_type"], r["d"])].add(r["user_id"])
+    sigma = 1.04 / (_HLL_M ** 0.5)
+    rows = q201_hll_sliding_distinct(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        exact = len(
+            set().union(
+                *[
+                    byday.get((r["event_type"], d), set())
+                    for d in range(
+                        r["day_no"] - (_Q201_WIN_DAYS - 1), r["day_no"] + 1
+                    )
+                ]
+            )
+        )
+        if exact == 0:
+            continue
+        rel = abs(r["rolling7_estimate"] - exact) / exact
+        assert rel <= 3 * sigma, (r, exact, rel)
+
+
+def test_q202_weighted_median_matches_python(spark):
+    """Weighted and unweighted medians recomputed in pure Python from
+    the raw rows must match the engine's distinct-price formulation."""
+    from bigdatamining_graduate_spark.plans.queries import q202_weighted_median
+    from bigdatamining_graduate_spark.sources.catalog import load_table
+
+    li = load_table(spark, SF_SMOKE, "lineitem")
+    raw: dict = {}
+    for r in li.select(
+        "l_returnflag", "l_extendedprice", "l_quantity"
+    ).collect():
+        raw.setdefault(r["l_returnflag"], []).append(
+            (r["l_extendedprice"], int(r["l_quantity"]))
+        )
+
+    def wmedian(pairs, weighted):
+        pairs = sorted(pairs)
+        total = sum((w if weighted else 1) for _, w in pairs)
+        cum = 0
+        for p, w in pairs:
+            cum += w if weighted else 1
+            if 2 * cum >= total:
+                return p
+
+    rows = q202_weighted_median(spark, SF_SMOKE).collect()
+    assert {r["flag"] for r in rows} == set(raw)
+    for r in rows:
+        assert r["weighted_median_price"] == wmedian(raw[r["flag"]], True)
+        assert r["unweighted_median_price"] == wmedian(raw[r["flag"]], False)
+        assert r["total_weight"] == sum(w for _, w in raw[r["flag"]])
