@@ -9846,6 +9846,250 @@ def q202_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Incremental-maintenance cutoff: the "already materialized" base covers
+# orders strictly before this day; the delta is everything after.
+_Q203_CUT = "2000-01-01 00:00:00"
+
+
+@register(
+    "q203_incremental_agg_maintenance",
+    oracle=f"""
+    WITH fact AS (
+      SELECT n.n_name, o.o_orderdate, o.o_totalprice
+      FROM orders o
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+    ), base AS (
+      SELECT n_name, CAST(count(*) AS BIGINT) AS cnt,
+             cast(sum(cast(o_totalprice as decimal(20,2)))
+                  as decimal(30,2)) AS rev
+      FROM fact WHERE o_orderdate < TIMESTAMP '{_Q203_CUT}'
+      GROUP BY n_name
+    ), delta AS (
+      SELECT n_name, CAST(count(*) AS BIGINT) AS cnt,
+             cast(sum(cast(o_totalprice as decimal(20,2)))
+                  as decimal(30,2)) AS rev
+      FROM fact WHERE o_orderdate >= TIMESTAMP '{_Q203_CUT}'
+      GROUP BY n_name
+    ), merged AS (
+      SELECT n_name, CAST(sum(cnt) AS BIGINT) AS merged_orders,
+             cast(sum(rev) as double) AS merged_rev
+      FROM (SELECT * FROM base UNION ALL SELECT * FROM delta)
+      GROUP BY n_name
+    ), full_agg AS (
+      SELECT n_name, CAST(count(*) AS BIGINT) AS full_orders,
+             cast(sum(cast(o_totalprice as decimal(20,2))) as double)
+               AS full_rev
+      FROM fact GROUP BY n_name
+    )
+    SELECT m.n_name, f.full_orders, m.merged_orders,
+           f.full_rev, m.merged_rev
+    FROM merged m JOIN full_agg f USING (n_name)
+    """,
+)
+def q203_incremental_agg_maintenance(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Incremental aggregate maintenance — the algebraic property every
+    100 TB ETL leans on: a materialized per-nation revenue aggregate
+    over the pre-{cut} history plus a delta aggregate over the new
+    partition, RE-AGGREGATED (sum of partial sums, sum of partial
+    counts), must equal the full recompute exactly. Both paths are
+    emitted side-by-side and the driver hash-match proves
+    merged == full in both engines — the proof that the partial-agg
+    state (count + exact-decimal sum) is sufficient, i.e. the nightly
+    job can fold ONE new partition into yesterday's aggregate table
+    instead of rescanning years of history. Decimal partials make the
+    re-aggregation order-independent (double partials would not
+    commute bit-exactly — SURVEY §7.4 risk 7, the reason this pattern
+    needs exact accumulators at scale).
+
+    Scale: the base/delta split is partition pruning on the date key
+    (at real scale the base agg is a stored table, not recomputed —
+    here both sides are derived so the equality is checkable); the
+    merge shuffles |nations| partial rows. AVG/stddev maintain the
+    same way via (sum, count, sum-of-squares) partials.
+    Reference parity: extension; the reference recomputes hw2's
+    rollups from raw rows every run.""".format(cut=_Q203_CUT[:10])
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    fact = (
+        orders.join(cust, cust.c_custkey == orders.o_custkey)
+        .join(F.broadcast(nation), nation.n_nationkey == cust.c_nationkey)
+        .select("n_name", "o_orderdate", "o_totalprice")
+    )
+    cut = F.lit(_Q203_CUT).cast("timestamp")
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy("n_name").agg(
+            F.count("*").cast("bigint").alias("cnt"),
+            F.sum(N.dec(F.col("o_totalprice")))
+            .cast("decimal(30,2)")
+            .alias("rev"),
+        )
+
+    base = partial(fact.filter(F.col("o_orderdate") < cut))
+    delta = partial(fact.filter(F.col("o_orderdate") >= cut))
+    merged = (
+        base.unionByName(delta)
+        .groupBy("n_name")
+        .agg(
+            F.sum("cnt").cast("bigint").alias("merged_orders"),
+            F.sum("rev").cast("double").alias("merged_rev"),
+        )
+    )
+    full_agg = fact.groupBy("n_name").agg(
+        F.count("*").cast("bigint").alias("full_orders"),
+        N.exact_sum(F.col("o_totalprice")).alias("full_rev"),
+    )
+    return merged.join(full_agg, "n_name").select(
+        "n_name", "full_orders", "merged_orders", "full_rev", "merged_rev"
+    )
+
+
+# Join-cardinality estimation from key statistics: the self-join (or
+# fact-fact equi-join) size is Σ cnt² — computable exactly from the
+# count-of-counts table with NO join; the estimators below are what a
+# cost-based optimizer derives from (row count, NDV) and from
+# (heavy-hitter counts + uniform tail).
+_Q204_KEYS = (
+    ("lineitem.l_partkey", "lineitem", "l_partkey"),
+    ("orders.o_custkey", "orders", "o_custkey"),
+    ("events.user_id", "events", "user_id"),
+)
+_Q204_TOPK = 10
+
+
+def _q204_key_sql(name: str, table: str, col: str) -> str:
+    return f"""
+    SELECT '{name}' AS key_name, n_keys, n_rows, exact_pairs,
+           round(CAST(n_rows AS DOUBLE) * n_rows / n_keys, 6)
+             AS est_uniform,
+           round(topk_pairs + CASE WHEN n_keys > topk_keys
+                 THEN CAST(n_rows - topk_rows AS DOUBLE)
+                      * (n_rows - topk_rows) / (n_keys - topk_keys)
+                 ELSE 0 END, 6) AS est_skew_aware
+    FROM (
+      SELECT CAST(sum(freq) AS BIGINT) AS n_keys,
+             CAST(sum(cnt * freq) AS BIGINT) AS n_rows,
+             CAST(sum(cnt * cnt * freq) AS BIGINT) AS exact_pairs,
+             CAST(sum(least(freq, greatest(0, {_Q204_TOPK}
+                                              - (cum_desc - freq))))
+                  AS BIGINT) AS topk_keys,
+             CAST(sum(cnt * least(freq, greatest(0, {_Q204_TOPK}
+                                                    - (cum_desc - freq))))
+                  AS BIGINT) AS topk_rows,
+             CAST(sum(cnt * cnt * least(freq, greatest(0, {_Q204_TOPK}
+                                                  - (cum_desc - freq))))
+                  AS BIGINT) AS topk_pairs
+      FROM (
+        SELECT cnt, freq,
+               CAST(sum(freq) OVER (ORDER BY cnt DESC) AS BIGINT)
+                 AS cum_desc
+        FROM (
+          SELECT cnt, CAST(count(*) AS BIGINT) AS freq
+          FROM (
+            SELECT {col}, CAST(count(*) AS BIGINT) AS cnt
+            FROM {table} GROUP BY {col}
+          ) GROUP BY cnt
+        )
+      )
+    )"""
+
+
+@register(
+    "q204_join_size_estimate",
+    oracle="\nUNION ALL\n".join(_q204_key_sql(*k) for k in _Q204_KEYS),
+)
+def q204_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-cardinality estimation — the number a cost-based optimizer
+    must get right before choosing broadcast vs shuffle vs salting at
+    100 TB: for each fact-side key, the EXACT self-equi-join size
+    Σ cnt² (computed from the count-of-counts table with NO join — the
+    q200 collapse again), the textbook uniform estimate |R|²/NDV, and
+    the skew-aware estimate (top-{k} heavy keys exact + uniform tail)
+    that production optimizers actually use. All three are exact
+    integers / single rational divisions, so the driver hash-matches
+    the ESTIMATES and their gap — the skew-aware column converging to
+    exact while uniform underestimates is the whole cardinality-
+    estimation story in one table.
+
+    Scale: per key one map-side-combinable count agg, one tiny
+    count-of-counts agg, one window over |distinct count values| rows.
+    The same statistics power q200's salt-or-AQE decision; a two-table
+    join generalizes by joining the two cc tables on cnt boundaries
+    (Σ cntA·cntB over shared keys).
+    Reference parity: extension; the reference's joins are unsized
+    pandas merges.""".format(k=_Q204_TOPK)
+    parts = []
+    for name, table, col in _Q204_KEYS:
+        counts = (
+            load_table(spark, sf_dir, table)
+            .groupBy(col)
+            .agg(F.count("*").cast("bigint").alias("cnt"))
+        )
+        cc = counts.groupBy("cnt").agg(
+            F.count("*").cast("bigint").alias("freq")
+        )
+        w_desc = Window.orderBy(F.desc("cnt")).rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        ranked = cc.select(
+            "cnt",
+            "freq",
+            F.sum("freq").over(w_desc).cast("bigint").alias("cum_desc"),
+        )
+        cap = F.least(
+            F.col("freq"),
+            F.greatest(
+                F.lit(0).cast("bigint"),
+                F.lit(_Q204_TOPK) - (F.col("cum_desc") - F.col("freq")),
+            ),
+        )
+        agg = ranked.agg(
+            F.sum("freq").cast("bigint").alias("n_keys"),
+            F.sum(F.col("cnt") * F.col("freq"))
+            .cast("bigint")
+            .alias("n_rows"),
+            F.sum(F.col("cnt") * F.col("cnt") * F.col("freq"))
+            .cast("bigint")
+            .alias("exact_pairs"),
+            F.sum(cap).cast("bigint").alias("topk_keys"),
+            F.sum(F.col("cnt") * cap).cast("bigint").alias("topk_rows"),
+            F.sum(F.col("cnt") * F.col("cnt") * cap)
+            .cast("bigint")
+            .alias("topk_pairs"),
+        )
+        rest = F.when(
+            F.col("n_keys") > F.col("topk_keys"),
+            (F.col("n_rows") - F.col("topk_rows")).cast("double")
+            * (F.col("n_rows") - F.col("topk_rows"))
+            / (F.col("n_keys") - F.col("topk_keys")),
+        ).otherwise(F.lit(0.0))
+        parts.append(
+            agg.select(
+                F.lit(name).alias("key_name"),
+                "n_keys",
+                "n_rows",
+                "exact_pairs",
+                F.round(
+                    F.col("n_rows").cast("double")
+                    * F.col("n_rows")
+                    / F.col("n_keys"),
+                    6,
+                ).alias("est_uniform"),
+                F.round(F.col("topk_pairs") + rest, 6).alias(
+                    "est_skew_aware"
+                ),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 # --------------------------------------------------------------------------
 # Driver-window rotation
 # --------------------------------------------------------------------------
@@ -9975,6 +10219,8 @@ _DEFERRED = [
     "q200_join_key_skew_report",
     "q201_hll_sliding_distinct",
     "q202_weighted_median",
+    "q203_incremental_agg_maintenance",
+    "q204_join_size_estimate",
 ]
 
 

@@ -1877,3 +1877,42 @@ def test_q202_weighted_median_matches_python(spark):
         assert r["weighted_median_price"] == wmedian(raw[r["flag"]], True)
         assert r["unweighted_median_price"] == wmedian(raw[r["flag"]], False)
         assert r["total_weight"] == sum(w for _, w in raw[r["flag"]])
+
+
+def test_q203_merged_equals_full(spark):
+    """The partial-agg merge must equal the full recompute exactly in
+    BOTH columns pairs — the algebraic-maintenance property itself."""
+    from bigdatamining_graduate_spark.plans.queries import (
+        q203_incremental_agg_maintenance,
+    )
+
+    rows = q203_incremental_agg_maintenance(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert r["merged_orders"] == r["full_orders"], r
+        assert r["merged_rev"] == r["full_rev"], r
+
+
+def test_q204_estimator_ordering_and_exact_pairs(spark):
+    """Cauchy-Schwarz guarantees est_uniform <= est_skew_aware <=
+    exact_pairs (uniformity underestimates Σcnt² on any split); the
+    exact pair count must match a pure-Python recompute."""
+    from bigdatamining_graduate_spark.plans.queries import (
+        _Q204_KEYS,
+        q204_join_size_estimate,
+    )
+    from bigdatamining_graduate_spark.sources.catalog import load_table
+
+    got = {r["key_name"]: r for r in q204_join_size_estimate(spark, SF_SMOKE).collect()}
+    for name, table, col in _Q204_KEYS:
+        counts = [
+            r["cnt"]
+            for r in load_table(spark, SF_SMOKE, table)
+            .groupBy(col)
+            .agg(F.count("*").alias("cnt"))
+            .collect()
+        ]
+        r = got[name]
+        assert r["exact_pairs"] == sum(c * c for c in counts), name
+        assert r["est_uniform"] <= r["est_skew_aware"] + 1e-6, r
+        assert r["est_skew_aware"] <= r["exact_pairs"] + 1e-6, r
