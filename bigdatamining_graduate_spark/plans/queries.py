@@ -10090,6 +10090,354 @@ def q204_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+_Q205_PAIRS = (
+    ("events.user_id x orders.o_custkey", "events", "user_id",
+     "orders", "o_custkey"),
+    ("lineitem.l_orderkey x orders.o_orderkey", "lineitem", "l_orderkey",
+     "orders", "o_orderkey"),
+)
+
+
+def _q205_pair_sql(
+    name: str, ta: str, ka: str, tb: str, kb: str
+) -> str:
+    return f"""
+    SELECT '{name}' AS pair_name,
+           (SELECT CAST(count(*) AS BIGINT) FROM
+             (SELECT DISTINCT {ka} FROM {ta})) AS ndv_a,
+           (SELECT CAST(count(*) AS BIGINT) FROM
+             (SELECT DISTINCT {kb} FROM {tb})) AS ndv_b,
+           (SELECT CAST(count(*) AS BIGINT) FROM {ta}) AS rows_a,
+           (SELECT CAST(count(*) AS BIGINT) FROM {tb}) AS rows_b,
+           (SELECT CAST(count(*) AS BIGINT) FROM (
+              SELECT a.k FROM (SELECT DISTINCT {ka} AS k FROM {ta}) a
+              JOIN (SELECT DISTINCT {kb} AS k FROM {tb}) b ON a.k = b.k))
+             AS n_common,
+           (SELECT CAST(sum(ca.cnt * cb.cnt) AS BIGINT) FROM
+              (SELECT {ka} AS k, CAST(count(*) AS BIGINT) AS cnt
+               FROM {ta} GROUP BY {ka}) ca
+              JOIN
+              (SELECT {kb} AS k, CAST(count(*) AS BIGINT) AS cnt
+               FROM {tb} GROUP BY {kb}) cb ON ca.k = cb.k)
+             AS exact_size
+    """
+
+
+@register(
+    "q205_two_table_join_size",
+    oracle="\nUNION ALL\n".join(
+        f"""SELECT pair_name, ndv_a, ndv_b, n_common, exact_size,
+           round(CAST(rows_a AS DOUBLE) * rows_b
+                 / greatest(ndv_a, ndv_b), 6) AS est_uniform,
+           round(CAST(rows_a AS DOUBLE) * rows_b / ndv_b, 6) AS est_fk
+        FROM ({_q205_pair_sql(*p)})"""
+        for p in _Q205_PAIRS
+    ),
+)
+def q205_two_table_join_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-table equi-join cardinality: the EXACT size Σ_k cntA(k)·cntB(k)
+    (computed by joining the two per-key count tables — distinct keys,
+    never the facts), beside the two estimators a cost-based optimizer
+    derives from (rowcount, NDV) statistics alone: the textbook
+    containment estimate |A|·|B|/max(ndvA, ndvB) and the FK-assumption
+    estimate |A|·|B|/ndvB. The fixture pairs are chosen to show both
+    regimes: events⋈orders on the user key (M:N, skewed — both
+    estimators undershoot) and lineitem⋈orders on the order key (a true
+    FK — est_fk is EXACT, the reason optimizers detect FKs). All
+    integers until the final divisions, driver hash-matched.
+
+    Scale: per side one map-side-combinable count agg; the exact-size
+    join runs on |distinct keys| rows (the q200/q204 collapse extended
+    to two tables). With sketched inputs the same Σ product is what a
+    CM-sketch inner product estimates — q168's machinery.
+    Reference parity: extension; the reference sizes no joins."""
+    parts = []
+    for name, ta, ka, tb, kb in _Q205_PAIRS:
+        ca = (
+            load_table(spark, sf_dir, ta)
+            .groupBy(F.col(ka).alias("k"))
+            .agg(F.count("*").cast("bigint").alias("cnt_a"))
+        )
+        cb = (
+            load_table(spark, sf_dir, tb)
+            .groupBy(F.col(kb).alias("k"))
+            .agg(F.count("*").cast("bigint").alias("cnt_b"))
+        )
+        joined = ca.join(cb, "k")
+        stats_a = ca.agg(
+            F.count("*").cast("bigint").alias("ndv_a"),
+            F.sum("cnt_a").cast("bigint").alias("rows_a"),
+        )
+        stats_b = cb.agg(
+            F.count("*").cast("bigint").alias("ndv_b"),
+            F.sum("cnt_b").cast("bigint").alias("rows_b"),
+        )
+        inner = joined.agg(
+            F.count("*").cast("bigint").alias("n_common"),
+            F.sum(F.col("cnt_a") * F.col("cnt_b"))
+            .cast("bigint")
+            .alias("exact_size"),
+        )
+        row = inner.crossJoin(F.broadcast(stats_a)).crossJoin(
+            F.broadcast(stats_b)
+        )
+        parts.append(
+            row.select(
+                F.lit(name).alias("pair_name"),
+                "ndv_a",
+                "ndv_b",
+                "n_common",
+                "exact_size",
+                F.round(
+                    F.col("rows_a").cast("double")
+                    * F.col("rows_b")
+                    / F.greatest("ndv_a", "ndv_b"),
+                    6,
+                ).alias("est_uniform"),
+                F.round(
+                    F.col("rows_a").cast("double")
+                    * F.col("rows_b")
+                    / F.col("ndv_b"),
+                    6,
+                ).alias("est_fk"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+# Deterministic Bernoulli sampling: membership = portable hash of the
+# row key mod _Q206_SPACE < _Q206_TAKE, i.e. a 5% sample that is
+# IDENTICAL across engines, runs, and partitionings (rand() is none of
+# those).  Integer inverse-probability scale-up keeps estimates exact
+# to re-derive.
+_Q206_SPACE = 10_000
+_Q206_TAKE = 500  # 5%
+
+
+@register(
+    "q206_hash_sampled_estimates",
+    oracle=f"""
+    WITH t AS (
+      SELECT l_returnflag AS flag, l_extendedprice,
+             {HH.portable_hash64_sql(
+                 "concat(cast(l_orderkey as varchar), '#', "
+                 "cast(l_linenumber as varchar))")} % {_Q206_SPACE}
+               AS slot
+      FROM lineitem
+    )
+    SELECT flag,
+           CAST(count(*) AS BIGINT) AS n_exact,
+           cast(sum(cast(l_extendedprice as decimal(20,2))) as double)
+             AS rev_exact,
+           CAST(count(*) FILTER (slot < {_Q206_TAKE})
+                * ({_Q206_SPACE} / {_Q206_TAKE}) AS BIGINT) AS n_est,
+           cast(sum(cast(l_extendedprice as decimal(20,2)))
+                  FILTER (slot < {_Q206_TAKE})
+                * ({_Q206_SPACE} / {_Q206_TAKE}) as double) AS rev_est
+    FROM t GROUP BY flag
+    """,
+)
+def q206_hash_sampled_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-Bernoulli sampling — the reproducible
+    alternative to ``sample()``/rand() that debuggable 100 TB pipelines
+    require: a row is in the {pct}% sample iff its portable key hash
+    lands below the threshold, so the SAMPLE MEMBERSHIP ITSELF is
+    identical across engines, runs, retries, and partitionings (and
+    consistent across tables sharing the key — the basis of correlated
+    sampling for join estimation). Per return flag, sampled count and
+    exact-decimal revenue are scaled by the integer inverse probability
+    and emitted beside the exact values — the driver hash-match proves
+    the sample, not just its error bound (the exact columns ride along
+    as the oracle's cross-check; accuracy gate in tests).
+
+    Scale: the sample predicate is a map-side filter (no shuffle added);
+    at real scale only the sampled branch runs and the scan can skip
+    whole files when the layout buckets by the same hash (q165/q167
+    machinery).
+    Reference parity: extension; the reference samples with seeded
+    ``randomSplit`` (M12) — reproducible within Spark only, not across
+    engines.""".format(pct=100 * _Q206_TAKE // _Q206_SPACE)
+    li = load_table(spark, sf_dir, "lineitem")
+    slot = HH.portable_hash64(
+        F.concat(
+            F.col("l_orderkey").cast("string"),
+            F.lit("#"),
+            F.col("l_linenumber").cast("string"),
+        )
+    ) % _Q206_SPACE
+    scale = _Q206_SPACE // _Q206_TAKE
+    t = li.select(
+        F.col("l_returnflag").alias("flag"),
+        "l_extendedprice",
+        slot.alias("slot"),
+    )
+    in_s = F.col("slot") < _Q206_TAKE
+    return t.groupBy("flag").agg(
+        F.count("*").cast("bigint").alias("n_exact"),
+        N.exact_sum(F.col("l_extendedprice")).alias("rev_exact"),
+        (F.count(F.when(in_s, 1)) * F.lit(scale))
+        .cast("bigint")
+        .alias("n_est"),
+        (
+            F.sum(F.when(in_s, N.dec(F.col("l_extendedprice")))).cast(
+                "double"
+            )
+            * F.lit(scale)
+        ).alias("rev_est"),
+    )
+
+
+_Q207_K = 5
+
+
+@register(
+    "q207_bottomk_row_sample",
+    oracle=f"""
+    SELECT event_type, event_id, user_id, rn FROM (
+      SELECT event_type, event_id, user_id,
+             row_number() OVER (
+               PARTITION BY event_type
+               ORDER BY {HH.portable_hash64_sql(
+                   'cast(event_id as varchar)')}, event_id) AS rn
+      FROM events)
+    WHERE rn <= {_Q207_K}
+    """,
+)
+def q207_bottomk_row_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic uniform sample WITHOUT replacement, per group: the
+    {k} rows with the smallest portable key hashes per event type —
+    bottom-k sampling (q192's sketch geometry, now emitting the ROWS).
+    Because the hash order is engine-independent, the selected rows are
+    identical everywhere — a reproducible ``TABLESAMPLE``: re-running,
+    re-partitioning, or porting the pipeline keeps THE SAME sample
+    (Spark's ``sample()`` guarantees none of these), and appending new
+    data evolves it incrementally (a new row enters only by displacing
+    the largest retained hash — the property that makes bottom-k
+    samples maintainable under ingestion without resampling history).
+
+    Scale: one window per group key — at 100 TB replace the full sort
+    with a per-partition bottom-{k} pre-filter (any per-partition
+    bottom-k superset contains the global bottom-k; Spark's
+    TakeOrderedAndProject does exactly this for global limits) — the
+    two-phase algebra q208 hash-proves.
+    Reference parity: M12's seeded randomSplit is the in-engine
+    cousin; this is its cross-engine upgrade."""
+    ev = load_table(spark, sf_dir, "events")
+    h = HH.portable_hash64(F.col("event_id").cast("string"))
+    return (
+        ev.select("event_type", "event_id", "user_id", h.alias("h"))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("event_type").orderBy("h", "event_id")
+            ),
+        )
+        .filter(F.col("rn") <= _Q207_K)
+        .drop("h")
+    )
+
+
+_Q208_K = 5
+_Q208_SHARDS = 8
+
+
+@register(
+    "q208_two_phase_topk",
+    oracle=f"""
+    WITH sharded AS (
+      SELECT o_orderkey, o_totalprice,
+             {HH.portable_hash64_sql('cast(o_orderkey as varchar)')}
+               % {_Q208_SHARDS} AS shard
+      FROM orders
+    ), local_k AS (
+      SELECT o_orderkey, o_totalprice FROM (
+        SELECT o_orderkey, o_totalprice,
+               row_number() OVER (PARTITION BY shard
+                 ORDER BY o_totalprice DESC, o_orderkey) AS lrn
+        FROM sharded)
+      WHERE lrn <= {_Q208_K}
+    ), two_phase AS (
+      SELECT o_orderkey, o_totalprice,
+             row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey)
+               AS rnk
+      FROM local_k
+    ), direct AS (
+      SELECT o_orderkey, o_totalprice,
+             row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey)
+               AS rnk
+      FROM orders
+    )
+    SELECT t.rnk, t.o_orderkey AS tp_orderkey, d.o_orderkey AS d_orderkey,
+           t.o_totalprice AS tp_price, d.o_totalprice AS d_price
+    FROM two_phase t JOIN direct d ON d.rnk = t.rnk
+    WHERE t.rnk <= {_Q208_K}
+    """,
+)
+def q208_two_phase_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The two-phase top-k algebra, hash-proven: a global top-{k} taken
+    from the union of per-shard top-{k}s must equal the direct global
+    top-{k} (any shard's (k+1)-th element can never be global top-k) —
+    the identity that lets 100 TB top-k run as map-side bounded heaps
+    plus a {s}x{k}-row reduce instead of a global sort, and the reason
+    Spark's TakeOrderedAndProject exists. Both paths are emitted joined
+    on rank with totally-ordered tiebreaks, so the driver hash-match
+    certifies the equality row-by-row in both engines.
+
+    Scale: phase 1 is a window per shard (map-local at real scale);
+    phase 2 runs on {s}x{k} rows. The shard key is the portable hash,
+    so the proof is partitioning-independent. The direct path exists
+    ONLY as the equality's other side — production runs phase 1+2.
+    Reference parity: the reference's hw1 top-k sorts the full
+    RDD.""".format(k=_Q208_K, s=_Q208_SHARDS)
+    od = load_table(spark, sf_dir, "orders")
+    h = HH.portable_hash64(F.col("o_orderkey").cast("string"))
+    sharded = od.select(
+        "o_orderkey", "o_totalprice", (h % _Q208_SHARDS).alias("shard")
+    )
+    local_k = sharded.withColumn(
+        "lrn",
+        F.row_number().over(
+            Window.partitionBy("shard").orderBy(
+                F.desc("o_totalprice"), F.asc("o_orderkey")
+            )
+        ),
+    ).filter(F.col("lrn") <= _Q208_K)
+    two_phase = local_k.withColumn(
+        "rnk",
+        F.row_number().over(
+            Window.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        ),
+    ).filter(F.col("rnk") <= _Q208_K)
+    direct = (
+        od.select("o_orderkey", "o_totalprice")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(_Q208_K)  # TakeOrderedAndProject — no global window sort
+        .withColumn(
+            "rnk",
+            F.row_number().over(
+                Window.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+            ),
+        )
+    )
+    return two_phase.select(
+        "rnk",
+        F.col("o_orderkey").alias("tp_orderkey"),
+        F.col("o_totalprice").alias("tp_price"),
+    ).join(
+        direct.select(
+            "rnk",
+            F.col("o_orderkey").alias("d_orderkey"),
+            F.col("o_totalprice").alias("d_price"),
+        ),
+        "rnk",
+    ).select(
+        "rnk", "tp_orderkey", "d_orderkey", "tp_price", "d_price"
+    )
+
+
 # --------------------------------------------------------------------------
 # Driver-window rotation
 # --------------------------------------------------------------------------
@@ -10221,6 +10569,10 @@ _DEFERRED = [
     "q202_weighted_median",
     "q203_incremental_agg_maintenance",
     "q204_join_size_estimate",
+    "q205_two_table_join_size",
+    "q206_hash_sampled_estimates",
+    "q207_bottomk_row_sample",
+    "q208_two_phase_topk",
 ]
 
 

@@ -1916,3 +1916,88 @@ def test_q204_estimator_ordering_and_exact_pairs(spark):
         assert r["exact_pairs"] == sum(c * c for c in counts), name
         assert r["est_uniform"] <= r["est_skew_aware"] + 1e-6, r
         assert r["est_skew_aware"] <= r["exact_pairs"] + 1e-6, r
+
+
+def test_q205_fk_estimator_exact_on_fk_pair(spark):
+    """On a true FK join the rows_a*rows_b/ndv_b estimator must be
+    EXACT; exact_size must match a pure-Python Σ cntA·cntB."""
+    from collections import Counter
+
+    from bigdatamining_graduate_spark.plans.queries import (
+        q205_two_table_join_size,
+    )
+    from bigdatamining_graduate_spark.sources.catalog import load_table
+
+    got = {r["pair_name"]: r for r in q205_two_table_join_size(spark, SF_SMOKE).collect()}
+    fk = got["lineitem.l_orderkey x orders.o_orderkey"]
+    assert fk["est_fk"] == fk["exact_size"]
+    ca = Counter(
+        r["user_id"]
+        for r in load_table(spark, SF_SMOKE, "events").select("user_id").collect()
+    )
+    cb = Counter(
+        r["o_custkey"]
+        for r in load_table(spark, SF_SMOKE, "orders").select("o_custkey").collect()
+    )
+    expected = sum(ca[k] * cb.get(k, 0) for k in ca)
+    assert got["events.user_id x orders.o_custkey"]["exact_size"] == expected
+
+
+def test_q206_sampled_estimates_within_3sigma(spark):
+    """5% hash-Bernoulli estimates within 3σ (σ≈sqrt((1-p)/(p·n))) of
+    the exact per-flag totals."""
+    from bigdatamining_graduate_spark.plans.queries import (
+        _Q206_SPACE,
+        _Q206_TAKE,
+        q206_hash_sampled_estimates,
+    )
+
+    p = _Q206_TAKE / _Q206_SPACE
+    for r in q206_hash_sampled_estimates(spark, SF_SMOKE).collect():
+        sigma = ((1 - p) / (p * r["n_exact"])) ** 0.5
+        assert abs(r["n_est"] - r["n_exact"]) / r["n_exact"] <= 3 * sigma, r
+        assert abs(r["rev_est"] - r["rev_exact"]) / r["rev_exact"] <= 4 * sigma, r
+
+
+def test_q207_sample_is_bottomk_hashes(spark):
+    """The emitted rows must be EXACTLY the k smallest portable hashes
+    per group — recomputed in pure Python md5."""
+    import hashlib
+
+    from bigdatamining_graduate_spark.plans.queries import (
+        _Q207_K,
+        q207_bottomk_row_sample,
+    )
+    from bigdatamining_graduate_spark.sources.catalog import load_table
+
+    def phash(x: str) -> int:
+        return int(hashlib.md5(x.encode()).hexdigest()[:15], 16)
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    per_type: dict = {}
+    for r in ev.select("event_type", "event_id").collect():
+        per_type.setdefault(r["event_type"], []).append(
+            (phash(str(r["event_id"])), r["event_id"])
+        )
+    got = q207_bottomk_row_sample(spark, SF_SMOKE).collect()
+    by_type: dict = {}
+    for r in got:
+        by_type.setdefault(r["event_type"], []).append((r["rn"], r["event_id"]))
+    for t, pairs in per_type.items():
+        expected = [eid for _, eid in sorted(pairs)[:_Q207_K]]
+        actual = [eid for _, eid in sorted(by_type[t])]
+        assert actual == expected, t
+
+
+def test_q208_two_phase_equals_direct(spark):
+    """Row-by-row equality of the two top-k paths."""
+    from bigdatamining_graduate_spark.plans.queries import (
+        _Q208_K,
+        q208_two_phase_topk,
+    )
+
+    rows = q208_two_phase_topk(spark, SF_SMOKE).collect()
+    assert len(rows) == _Q208_K
+    for r in rows:
+        assert r["tp_orderkey"] == r["d_orderkey"], r
+        assert r["tp_price"] == r["d_price"], r
