@@ -10438,6 +10438,120 @@ def q208_two_phase_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q209_stream_hll_registers",
+    oracle=f"""
+    WITH u AS (
+      SELECT event_type,
+             {HH.portable_hash64_sql('cast(user_id as varchar)')} AS h
+      FROM events
+    ), t AS (
+      SELECT event_type, h >> {_HLL_REM_BITS} AS bucket,
+             h & {_HLL_REM_MASK} AS rem
+      FROM u
+    ), r AS (
+      SELECT event_type, bucket,
+             max(CASE WHEN rem > 0 THEN {_HLL_MAX_RHO} - length(bin(rem))
+                      ELSE {_HLL_MAX_RHO} END) AS m
+      FROM t GROUP BY event_type, bucket
+    ), grid AS (
+      SELECT et.event_type, g.bucket
+      FROM (SELECT DISTINCT event_type FROM events) et,
+           (SELECT unnest(generate_series(0, {_HLL_M - 1})) AS bucket) g
+    ), dense AS (
+      SELECT grid.event_type, grid.bucket, coalesce(r.m, 0) AS m
+      FROM grid LEFT JOIN r USING (event_type, bucket)
+    ), s AS (
+      SELECT event_type,
+             CAST(sum(1::BIGINT << CAST({_HLL_MAX_RHO} - m AS INTEGER))
+                  AS BIGINT) AS s_scaled,
+             CAST(sum(CASE WHEN m = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_zero
+      FROM dense GROUP BY event_type
+    )
+    SELECT event_type, n_zero,
+           round(CASE WHEN {_HLL_SCALE!r} / s_scaled <= {2.5 * _HLL_M}
+                       AND n_zero > 0
+                      THEN {float(_HLL_M)!r} * ln({float(_HLL_M)!r} / n_zero)
+                      ELSE {_HLL_SCALE!r} / s_scaled END, 6)
+             AS hll_estimate
+    FROM s
+    """,
+)
+def q209_stream_hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-MAINTAINED portable HLL — the streaming leg of the
+    mergeability program (q191 single-pass batch, q193 shard merge,
+    q201 sliding windows; here the registers are kept live by a
+    Structured Streaming ``max`` aggregation as events arrive): the
+    stream's only state is the (type, bucket) → max-rank register table
+    — {m} rows per event type, BOUNDED regardless of stream volume, no
+    watermark needed because register max is monotone (the reason
+    HLL-family state is the streaming distinct-count answer; exact
+    streaming distinct would grow state with every new user). The final
+    drained register table is post-processed to estimates with the q191
+    math, and the DuckDB oracle re-derives the same registers from the
+    raw events — the driver hash-match proves stream-maintained ==
+    batch-derived, i.e. ingestion can keep the sketch live and any
+    reader gets the batch answer.
+
+    Scale: per micro-batch the update is a map-side-combinable partial
+    max into ≤ |types|x{m} state rows; the post-processing runs on the
+    state table alone. Restart-safe under checkpointing because max is
+    idempotent under replay.
+    Reference parity: extension; the reference has no streaming at
+    all (SURVEY §2.10 note).""".format(m=_HLL_M)
+    from ..streaming import jobs as ST
+
+    ev = ST.read_events_stream(spark, sf_dir)
+    h = HH.portable_hash64(F.col("user_id").cast("string"))
+    t = ev.select(
+        "event_type",
+        F.shiftright(h, _HLL_REM_BITS).alias("bucket"),
+        h.bitwiseAND(F.lit(_HLL_REM_MASK)).alias("rem"),
+    )
+    rho = F.when(
+        F.col("rem") > 0, F.lit(_HLL_MAX_RHO) - F.length(F.bin("rem"))
+    ).otherwise(F.lit(_HLL_MAX_RHO))
+    regs_stream = (
+        t.select("event_type", "bucket", rho.alias("rho"))
+        .groupBy("event_type", "bucket")
+        .agg(F.max("rho").alias("m"))
+    )
+    regs = ST._run_to_memory(regs_stream)  # drained register state
+    # no grid densification needed: a PRESENT register always has m >= 1,
+    # so every absent bucket contributes exactly 2^{MAX_RHO} to the
+    # harmonic sum and 1 to n_zero — closed form over the state table
+    s = regs.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("present"),
+        F.sum(
+            F.expr(
+                f"shiftleft(CAST(1 AS BIGINT), "
+                f"CAST({_HLL_MAX_RHO} - m AS INT))"
+            )
+        )
+        .cast("bigint")
+        .alias("s_present"),
+    ).select(
+        "event_type",
+        (
+            F.col("s_present")
+            + (F.lit(_HLL_M) - F.col("present"))
+            * F.lit(1 << _HLL_MAX_RHO).cast("bigint")
+        )
+        .cast("bigint")
+        .alias("s_scaled"),
+        (F.lit(_HLL_M) - F.col("present")).cast("bigint").alias("n_zero"),
+    )
+    raw = F.lit(_HLL_SCALE) / F.col("s_scaled")
+    est = F.when(
+        (raw <= F.lit(2.5 * _HLL_M)) & (F.col("n_zero") > 0),
+        F.lit(float(_HLL_M)) * F.log(F.lit(float(_HLL_M)) / F.col("n_zero")),
+    ).otherwise(raw)
+    return s.select(
+        "event_type", "n_zero", F.round(est, 6).alias("hll_estimate")
+    )
+
+
 # --------------------------------------------------------------------------
 # Driver-window rotation
 # --------------------------------------------------------------------------
@@ -10573,6 +10687,7 @@ _DEFERRED = [
     "q206_hash_sampled_estimates",
     "q207_bottomk_row_sample",
     "q208_two_phase_topk",
+    "q209_stream_hll_registers",
 ]
 
 

@@ -2001,3 +2001,23 @@ def test_q208_two_phase_equals_direct(spark):
     for r in rows:
         assert r["tp_orderkey"] == r["d_orderkey"], r
         assert r["tp_price"] == r["d_price"], r
+
+
+def test_q209_stream_registers_equal_batch(spark):
+    """Stream-maintained HLL registers must yield EXACTLY the q191
+    batch estimates — the incremental-maintenance property of monotone
+    register max under streaming ingestion."""
+    from bigdatamining_graduate_spark.plans.queries import (
+        q191_portable_hll_users,
+        q209_stream_hll_registers,
+    )
+
+    batch = {
+        r["event_type"]: (r["n_zero"], r["hll_estimate"])
+        for r in q191_portable_hll_users(spark, SF_SMOKE).collect()
+    }
+    stream = {
+        r["event_type"]: (r["n_zero"], r["hll_estimate"])
+        for r in q209_stream_hll_registers(spark, SF_SMOKE).collect()
+    }
+    assert stream == batch
