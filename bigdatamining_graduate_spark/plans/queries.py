@@ -10552,6 +10552,92 @@ def q209_stream_hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Candidate functional dependencies to profile: two TRUE FDs (unique
+# left-hand sides) and three violated ones — the profiler must separate
+# them by measurement, not assumption.
+_Q210_FDS = (
+    ("orders: o_orderkey -> o_orderstatus", "orders",
+     "o_orderkey", "o_orderstatus"),
+    ("events: event_id -> user_id", "events", "event_id", "user_id"),
+    ("lineitem: l_orderkey -> l_suppkey", "lineitem",
+     "l_orderkey", "l_suppkey"),
+    ("orders: o_custkey -> o_orderpriority", "orders",
+     "o_custkey", "o_orderpriority"),
+    ("events: user_id -> event_type", "events", "user_id", "event_type"),
+)
+
+
+def _q210_fd_sql(name: str, table: str, lhs: str, rhs: str) -> str:
+    return f"""
+    SELECT '{name}' AS fd,
+           CAST(count(*) AS BIGINT) AS n_groups,
+           CAST(sum(CASE WHEN ndv > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS violating_groups,
+           round(CAST(sum(CASE WHEN ndv > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / count(*), 6) AS violation_share,
+           CAST(CASE WHEN max(ndv) <= 1 THEN 1 ELSE 0 END AS BIGINT)
+             AS holds_fd
+    FROM (
+      SELECT {lhs}, count(DISTINCT {rhs}) AS ndv
+      FROM {table} GROUP BY {lhs}
+    )"""
+
+
+@register(
+    "q210_fd_discovery",
+    oracle="\nUNION ALL\n".join(_q210_fd_sql(*c) for c in _Q210_FDS),
+)
+def q210_fd_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency profiling (Metanome/Deequ-style data
+    discovery): for each candidate A → B, the share of A-groups whose B
+    is not unique — exact 0 for true dependencies (here the two unique
+    keys), a measured violation rate otherwise. This is the profiling
+    primitive schema inference, key detection, and normalization advice
+    are built from, and the APPROXIMATE-FD relaxation (holds if
+    violation_share ≤ τ) reads straight off the emitted column. All
+    counts exact integers; one division per row — driver hash-matched.
+
+    Scale: per candidate one map-side-combinable (lhs, rhs)-distinct
+    agg, then a tiny per-lhs rollup — no joins, no windows; candidates
+    are independent so the profiler parallelizes trivially across the
+    FD lattice. Column-pair enumeration at width w costs C(w,2) such
+    passes — the reason real profilers prune the lattice by these very
+    violation counts.
+    Reference parity: extension; the reference profiles nulls only
+    (SURVEY §2 A15 — q04's family)."""
+    parts = []
+    for name, table, lhs, rhs in _Q210_FDS:
+        g = (
+            load_table(spark, sf_dir, table)
+            .groupBy(lhs)
+            .agg(F.countDistinct(rhs).alias("ndv"))
+        )
+        viol = F.sum(F.when(F.col("ndv") > 1, 1).otherwise(0))
+        parts.append(
+            g.agg(
+                F.count("*").cast("bigint").alias("n_groups"),
+                viol.cast("bigint").alias("violating_groups"),
+                F.round(
+                    viol.cast("double") / F.count("*"), 6
+                ).alias("violation_share"),
+                F.when(F.max("ndv") <= 1, F.lit(1))
+                .otherwise(F.lit(0))
+                .cast("bigint")
+                .alias("holds_fd"),
+            ).select(
+                F.lit(name).alias("fd"),
+                "n_groups",
+                "violating_groups",
+                "violation_share",
+                "holds_fd",
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 # --------------------------------------------------------------------------
 # Driver-window rotation
 # --------------------------------------------------------------------------
@@ -10688,6 +10774,7 @@ _DEFERRED = [
     "q207_bottomk_row_sample",
     "q208_two_phase_topk",
     "q209_stream_hll_registers",
+    "q210_fd_discovery",
 ]
 
 

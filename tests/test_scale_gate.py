@@ -68,6 +68,9 @@ def synth_dir(spark):
 STREAMING = [
     "q136_stream_dedup_watermarked",
     "q137_stream_daily_peak_rate",
+    # round 6: stream-maintained HLL registers — bounded monotone state
+    # must still equal the batch derivation at 10x event volume
+    "q209_stream_hll_registers",
 ]
 
 

@@ -82,6 +82,12 @@ NOTES = {
     "q189_snapshot_diff": "two pushed-filter aggs + one full-outer join",
     "q190_session_window_batch": "native session agg, 1 shuffle",
     "q191_portable_hll_users": "md5 registers, integer harmonic sum",
+    "q193_hll_merge_rollup": "weekly shards, register-max merge",
+    "q194_ndcg_ranking_eval": "integer ranks/grades, 2 per-cust windows",
+    "q196_histogram_quantiles": "map-combine to 64 bins, broadcast bounds",
+    "q197_top_session_paths": "1 user shuffle, sorted-struct collect",
+    "q198_table_checksums": "map-combine to 64 digests, 0 joins",
+    "q200_join_key_skew_report": "count-of-counts collapse, tiny windows",
 }
 
 TABLE_HEAD = "| Query | sf | sec (warm) | sec (cold) | Notes | Run date |"
