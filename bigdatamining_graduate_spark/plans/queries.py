@@ -10638,6 +10638,208 @@ def q210_fd_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+# Shard-rebalance geometry: rendezvous (highest-random-weight) hashing
+# assigns key -> argmax_s hash(key#s); growing the cluster from _A to _B
+# shards moves ONLY the keys whose argmax lands on a new shard
+# (expected (B-A)/B), where mod-hashing reshuffles almost everything.
+_Q211_A = 8
+_Q211_B = 10
+
+
+@register(
+    "q211_shard_rebalance_cost",
+    oracle=f"""
+    WITH keys AS (
+      SELECT DISTINCT o_orderkey AS k FROM orders
+    ), w AS (
+      SELECT k, s,
+             {HH.portable_hash64_sql(
+                 "concat(cast(k as varchar), '#', cast(s as varchar))")} AS h
+      FROM keys, (SELECT unnest(generate_series(0, {_Q211_B - 1})) AS s)
+    ), hrw AS (
+      SELECT k,
+             max_by(s, h) FILTER (s < {_Q211_A}) AS hrw_a,
+             max_by(s, h) AS hrw_b
+      FROM w GROUP BY k
+    ), modh AS (
+      SELECT k,
+             {HH.portable_hash64_sql('cast(k as varchar)')} % {_Q211_A}
+               AS mod_a,
+             {HH.portable_hash64_sql('cast(k as varchar)')} % {_Q211_B}
+               AS mod_b
+      FROM keys
+    ), j AS (
+      SELECT hrw.k, hrw_a, hrw_b, mod_a, mod_b
+      FROM hrw JOIN modh ON modh.k = hrw.k
+    ), agg AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_keys,
+             CAST(sum(CASE WHEN hrw_a <> hrw_b THEN 1 ELSE 0 END)
+                  AS BIGINT) AS moved_hrw,
+             CAST(sum(CASE WHEN mod_a <> mod_b THEN 1 ELSE 0 END)
+                  AS BIGINT) AS moved_mod
+      FROM j
+    ), bal AS (
+      SELECT CAST(max(cnt) AS BIGINT) AS hrw_b_max_load FROM (
+        SELECT hrw_b, count(*) AS cnt FROM j GROUP BY hrw_b)
+    )
+    SELECT n_keys, moved_hrw,
+           round(CAST(moved_hrw AS DOUBLE) / n_keys, 6) AS moved_hrw_share,
+           moved_mod,
+           round(CAST(moved_mod AS DOUBLE) / n_keys, 6) AS moved_mod_share,
+           hrw_b_max_load
+    FROM agg, bal
+    """,
+)
+def q211_shard_rebalance_cost(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shard-rebalancing cost audit — the operational question behind
+    every cluster resize at 100 TB: growing from {a} to {b} shards,
+    how much data moves? Rendezvous (highest-random-weight) hashing —
+    key → argmax over shards of the portable hash(key#shard) — moves
+    ONLY keys whose argmax lands on a newly added shard (expected
+    ({b}−{a})/{b} ≈ {exp:.0%}), while mod-hashing reassigns nearly
+    everything (1 − 1/lcm share). Both assignments are exact integer
+    argmax/mod over the portable hash, so the two movement shares and
+    the post-resize load balance are value-oracled — a consistent-
+    hashing PROOF over the actual key population, not a simulation.
+
+    Scale: one explode to |keys|x{b} weight rows, one
+    map-side-combinable argmax agg (max_by on exact integers; hash
+    collisions across shards would need 2^-60 luck), no windows. At
+    real scale the same query sizes the migration plan before a
+    resharding job commits.
+    Reference parity: extension; the reference has no notion of
+    placement.""".format(a=_Q211_A, b=_Q211_B,
+                         exp=(_Q211_B - _Q211_A) / _Q211_B)
+    od = load_table(spark, sf_dir, "orders")
+    keys = od.select(F.col("o_orderkey").alias("k")).distinct()
+    w = keys.withColumn(
+        "s", F.explode(F.sequence(F.lit(0), F.lit(_Q211_B - 1)))
+    ).withColumn(
+        "h",
+        HH.portable_hash64(
+            F.concat(
+                F.col("k").cast("string"),
+                F.lit("#"),
+                F.col("s").cast("string"),
+            )
+        ),
+    )
+    hrw = w.groupBy("k").agg(
+        F.max_by("s", F.when(F.col("s") < _Q211_A, F.col("h"))).alias(
+            "hrw_a"
+        ),
+        F.max_by("s", "h").alias("hrw_b"),
+    )
+    hk = HH.portable_hash64(F.col("k").cast("string"))
+    modh = keys.select(
+        "k",
+        (hk % _Q211_A).alias("mod_a"),
+        (hk % _Q211_B).alias("mod_b"),
+    )
+    j = hrw.join(modh, "k")
+    agg = j.agg(
+        F.count("*").cast("bigint").alias("n_keys"),
+        F.sum(F.when(F.col("hrw_a") != F.col("hrw_b"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("moved_hrw"),
+        F.sum(F.when(F.col("mod_a") != F.col("mod_b"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("moved_mod"),
+    )
+    bal = (
+        j.groupBy("hrw_b")
+        .count()
+        .agg(F.max("count").cast("bigint").alias("hrw_b_max_load"))
+    )
+    return agg.crossJoin(F.broadcast(bal)).select(
+        "n_keys",
+        "moved_hrw",
+        F.round(
+            F.col("moved_hrw").cast("double") / F.col("n_keys"), 6
+        ).alias("moved_hrw_share"),
+        "moved_mod",
+        F.round(
+            F.col("moved_mod").cast("double") / F.col("n_keys"), 6
+        ).alias("moved_mod_share"),
+        "hrw_b_max_load",
+    )
+
+
+# Fact-vs-rollup reconciliation tolerance (absolute dollars, exact
+# decimal comparison — never a float epsilon).
+_Q212_TOL = "5000.00"
+
+
+@register(
+    "q212_rollup_consistency_audit",
+    oracle=f"""
+    WITH derived AS (
+      SELECT l_orderkey AS k,
+             cast(sum({N.charge_sql('l_extendedprice', 'l_discount',
+                                    'l_tax')}) as decimal(30,4)) AS d
+      FROM lineitem GROUP BY l_orderkey
+    ), j AS (
+      SELECT o.o_orderstatus AS status,
+             abs(cast(o.o_totalprice as decimal(20,2)) - d.d) AS adiff
+      FROM orders o JOIN derived d ON d.k = o.o_orderkey
+    )
+    SELECT status,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CASE WHEN adiff <= {_Q212_TOL} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_consistent,
+           round(CAST(sum(CASE WHEN adiff <= {_Q212_TOL} THEN 1 ELSE 0 END)
+                      AS DOUBLE) / count(*), 6) AS consistent_share,
+           cast(max(adiff) as double) AS max_abs_diff
+    FROM j GROUP BY status
+    """,
+)
+def q212_rollup_consistency_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-vs-rollup reconciliation — the audit every warehouse runs
+    between a stored aggregate (``o_totalprice``) and its re-derivation
+    from the fact table (Σ price·(1−disc)·(1+tax) per order): per
+    status, how many orders agree within an absolute tolerance, and the
+    worst divergence. The comparison is EXACT DECIMAL end-to-end
+    (q01's charge arithmetic; a float epsilon would make the audit
+    engine-dependent — the q198 canonicalization rule applied to
+    reconciliation), so the consistency shares and the max divergence
+    are value-oracled. On this synthetic fixture the stored totals are
+    independent of the line items — the audit measures (and proves
+    cross-engine) exactly how inconsistent: the operator's job is the
+    measurement, not the assumption.
+
+    Scale: one map-side-combinable per-order agg over lineitem + one
+    broadcast-sized join to orders per partition — the same shape as
+    q01; no windows. Orders without line items are excluded (inner
+    join); the q124 FK audit covers that population.
+    Reference parity: extension; the reference never cross-checks its
+    own rollups."""
+    li = load_table(spark, sf_dir, "lineitem")
+    od = load_table(spark, sf_dir, "orders")
+    derived = li.groupBy(F.col("l_orderkey").alias("k")).agg(
+        F.sum(
+            N.charge(
+                F.col("l_extendedprice"), F.col("l_discount"), F.col("l_tax")
+            )
+        )
+        .cast("decimal(30,4)")
+        .alias("d")
+    )
+    j = od.join(derived, derived.k == od.o_orderkey).select(
+        F.col("o_orderstatus").alias("status"),
+        F.abs(N.dec(F.col("o_totalprice")) - F.col("d")).alias("adiff"),
+    )
+    tol = F.lit(_Q212_TOL).cast("decimal(30,4)")
+    cons = F.sum(F.when(F.col("adiff") <= tol, 1).otherwise(0))
+    return j.groupBy("status").agg(
+        F.count("*").cast("bigint").alias("n_orders"),
+        cons.cast("bigint").alias("n_consistent"),
+        F.round(cons.cast("double") / F.count("*"), 6).alias(
+            "consistent_share"
+        ),
+        F.max("adiff").cast("double").alias("max_abs_diff"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Driver-window rotation
 # --------------------------------------------------------------------------
@@ -10775,6 +10977,8 @@ _DEFERRED = [
     "q208_two_phase_topk",
     "q209_stream_hll_registers",
     "q210_fd_discovery",
+    "q211_shard_rebalance_cost",
+    "q212_rollup_consistency_audit",
 ]
 
 

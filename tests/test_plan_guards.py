@@ -28,6 +28,7 @@ ALLOWED = {
     "q106_bm25_search",          # 1-row avgdl/N-docs broadcast (q31 pattern)
     "q109_parts_in_all_regions", # 1-row |region| divisor broadcast
     "q205_two_table_join_size",  # 1-row per-side stats broadcasts (q31 pattern)
+    "q211_shard_rebalance_cost", # 1-row balance-stat broadcast (q31 pattern)
     "q111_embedding_quantization",  # 1-row per-dim min/max arrays broadcast
     "q125_gap_fill_locf",        # 1-row spine-bounds broadcast (q03 pattern)
     "q128_dormant_prospects",    # 1-row global-average broadcast (q03 pattern)

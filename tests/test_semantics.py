@@ -2021,3 +2021,78 @@ def test_q209_stream_registers_equal_batch(spark):
         for r in q209_stream_hll_registers(spark, SF_SMOKE).collect()
     }
     assert stream == batch
+
+
+def test_q211_rendezvous_theory_and_python_recompute(spark):
+    """HRW movement share must sit near the theoretical (B-A)/B while
+    mod-hash movement is several times larger; spot-recompute the HRW
+    argmax in pure Python md5 for a sample of keys."""
+    import hashlib
+
+    from bigdatamining_graduate_spark.plans.queries import (
+        _Q211_A,
+        _Q211_B,
+        q211_shard_rebalance_cost,
+    )
+    from bigdatamining_graduate_spark.sources.catalog import load_table
+
+    r = q211_shard_rebalance_cost(spark, SF_SMOKE).collect()[0]
+    theory = (_Q211_B - _Q211_A) / _Q211_B
+    assert abs(r["moved_hrw_share"] - theory) < 0.05
+    assert r["moved_mod_share"] > 2 * r["moved_hrw_share"]
+
+    def phash(x: str) -> int:
+        return int(hashlib.md5(x.encode()).hexdigest()[:15], 16)
+
+    keys = [
+        row["o_orderkey"]
+        for row in load_table(spark, SF_SMOKE, "orders")
+        .select("o_orderkey")
+        .limit(200)
+        .collect()
+    ]
+    moved = sum(
+        1
+        for k in keys
+        if max(range(_Q211_A), key=lambda s: phash(f"{k}#{s}"))
+        != max(range(_Q211_B), key=lambda s: phash(f"{k}#{s}"))
+    )
+    # sample share consistent with the full-population share
+    assert abs(moved / len(keys) - r["moved_hrw_share"]) < 0.12
+
+
+def test_q212_audit_is_exact_decimal(spark):
+    """The audit's consistent counts must match a pure-Python Decimal
+    recomputation — no float epsilon anywhere."""
+    from decimal import Decimal
+
+    from bigdatamining_graduate_spark.plans.queries import (
+        _Q212_TOL,
+        q212_rollup_consistency_audit,
+    )
+    from bigdatamining_graduate_spark.sources.catalog import load_table
+
+    li = load_table(spark, SF_SMOKE, "lineitem").collect()
+    od = load_table(
+        spark, SF_SMOKE, "orders"
+    ).select("o_orderkey", "o_orderstatus", "o_totalprice").collect()
+    q2 = Decimal("0.01")
+    derived: dict = {}
+    for r in li:
+        p = Decimal(str(r["l_extendedprice"])).quantize(q2)
+        d = Decimal(str(r["l_discount"])).quantize(q2)
+        t = Decimal(str(r["l_tax"])).quantize(q2)
+        charge = (p * (1 - d)).quantize(Decimal("0.0001")) * (1 + t)
+        derived[r["l_orderkey"]] = derived.get(r["l_orderkey"], Decimal(0)) + charge
+    tol = Decimal(_Q212_TOL)
+    expected: dict = {}
+    for r in od:
+        if r["o_orderkey"] not in derived:
+            continue
+        st = r["o_orderstatus"]
+        diff = abs(Decimal(str(r["o_totalprice"])).quantize(q2) - derived[r["o_orderkey"]])
+        n, c = expected.get(st, (0, 0))
+        expected[st] = (n + 1, c + (1 if diff <= tol else 0))
+    got = {r["status"]: (r["n_orders"], r["n_consistent"])
+           for r in q212_rollup_consistency_audit(spark, SF_SMOKE).collect()}
+    assert got == expected
