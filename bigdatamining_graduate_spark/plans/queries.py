@@ -10840,6 +10840,145 @@ def q212_rollup_consistency_audit(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+_Q213_WIN = 7
+
+
+@register(
+    "q213_rolling_median_revenue",
+    oracle=f"""
+    WITH daily AS (
+      SELECT o_orderstatus AS status,
+             datediff('day', DATE '1970-01-01', cast(o_orderdate as date))
+               AS day_no,
+             cast(sum(cast(o_totalprice as decimal(20,2))) as double)
+               AS rev
+      FROM orders GROUP BY 1, 2
+    )
+    SELECT status, day_no, rev,
+           list_sort(list(rev) OVER w)[
+             cast(ceil(len(list(rev) OVER w) / 2.0) as bigint)]
+             AS rolling_median_rev
+    FROM daily
+    WINDOW w AS (PARTITION BY status ORDER BY day_no
+                 ROWS BETWEEN {_Q213_WIN - 1} PRECEDING AND CURRENT ROW)
+    """,
+)
+def q213_rolling_median_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling {w}-observation MEDIAN of daily revenue per order status
+    — the robust moving statistic dashboards want when a single spike
+    day would drag a moving AVERAGE (q37's family): Spark has no median
+    window function, so the operator is built as sorted-collect over
+    the ROWS frame + lower-median element pick (index ⌈n/2⌉) — the
+    selected value is an EXISTING daily revenue, no interpolation
+    arithmetic, so the rolling medians are value-oracled exactly
+    (DuckDB mirrors the same list construction rather than its
+    interpolating ``median``). Daily revenues are exact-decimal sums
+    cast once to double (q01 discipline).
+
+    Scale: the daily rollup is one map-side-combinable shuffle; the
+    window runs over the DAILY series — |days| rows per status,
+    sf-INDEPENDENT (the fixture's ~2400 days regardless of volume) —
+    and each frame holds ≤ {w} elements, so the sorted-collect is O(w
+    log w) per output row, not a data-path cost. For data-sized frames
+    use q196's mergeable histogram instead.
+    Reference parity: extension; the reference's rolling stats are
+    means only.""".format(w=_Q213_WIN)
+    od = load_table(spark, sf_dir, "orders")
+    daily = od.groupBy(
+        F.col("o_orderstatus").alias("status"),
+        F.datediff(
+            F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date")
+        ).alias("day_no"),
+    ).agg(N.exact_sum(F.col("o_totalprice")).alias("rev"))
+    w = (
+        Window.partitionBy("status")
+        .orderBy("day_no")
+        .rowsBetween(-(_Q213_WIN - 1), Window.currentRow)
+    )
+    frame = F.sort_array(F.collect_list("rev").over(w))
+    return daily.select(
+        "status",
+        "day_no",
+        "rev",
+        F.element_at(
+            frame, F.ceil(F.size(frame) / F.lit(2.0)).cast("int")
+        ).alias("rolling_median_rev"),
+    )
+
+
+@register(
+    "q214_conversion_latency",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id,
+             min(ts) FILTER (event_type = 'view') AS first_view,
+             min(ts) FILTER (event_type = 'purchase') AS first_purchase
+      FROM events GROUP BY user_id
+    ), lat AS (
+      SELECT c.c_mktsegment AS segment,
+             epoch_us(f.first_purchase) - epoch_us(f.first_view) AS lat_us
+      FROM firsts f
+      JOIN customer c ON c.c_custkey = f.user_id
+      WHERE f.first_view IS NOT NULL AND f.first_purchase IS NOT NULL
+        AND f.first_purchase > f.first_view
+    )
+    SELECT segment,
+           CAST(count(*) AS BIGINT) AS n_converted,
+           quantile_cont(lat_us, 0.5) AS p50_us,
+           quantile_cont(lat_us, 0.9) AS p90_us,
+           CAST(max(lat_us) AS BIGINT) AS max_us
+    FROM lat GROUP BY segment
+    """,
+)
+def q214_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion-latency distribution — the time-to-convert companion
+    of q98's funnel COUNTS: per market segment, the latency from a
+    user's first view to their first purchase (strictly after it),
+    summarized as exact interpolated percentiles over INTEGER
+    microsecond latencies (the q60-verified percentile/quantile_cont
+    pair, so the distribution itself is value-oracled). Users who never
+    viewed, never purchased, or purchased before ever viewing are
+    excluded — the funnel-order discipline q98 pins.
+
+    Scale: conditional-min firsts are ONE map-side-combinable agg per
+    user (no window, no self-join — the two-pass "events twice" shape
+    is avoided by aggregating both firsts in one pass), then a
+    broadcast dim join and a tiny per-segment percentile. At 100 TB
+    swap the exact percentile for q196's mergeable histogram on the
+    same latencies.
+    Reference parity: extension; the reference has no funnel timing."""
+    ev = load_table(spark, sf_dir, "events")
+    cust = load_table(spark, sf_dir, "customer")
+    firsts = ev.groupBy("user_id").agg(
+        F.min(
+            F.when(F.col("event_type") == "view", F.col("ts"))
+        ).alias("first_view"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("ts"))
+        ).alias("first_purchase"),
+    )
+    lat = (
+        firsts.filter(
+            F.col("first_view").isNotNull()
+            & F.col("first_purchase").isNotNull()
+            & (F.col("first_purchase") > F.col("first_view"))
+        )
+        .join(F.broadcast(cust), F.col("c_custkey") == F.col("user_id"))
+        .select(
+            F.col("c_mktsegment").alias("segment"),
+            (
+                F.unix_micros("first_purchase") - F.unix_micros("first_view")
+            ).alias("lat_us"),
+        )
+    )
+    return lat.groupBy("segment").agg(
+        F.count("*").cast("bigint").alias("n_converted"),
+        F.expr("percentile(lat_us, 0.5)").alias("p50_us"),
+        F.expr("percentile(lat_us, 0.9)").alias("p90_us"),
+        F.max("lat_us").cast("bigint").alias("max_us"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Driver-window rotation
 # --------------------------------------------------------------------------
@@ -10979,6 +11118,8 @@ _DEFERRED = [
     "q210_fd_discovery",
     "q211_shard_rebalance_cost",
     "q212_rollup_consistency_audit",
+    "q213_rolling_median_revenue",
+    "q214_conversion_latency",
 ]
 
 

@@ -2096,3 +2096,51 @@ def test_q212_audit_is_exact_decimal(spark):
     got = {r["status"]: (r["n_orders"], r["n_consistent"])
            for r in q212_rollup_consistency_audit(spark, SF_SMOKE).collect()}
     assert got == expected
+
+
+def test_q213_rolling_median_matches_python(spark):
+    """Rolling lower-median recomputed in pure Python over the daily
+    series must match the engine's sorted-collect construction."""
+    from bigdatamining_graduate_spark.plans.queries import (
+        _Q213_WIN,
+        q213_rolling_median_revenue,
+    )
+
+    rows = q213_rolling_median_revenue(spark, SF_SMOKE).collect()
+    series: dict = {}
+    for r in rows:
+        series.setdefault(r["status"], []).append((r["day_no"], r["rev"], r))
+    for status, pts in series.items():
+        pts.sort()
+        for i, (_, _, r) in enumerate(pts):
+            frame = sorted(rev for _, rev, _ in pts[max(0, i - _Q213_WIN + 1): i + 1])
+            lower_median = frame[(len(frame) + 1) // 2 - 1]
+            assert r["rolling_median_rev"] == lower_median, (status, i)
+
+
+def test_q214_latency_funnel_order(spark):
+    """Latencies must be strictly positive and the converted population
+    must match a pure-Python first-view/first-purchase recompute."""
+    from bigdatamining_graduate_spark.plans.queries import q214_conversion_latency
+    from bigdatamining_graduate_spark.sources.catalog import load_table
+
+    ev = load_table(spark, SF_SMOKE, "events").select(
+        "user_id", "event_type", "ts"
+    ).collect()
+    firsts: dict = {}
+    for r in ev:
+        if r["event_type"] in ("view", "purchase"):
+            key = (r["user_id"], r["event_type"])
+            if key not in firsts or r["ts"] < firsts[key]:
+                firsts[key] = r["ts"]
+    converted = sum(
+        1
+        for (u, t) in firsts
+        if t == "view"
+        and (u, "purchase") in firsts
+        and firsts[(u, "purchase")] > firsts[(u, "view")]
+    )
+    rows = q214_conversion_latency(spark, SF_SMOKE).collect()
+    assert sum(r["n_converted"] for r in rows) == converted
+    for r in rows:
+        assert 0 < r["p50_us"] <= r["p90_us"] <= r["max_us"], r
