@@ -10979,6 +10979,111 @@ def q214_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q216_cogroup_asof_attribution",
+    oracle="""
+    WITH p AS (
+      SELECT user_id, event_id AS pid, ts AS pts FROM events
+      WHERE event_type = 'purchase'
+    ), c AS (
+      SELECT user_id, event_id AS cid, ts AS cts FROM events
+      WHERE event_type = 'click'
+    ), j AS (
+      SELECT p.user_id, p.pid, epoch_us(p.pts) AS pts_us,
+             max({'t': epoch_us(c.cts), 'id': c.cid}) AS best
+      FROM p LEFT JOIN c
+        ON c.user_id = p.user_id AND c.cts <= p.pts
+      GROUP BY p.user_id, p.pid, epoch_us(p.pts)
+    )
+    SELECT user_id, pid AS purchase_id, pts_us AS purchase_ts_us,
+           best.id AS click_id,
+           pts_us - best.t AS gap_us
+    FROM j
+    """,
+)
+def q216_cogroup_asof_attribution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Cogrouped-map ``applyInPandas`` — the grouped TWO-TABLE Pandas
+    API (the one Arrow surface q58/q48 don't cover): per user, the
+    click and purchase streams are cogrouped and aligned with
+    ``pandas.merge_asof`` — each purchase attributed to the latest
+    click at-or-before it (ties by largest event_id; purchases with no
+    prior click keep NULL — last-click attribution as an AS-OF align,
+    the per-key pattern backfills/point-in-time feature joins use).
+    The DuckDB oracle re-derives the alignment as a range-join argmax
+    (struct-max for deterministic ties), so the Arrow path is
+    value-oracled row-by-row — UDF correctness proven against
+    relational semantics, not eyeballed.
+
+    Scale: cogroup shuffles each side ONCE on user_id and streams each
+    user's pair of Arrow batches through the Python worker — linear
+    merge per group, no per-user range join (the oracle's O(clicks x
+    purchases) join is the sf0.01 checking device, not the plan). When
+    the semantics fit built-ins, prefer q44's conditional-max as-of
+    (pure JVM); cogroup is the escape hatch for alignment logic SQL
+    can't express (custom interpolation, per-key model scoring).
+    Reference parity: extension; the reference's pandas merges are
+    whole-table driver-side (SURVEY §2 J-rows)."""
+    import pandas as pd
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("cid"), F.col("ts").alias("cts")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("pid"), F.col("ts").alias("pts")
+    )
+
+    schema = (
+        "user_id bigint, purchase_id bigint, purchase_ts_us bigint, "
+        "click_id bigint, gap_us bigint"
+    )
+
+    def align(
+        purchases_pdf: pd.DataFrame, clicks_pdf: pd.DataFrame
+    ) -> pd.DataFrame:
+        if purchases_pdf.empty:
+            return pd.DataFrame(
+                columns=[
+                    "user_id",
+                    "purchase_id",
+                    "purchase_ts_us",
+                    "click_id",
+                    "gap_us",
+                ]
+            )
+        p = purchases_pdf.sort_values(["pts", "pid"])
+        c = clicks_pdf.sort_values(["cts", "cid"])
+        # merge_asof keeps the LAST right row among equal keys; with c
+        # sorted by (cts, cid) that is the largest cid — the oracle's
+        # struct-max tiebreak
+        m = pd.merge_asof(
+            p, c[["cts", "cid"]], left_on="pts", right_on="cts",
+            direction="backward", allow_exact_matches=True,
+        )
+        pts_us = m["pts"].astype("int64") // 1000
+        cts_us = pd.array([pd.NA] * len(m), dtype="Int64")
+        mask = m["cts"].notna().to_numpy()
+        cts_us[mask] = m.loc[mask, "cts"].astype("int64").to_numpy() // 1000
+        cts_us = pd.Series(cts_us, index=m.index)
+        return pd.DataFrame(
+            {
+                "user_id": m["user_id"],
+                "purchase_id": m["pid"],
+                "purchase_ts_us": pts_us,
+                "click_id": m["cid"].astype("Int64"),
+                "gap_us": pts_us - cts_us,
+            }
+        )
+
+    return (
+        purchases.groupBy("user_id")
+        .cogroup(clicks.groupBy("user_id"))
+        .applyInPandas(align, schema=schema)
+    )
+
+
 # --------------------------------------------------------------------------
 # Driver-window rotation
 # --------------------------------------------------------------------------
