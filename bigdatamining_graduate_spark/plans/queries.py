@@ -11084,6 +11084,137 @@ def q216_cogroup_asof_attribution(
     )
 
 
+@register(
+    "q217_scd2_point_in_time_join",
+    oracle=f"""
+    WITH e AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN value < {_Q179_LOW} THEN 'low'
+                  WHEN value < {_Q179_MID} THEN 'mid'
+                  ELSE 'high' END AS tier
+      FROM events WHERE event_type = 'click'),
+    c AS (
+      SELECT *, CASE WHEN lag(tier) OVER w IS NULL
+                       OR lag(tier) OVER w <> tier THEN 1 ELSE 0 END AS chg
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    v AS (
+      SELECT user_id, tier, ts,
+             CAST(sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS version
+      FROM c),
+    g AS (
+      SELECT user_id, version, min(tier) AS tier,
+             min(epoch_us(ts)) AS valid_from_us
+      FROM v GROUP BY 1, 2),
+    dim AS (
+      SELECT user_id, tier, valid_from_us,
+             lead(valid_from_us) OVER (PARTITION BY user_id
+                                       ORDER BY version) AS valid_to_us
+      FROM g),
+    p AS (
+      SELECT user_id, epoch_us(ts) AS pts_us, value
+      FROM events WHERE event_type = 'purchase')
+    SELECT coalesce(d.tier, 'none') AS tier_at_purchase,
+           CAST(count(*) AS BIGINT) AS n_purchases,
+           count(DISTINCT p.user_id) AS n_users,
+           cast(sum(cast(p.value as decimal(20,2))) as double)
+             AS total_value
+    FROM p LEFT JOIN dim d
+      ON d.user_id = p.user_id
+     AND p.pts_us >= d.valid_from_us
+     AND (d.valid_to_us IS NULL OR p.pts_us < d.valid_to_us)
+    GROUP BY 1
+    """,
+)
+def q217_scd2_point_in_time_join(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Point-in-time (PIT) join against an SCD2 history — the
+    CONSUMPTION side of q179's versioned-dimension contract and the
+    temporal-correctness primitive of every ML feature store: a tier
+    history is built from the CLICK stream (q179's gaps-and-islands
+    versioning), and each PURCHASE is joined to the version whose
+    half-open validity interval contains the purchase time — never a
+    later version (the leakage q147's split audit hunts, here
+    prevented structurally by the interval predicate). Purchases
+    before a user's first click version fall out as 'none' — surfaced,
+    not dropped. Tiling of SCD2 intervals guarantees the join is
+    1:at-most-1, so the per-tier rollup is exact (decimal sums, q01
+    discipline).
+
+    Scale: the history build is q179's one-shuffle window; the PIT
+    join is an equi-join on user_id with a range residual — per-user
+    version counts are CDC-compacted (dimension-sized), so the
+    residual scan per probe row is bounded; at extreme version counts
+    bucket the validity intervals by time (q62's binned-range shape)
+    or use the q44 conditional-max as-of form.
+    Reference parity: extension; composes q179 (SCD2 build) with the
+    J-family joins — the reference versions nothing."""
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.when(F.col("value") < _Q179_LOW, "low")
+        .when(F.col("value") < _Q179_MID, "mid")
+        .otherwise("high")
+        .alias("tier"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    chg = F.when(
+        F.lag("tier").over(w).isNull()
+        | (F.lag("tier").over(w) != F.col("tier")),
+        1,
+    ).otherwise(0)
+    v = clicks.withColumn(
+        "version",
+        F.sum(chg)
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("bigint"),
+    )
+    g = v.groupBy("user_id", "version").agg(
+        F.min("tier").alias("tier"),
+        F.min(F.unix_micros("ts")).alias("valid_from_us"),
+    )
+    dim = g.select(
+        "user_id",
+        "tier",
+        "valid_from_us",
+        F.lead("valid_from_us")
+        .over(Window.partitionBy("user_id").orderBy("version"))
+        .alias("valid_to_us"),
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.unix_micros("ts").alias("pts_us"), "value"
+    )
+    d = dim.select(
+        F.col("user_id").alias("d_user"),
+        F.col("tier").alias("d_tier"),
+        "valid_from_us",
+        "valid_to_us",
+    )
+    joined = p.join(
+        d,
+        (F.col("d_user") == F.col("user_id"))
+        & (F.col("pts_us") >= F.col("valid_from_us"))
+        & (
+            F.col("valid_to_us").isNull()
+            | (F.col("pts_us") < F.col("valid_to_us"))
+        ),
+        "left",
+    )
+    return joined.groupBy(
+        F.coalesce(F.col("d_tier"), F.lit("none")).alias(
+            "tier_at_purchase"
+        )
+    ).agg(
+        F.count("*").cast("bigint").alias("n_purchases"),
+        F.countDistinct("user_id").alias("n_users"),
+        N.exact_sum(F.col("value")).alias("total_value"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Driver-window rotation
 # --------------------------------------------------------------------------

@@ -2144,3 +2144,50 @@ def test_q214_latency_funnel_order(spark):
     assert sum(r["n_converted"] for r in rows) == converted
     for r in rows:
         assert 0 < r["p50_us"] <= r["p90_us"] <= r["max_us"], r
+
+
+def test_q217_pit_join_is_at_most_one_and_leakage_free(spark):
+    """SCD2 interval tiling must make the PIT join 1:at-most-1 (purchase
+    counts conserved), and a pure-Python as-of recompute from the raw
+    click stream must agree tier-by-tier — including that no purchase
+    ever sees a LATER version (temporal leakage)."""
+    from bigdatamining_graduate_spark.plans.queries import (
+        _Q179_LOW,
+        _Q179_MID,
+        q217_scd2_point_in_time_join,
+    )
+    from bigdatamining_graduate_spark.sources.catalog import load_table
+
+    ev = load_table(spark, SF_SMOKE, "events").select(
+        "user_id", "event_id", "ts", "event_type", "value"
+    ).collect()
+    clicks: dict = {}
+    purchases = []
+    for r in ev:
+        if r["event_type"] == "click":
+            tier = (
+                "low" if r["value"] < _Q179_LOW
+                else "mid" if r["value"] < _Q179_MID
+                else "high"
+            )
+            clicks.setdefault(r["user_id"], []).append(
+                (r["ts"], r["event_id"], tier)
+            )
+        elif r["event_type"] == "purchase":
+            purchases.append((r["user_id"], r["ts"], r["value"]))
+    for v in clicks.values():
+        v.sort()
+    from collections import Counter
+    expected = Counter()
+    for u, pts, _ in purchases:
+        tier = "none"
+        for ts, _, t in clicks.get(u, []):
+            if ts <= pts:
+                tier = t
+            else:
+                break
+        expected[tier] += 1
+    rows = q217_scd2_point_in_time_join(spark, SF_SMOKE).collect()
+    assert sum(r["n_purchases"] for r in rows) == len(purchases)
+    got = {r["tier_at_purchase"]: r["n_purchases"] for r in rows}
+    assert got == dict(expected)
