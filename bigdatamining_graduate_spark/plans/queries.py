@@ -11215,6 +11215,181 @@ def q217_scd2_point_in_time_join(
     )
 
 
+_Q218_TARGETS = (0.5, 0.8, 0.95)
+
+
+@register(
+    "q218_pareto_coverage",
+    oracle=f"""
+    WITH per AS (
+      SELECT p.p_brand AS brand,
+             cast(sum({N.revenue_sql('l.l_extendedprice', 'l.l_discount')})
+                  as decimal(30,4)) AS rev
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      GROUP BY p.p_brand
+    ), tot AS (
+      SELECT cast(sum(rev) as decimal(38,4)) AS total,
+             CAST(count(*) AS BIGINT) AS n_brands
+      FROM per
+    ), c AS (
+      SELECT brand, rev,
+             cast(sum(rev) OVER (ORDER BY rev DESC, brand)
+                  as decimal(38,4)) AS cum,
+             row_number() OVER (ORDER BY rev DESC, brand) AS rnk
+      FROM per
+    )
+    SELECT t.ql AS target_share, any_value(tot.n_brands) AS n_brands,
+           CAST(min(c.rnk) AS BIGINT) AS brands_needed,
+           round(CAST(min(c.rnk) AS DOUBLE) / any_value(tot.n_brands), 6)
+             AS brands_share
+    FROM c
+    CROSS JOIN (SELECT unnest([{', '.join(map(str, _Q218_TARGETS))}])
+                AS ql) t
+    CROSS JOIN tot
+    WHERE c.cum >= t.ql * tot.total
+    GROUP BY t.ql
+    """,
+)
+def q218_pareto_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto / concentration analysis — "how many brands make 80% of
+    revenue": per brand exact-decimal revenue, ranked descending with
+    deterministic tiebreaks, and for each target share the MINIMUM
+    rank whose cumulative revenue reaches it. The cumulative compare
+    compares the exact-decimal cumulative against target·total (both
+    engines promote the identical decimal total to double the same
+    way, so the borderline is engine-consistent), and the
+    brands_needed counts — the number
+    a category manager acts on — are value-oracled integers, the
+    q200-Gini's actionable cousin.
+
+    Scale: one fact join + map-side-combinable brand agg; the window
+    runs over |brands| rows (dimension-sized — TPC-H has 25 brands at
+    any SF), never the facts. The 1-row total broadcast is the q31
+    pattern.
+    Reference parity: extension; the reference ranks without
+    cumulative coverage."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    per = (
+        li.join(F.broadcast(part), part.p_partkey == li.l_partkey)
+        .groupBy(F.col("p_brand").alias("brand"))
+        .agg(
+            F.sum(
+                N.revenue(F.col("l_extendedprice"), F.col("l_discount"))
+            )
+            .cast("decimal(30,4)")
+            .alias("rev")
+        )
+    )
+    tot = per.agg(
+        F.sum("rev").cast("decimal(38,4)").alias("total"),
+        F.count("*").cast("bigint").alias("n_brands"),
+    )
+    c = per.select(
+        "brand",
+        "rev",
+        F.sum("rev")
+        .over(
+            Window.orderBy(F.desc("rev"), F.asc("brand")).rowsBetween(
+                Window.unboundedPreceding, Window.currentRow
+            )
+        )
+        .cast("decimal(38,4)")
+        .alias("cum"),
+        F.row_number()
+        .over(Window.orderBy(F.desc("rev"), F.asc("brand")))
+        .alias("rnk"),
+    )
+    targets = F.explode(
+        F.array(*[F.lit(float(q)) for q in _Q218_TARGETS])
+    ).alias("ql")
+    return (
+        c.select("*", targets)
+        .crossJoin(F.broadcast(tot))
+        .filter(F.col("cum") >= F.col("ql") * F.col("total"))
+        .groupBy(F.col("ql").alias("target_share"))
+        .agg(
+            F.any_value("n_brands").alias("n_brands"),
+            F.min("rnk").cast("bigint").alias("brands_needed"),
+            F.round(
+                F.min("rnk").cast("double") / F.any_value("n_brands"), 6
+            ).alias("brands_share"),
+        )
+    )
+
+
+_Q219_PARTS = 16
+
+
+@register(
+    "q219_range_split_points",
+    oracle=f"""
+    WITH cnts AS (
+      SELECT o_totalprice AS v, CAST(count(*) AS BIGINT) AS cnt
+      FROM orders GROUP BY o_totalprice
+    ), c AS (
+      SELECT v, cnt,
+             CAST(sum(cnt) OVER (ORDER BY v) AS BIGINT) AS cum
+      FROM cnts
+    ), tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM cnts)
+    SELECT b.i AS boundary_idx,
+           min(c.v) AS split_value,
+           CAST(min(c.cum) AS BIGINT) AS rows_below_inclusive
+    FROM c
+    CROSS JOIN (SELECT unnest(generate_series(1, {_Q219_PARTS - 1}))
+                AS i) b
+    CROSS JOIN tot
+    WHERE c.cum * {_Q219_PARTS} >= b.i * tot.n
+    GROUP BY b.i
+    """,
+)
+def q219_range_split_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth range-split planning — the math inside Spark's
+    RangePartitioner / every sorted-table layout: {p}−1 split values on
+    the order-price axis such that each range holds ≈ n/{p} rows,
+    derived from the COUNT-OF-VALUES collapse (distinct values + their
+    counts, the q202 shape) with the integer criterion cum·{p} ≥ i·n —
+    no float rank arithmetic, each boundary an EXISTING data value, so
+    the planned split points and their achieved cumulative depths are
+    value-oracled exactly. RangePartitioner samples to approximate
+    this; the exact plan is the yardstick a layout job (q87's Z-order,
+    q167's buckets) gets measured against.
+
+    Scale: one map-side-combinable (value, count) agg, then a window
+    over |distinct values| rows. At 100 TB run the same construction
+    on q206's deterministic hash sample — the boundaries shift by
+    O(1/√sample), which is exactly the RangePartitioner contract.
+    Reference parity: extension; the reference never plans layout."""
+    od = load_table(spark, sf_dir, "orders")
+    cnts = od.groupBy(F.col("o_totalprice").alias("v")).agg(
+        F.count("*").cast("bigint").alias("cnt")
+    )
+    c = cnts.withColumn(
+        "cum",
+        F.sum("cnt")
+        .over(
+            Window.orderBy("v").rowsBetween(
+                Window.unboundedPreceding, Window.currentRow
+            )
+        )
+        .cast("bigint"),
+    )
+    tot = cnts.agg(F.sum("cnt").cast("bigint").alias("n"))
+    bounds = F.explode(
+        F.sequence(F.lit(1), F.lit(_Q219_PARTS - 1))
+    ).alias("i")
+    return (
+        c.select("*", bounds)
+        .crossJoin(F.broadcast(tot))
+        .filter(F.col("cum") * _Q219_PARTS >= F.col("i") * F.col("n"))
+        .groupBy(F.col("i").alias("boundary_idx"))
+        .agg(
+            F.min("v").alias("split_value"),
+            F.min("cum").cast("bigint").alias("rows_below_inclusive"),
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # Driver-window rotation
 # --------------------------------------------------------------------------

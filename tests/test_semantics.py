@@ -2191,3 +2191,70 @@ def test_q217_pit_join_is_at_most_one_and_leakage_free(spark):
     assert sum(r["n_purchases"] for r in rows) == len(purchases)
     got = {r["tier_at_purchase"]: r["n_purchases"] for r in rows}
     assert got == dict(expected)
+
+
+def test_q218_coverage_matches_python(spark):
+    """brands_needed recomputed in pure Python from exact Decimal brand
+    revenues must match, for every target share."""
+    from decimal import Decimal
+
+    from bigdatamining_graduate_spark.plans.queries import (
+        _Q218_TARGETS,
+        q218_pareto_coverage,
+    )
+    from bigdatamining_graduate_spark.sources.catalog import load_table
+
+    li = load_table(spark, SF_SMOKE, "lineitem").collect()
+    part = {
+        r["p_partkey"]: r["p_brand"]
+        for r in load_table(spark, SF_SMOKE, "part").collect()
+    }
+    q2 = Decimal("0.01")
+    rev: dict = {}
+    for r in li:
+        b = part[r["l_partkey"]]
+        p = Decimal(str(r["l_extendedprice"])).quantize(q2)
+        d = Decimal(str(r["l_discount"])).quantize(q2)
+        rev[b] = rev.get(b, Decimal(0)) + p * (1 - d)
+    ordered = sorted(rev.items(), key=lambda kv: (-kv[1], kv[0]))
+    total = sum(rev.values())
+    got = {r["target_share"]: r["brands_needed"]
+           for r in q218_pareto_coverage(spark, SF_SMOKE).collect()}
+    for t in _Q218_TARGETS:
+        cum, needed = Decimal(0), 0
+        for _, v in ordered:
+            cum += v
+            needed += 1
+            if float(cum) >= t * float(total):
+                break
+        assert got[t] == needed, (t, got[t], needed)
+
+
+def test_q219_splits_are_balanced(spark):
+    """Each planned range must hold ~n/P rows: the split points, applied
+    back to the data, must leave every partition within one
+    max-multiplicity of the ideal depth."""
+    from bigdatamining_graduate_spark.plans.queries import (
+        _Q219_PARTS,
+        q219_range_split_points,
+    )
+    from bigdatamining_graduate_spark.sources.catalog import load_table
+
+    vals = sorted(
+        r["o_totalprice"]
+        for r in load_table(spark, SF_SMOKE, "orders")
+        .select("o_totalprice")
+        .collect()
+    )
+    n = len(vals)
+    splits = sorted(
+        r["split_value"]
+        for r in q219_range_split_points(spark, SF_SMOKE).collect()
+    )
+    assert len(splits) == _Q219_PARTS - 1
+    import bisect
+    edges = [0] + [bisect.bisect_right(vals, s) for s in splits] + [n]
+    sizes = [b - a for a, b in zip(edges, edges[1:])]
+    ideal = n / _Q219_PARTS
+    for sz in sizes:
+        assert abs(sz - ideal) <= ideal * 0.25 + 2, (sizes, ideal)
