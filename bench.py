@@ -93,6 +93,9 @@ HEADLINE = [
     "q197_top_session_paths",   # ordered per-session path strings + top-k
     "q198_table_checksums",     # bucketed reconciliation digests
     "q200_join_key_skew_report",  # count-of-counts Gini skew diagnostics
+    "q204_join_size_estimate",  # exact + uniform + skew-aware cardinality
+    "q211_shard_rebalance_cost",  # rendezvous-vs-mod resize movement
+    "q217_scd2_point_in_time_join",  # SCD2 history consumed leakage-free
 ]
 
 

@@ -10644,6 +10644,13 @@ def q210_fd_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (expected (B-A)/B), where mod-hashing reshuffles almost everything.
 _Q211_A = 8
 _Q211_B = 10
+#: per-shard HRW weights from ONE md5 per key + affine mixing (the q26
+#: MinHash trick: measured ~10x cheaper than md5 per (key, shard); the
+#: movement share stays at the (B-A)/B theory — tested empirically)
+_Q211_STRUCTS = ", ".join(
+    "{'s': %d, 'w': %s}" % (i, e)
+    for i, e in enumerate(HH.affine_minhash_exprs_sql("hraw", _Q211_B))
+)
 
 
 @register(
@@ -10651,23 +10658,23 @@ _Q211_B = 10
     oracle=f"""
     WITH keys AS (
       SELECT DISTINCT o_orderkey AS k FROM orders
+    ), hashed AS (
+      SELECT k,
+             {HH.portable_hash64_sql('cast(k as varchar)')} AS hraw
+      FROM keys
     ), w AS (
-      SELECT k, s,
-             {HH.portable_hash64_sql(
-                 "concat(cast(k as varchar), '#', cast(s as varchar))")} AS h
-      FROM keys, (SELECT unnest(generate_series(0, {_Q211_B - 1})) AS s)
+      SELECT k, u['s'] AS s, u['w'] AS w
+      FROM hashed, unnest([{_Q211_STRUCTS}]) AS t(u)
     ), hrw AS (
       SELECT k,
-             max_by(s, h) FILTER (s < {_Q211_A}) AS hrw_a,
-             max_by(s, h) AS hrw_b
+             struct_extract(max(CASE WHEN s < {_Q211_A}
+                                THEN {{'w': w, 's': s}} END), 's')
+               AS hrw_a,
+             struct_extract(max({{'w': w, 's': s}}), 's') AS hrw_b
       FROM w GROUP BY k
     ), modh AS (
-      SELECT k,
-             {HH.portable_hash64_sql('cast(k as varchar)')} % {_Q211_A}
-               AS mod_a,
-             {HH.portable_hash64_sql('cast(k as varchar)')} % {_Q211_B}
-               AS mod_b
-      FROM keys
+      SELECT k, hraw % {_Q211_A} AS mod_a, hraw % {_Q211_B} AS mod_b
+      FROM hashed
     ), j AS (
       SELECT hrw.k, hrw_a, hrw_b, mod_a, mod_b
       FROM hrw JOIN modh ON modh.k = hrw.k
@@ -10694,47 +10701,56 @@ def q211_shard_rebalance_cost(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shard-rebalancing cost audit — the operational question behind
     every cluster resize at 100 TB: growing from {a} to {b} shards,
     how much data moves? Rendezvous (highest-random-weight) hashing —
-    key → argmax over shards of the portable hash(key#shard) — moves
+    key → argmax over shards of a per-(key, shard) weight — moves
     ONLY keys whose argmax lands on a newly added shard (expected
     ({b}−{a})/{b} ≈ {exp:.0%}), while mod-hashing reassigns nearly
-    everything (1 − 1/lcm share). Both assignments are exact integer
-    argmax/mod over the portable hash, so the two movement shares and
-    the post-resize load balance are value-oracled — a consistent-
-    hashing PROOF over the actual key population, not a simulation.
+    everything (1 − 1/lcm share). The weights are ONE portable md5 per
+    key + per-shard affine mixing (the q26 MinHash trick — measured
+    ~10× cheaper than an md5 per (key, shard), with the movement share
+    still at theory), all exact integers with (w, s) struct-max ties,
+    so the two movement shares and the post-resize load balance are
+    value-oracled — a consistent-hashing PROOF over the actual key
+    population, not a simulation.
 
-    Scale: one explode to |keys|x{b} weight rows, one
-    map-side-combinable argmax agg (max_by on exact integers; hash
-    collisions across shards would need 2^-60 luck), no windows. At
-    real scale the same query sizes the migration plan before a
-    resharding job commits.
+    Scale: one hash + explode to |keys|x{b} cheap integer weight rows,
+    one map-side-combinable struct-max agg, no windows. At real scale
+    the same query sizes the migration plan before a resharding job
+    commits.
     Reference parity: extension; the reference has no notion of
     placement.""".format(a=_Q211_A, b=_Q211_B,
                          exp=(_Q211_B - _Q211_A) / _Q211_B)
     od = load_table(spark, sf_dir, "orders")
     keys = od.select(F.col("o_orderkey").alias("k")).distinct()
-    w = keys.withColumn(
-        "s", F.explode(F.sequence(F.lit(0), F.lit(_Q211_B - 1)))
-    ).withColumn(
-        "h",
-        HH.portable_hash64(
-            F.concat(
-                F.col("k").cast("string"),
-                F.lit("#"),
-                F.col("s").cast("string"),
-            )
-        ),
+    hashed = keys.select(
+        "k",
+        HH.portable_hash64(F.col("k").cast("string")).alias("hraw"),
     )
+    weights = HH.affine_minhash_exprs(F.col("hraw"), _Q211_B)
+    w = hashed.select(
+        "k",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).cast("long").alias("s"),
+                        e.cast("long").alias("w"),
+                    )
+                    for i, e in enumerate(weights)
+                ]
+            )
+        ).alias("u"),
+    ).select("k", F.col("u.s").alias("s"), F.col("u.w").alias("w"))
+    ws = F.struct(F.col("w").alias("w"), F.col("s").alias("s"))
     hrw = w.groupBy("k").agg(
-        F.max_by("s", F.when(F.col("s") < _Q211_A, F.col("h"))).alias(
+        F.max(F.when(F.col("s") < _Q211_A, ws)).getField("s").alias(
             "hrw_a"
         ),
-        F.max_by("s", "h").alias("hrw_b"),
+        F.max(ws).getField("s").alias("hrw_b"),
     )
-    hk = HH.portable_hash64(F.col("k").cast("string"))
-    modh = keys.select(
+    modh = hashed.select(
         "k",
-        (hk % _Q211_A).alias("mod_a"),
-        (hk % _Q211_B).alias("mod_b"),
+        (F.col("hraw") % _Q211_A).alias("mod_a"),
+        (F.col("hraw") % _Q211_B).alias("mod_b"),
     )
     j = hrw.join(modh, "k")
     agg = j.agg(

@@ -2041,8 +2041,20 @@ def test_q211_rendezvous_theory_and_python_recompute(spark):
     assert abs(r["moved_hrw_share"] - theory) < 0.05
     assert r["moved_mod_share"] > 2 * r["moved_hrw_share"]
 
+    from bigdatamining_graduate_spark.functions.hashing import (
+        MERSENNE31,
+        _affine_params,
+    )
+
     def phash(x: str) -> int:
         return int(hashlib.md5(x.encode()).hexdigest()[:15], 16)
+
+    params = _affine_params(_Q211_B)
+
+    def hrw(k, n):
+        h = phash(str(k)) % MERSENNE31
+        ws = [(a * h + b) % MERSENNE31 for a, b in params]
+        return max(range(n), key=lambda s: (ws[s], s))
 
     keys = [
         row["o_orderkey"]
@@ -2051,13 +2063,9 @@ def test_q211_rendezvous_theory_and_python_recompute(spark):
         .limit(200)
         .collect()
     ]
-    moved = sum(
-        1
-        for k in keys
-        if max(range(_Q211_A), key=lambda s: phash(f"{k}#{s}"))
-        != max(range(_Q211_B), key=lambda s: phash(f"{k}#{s}"))
-    )
-    # sample share consistent with the full-population share
+    moved = sum(1 for k in keys if hrw(k, _Q211_A) != hrw(k, _Q211_B))
+    # the python recompute uses the SAME affine weight family the
+    # engine embeds, so the sample share tracks the full population
     assert abs(moved / len(keys) - r["moved_hrw_share"]) < 0.12
 
 

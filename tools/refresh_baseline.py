@@ -88,6 +88,9 @@ NOTES = {
     "q197_top_session_paths": "1 user shuffle, sorted-struct collect",
     "q198_table_checksums": "map-combine to 64 digests, 0 joins",
     "q200_join_key_skew_report": "count-of-counts collapse, tiny windows",
+    "q204_join_size_estimate": "cc-collapse, no joins, 1 tiny window",
+    "q211_shard_rebalance_cost": "explode x10 weights, max_by argmax agg",
+    "q217_scd2_point_in_time_join": "q179 window build + user-key PIT join",
 }
 
 TABLE_HEAD = "| Query | sf | sec (warm) | sec (cold) | Notes | Run date |"
