@@ -9383,8 +9383,8 @@ def q198_table_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the property XOR/sum digests are chosen for); the mod-2^30
     row-contribution keeps the BIGINT sum overflow-free to ~2^33 rows
     per bucket in both engines.
-    Reference parity: extension; the reference verifies copies by
-    recounting rows (``hw1``-style full rescans).""".format(b=_CHK_BUCKETS)
+    Reference parity: extension; the reference has no cross-copy
+    verification (hw0 recomputes full-scan stats per run).""".format(b=_CHK_BUCKETS)
     od = load_table(spark, sf_dir, "orders")
     row_str = F.concat_ws(
         "|",
@@ -9813,8 +9813,8 @@ def q202_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     collapse is what makes q200's Gini scale. Weighted p-th quantiles
     generalize by replacing 2·cw ≥ tw with 100·cw ≥ p·tw (still
     integer).
-    Reference parity: extension; the reference's hw0 medians are exact
-    sorts of raw rows."""
+    Reference parity: extension; the reference computes no quantiles
+    at all (hw0's stats are min/max/count/stdev reduces)."""
     li = load_table(spark, sf_dir, "lineitem")
     pw = li.groupBy(
         F.col("l_returnflag").alias("flag"),
@@ -10390,8 +10390,9 @@ def q208_two_phase_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     phase 2 runs on {s}x{k} rows. The shard key is the portable hash,
     so the proof is partitioning-independent. The direct path exists
     ONLY as the equality's other side — production runs phase 1+2.
-    Reference parity: the reference's hw1 top-k sorts the full
-    RDD.""".format(k=_Q208_K, s=_Q208_SHARDS)
+    Reference parity: the reference's top-k rankings are full sorts
+    (``hw2/BDM_hw2_final.py:68`` orderBy over every word count); this
+    is the bounded-heap algebra that replaces them.""".format(k=_Q208_K, s=_Q208_SHARDS)
     od = load_table(spark, sf_dir, "orders")
     h = HH.portable_hash64(F.col("o_orderkey").cast("string"))
     sharded = od.select(
