@@ -11522,7 +11522,7 @@ _DEFERRED = [
     "q63_curated_corpus",        # widest composed pipeline (r3-era green)
     # -- past the 50-slot window BY DESIGN: locally green this round
     #    (oracle parity at sf0.001 AND sf0.01 under a vanilla session),
-    #    rotates into the round-7 driver window (q190-q217, 27 entries) --
+    #    rotates into the round-7 driver window (q190-q219, 29 entries) --
     "q190_session_window_batch",
     "q191_portable_hll_users",
     "q192_kmv_theta_overlap",
