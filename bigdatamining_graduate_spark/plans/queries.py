@@ -11407,6 +11407,139 @@ def q219_range_split_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_Q220_HH_PERMYRIAD = 75  # heavy user: est count >= 0.75% of all events
+
+
+@register(
+    "q220_stream_cmsketch_heavy_users",
+    oracle=f"""
+    WITH ev AS (
+      SELECT cast(user_id as varchar) AS uid FROM events
+    ), hashed AS (
+      SELECT uid,
+             ({HH.portable_hash64_sql('uid')}) % {HH.MERSENNE31} AS h32
+      FROM ev
+    ), probes AS (
+      {" UNION ALL ".join(
+          f"SELECT uid, {i} AS i, "
+          f"(({a} * h32 + {b}) % {HH.MERSENNE31}) % {_CMS_W} AS bucket "
+          "FROM hashed"
+          for i, (a, b) in enumerate(_CMS_PARAMS))}
+    ), cells AS (
+      SELECT i, bucket, CAST(count(*) AS BIGINT) AS c
+      FROM probes GROUP BY i, bucket
+    ), tot AS (
+      SELECT CAST(sum(c) AS BIGINT) AS n FROM cells WHERE i = 0
+    ), users AS (
+      SELECT uid, CAST(count(*) AS BIGINT) AS exact_count,
+             any_value(h32) AS h32
+      FROM hashed GROUP BY uid
+    ), uprobes AS (
+      SELECT uid, exact_count, 0 AS i, ((327741616 * h32 + 976413892) % 2147483647) % 512 AS bucket FROM users UNION ALL SELECT uid, exact_count, 1 AS i, ((1202242074 * h32 + 1369975286) % 2147483647) % 512 AS bucket FROM users UNION ALL SELECT uid, exact_count, 2 AS i, ((1882953284 * h32 + 2053951699) % 2147483647) % 512 AS bucket FROM users UNION ALL SELECT uid, exact_count, 3 AS i, ((959775640 * h32 + 1956722279) % 2147483647) % 512 AS bucket FROM users
+    ), est AS (
+      SELECT u.uid, u.exact_count, min(c.c) AS est_count
+      FROM uprobes u JOIN cells c ON c.i = u.i AND c.bucket = u.bucket
+      GROUP BY u.uid, u.exact_count
+    )
+    SELECT CAST(e.uid AS BIGINT) AS user_id, e.exact_count,
+           CAST(e.est_count AS BIGINT) AS est_count
+    FROM est e, tot
+    WHERE e.est_count * 10000 >= tot.n * {_Q220_HH_PERMYRIAD}
+    """,
+)
+def q220_stream_cmsketch_heavy_users(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """STREAM-MAINTAINED count-min sketch — the additive counterpart of
+    q209's monotone-max HLL state, completing the sketch-streaming
+    pair: each arriving event probes its {d} affine cells (row
+    amplification is a stateless projection) and a streaming SUM
+    aggregation keeps the {d}x{w}-cell sketch live — state BOUNDED at
+    {cells} rows no matter the stream volume, mergeable because counts
+    add. The drained cells answer "which users exceed {pm}/10000 of
+    all traffic" without any per-user state in the stream: per-user
+    estimates are min-probes against the final sketch (CM never
+    underestimates), the stream total is recovered from the sketch
+    itself (Σ of any single row's cells), and DuckDB re-derives the
+    identical sketch from raw events — stream-maintained == batch-
+    derived, hash-proven, including the exact counts riding along.
+
+    Scale: the only per-event work is {d} integer mixes of one md5;
+    state and output are sketch-sized. Hot-key detection this way is
+    the standard guard BEFORE a keyed stateful operator (q48's
+    per-user state would blow up exactly on the users this finds).
+    Reference parity: extension; the reference has no streaming
+    (SURVEY §2.10 note).""".format(
+        d=_CMS_D, w=_CMS_W, cells=_CMS_D * _CMS_W,
+        pm=_Q220_HH_PERMYRIAD
+    )
+    from ..streaming import jobs as ST
+
+    ev = ST.read_events_stream(spark, sf_dir)
+    h32 = (
+        HH.portable_hash64(F.col("user_id").cast("string"))
+        % HH.MERSENNE31
+    )
+    probes = ev.select(h32.alias("h32")).select(
+        F.posexplode(
+            F.array(
+                *[
+                    ((F.lit(a) * F.col("h32") + F.lit(b)) % HH.MERSENNE31)
+                    % _CMS_W
+                    for a, b in _CMS_PARAMS
+                ]
+            )
+        ).alias("i", "bucket")
+    )
+    cells_stream = probes.groupBy("i", "bucket").agg(
+        F.count("*").cast("bigint").alias("c")
+    )
+    cells = ST._run_to_memory(cells_stream)  # drained sketch state
+    tot = (
+        cells.filter(F.col("i") == 0)
+        .agg(F.sum("c").cast("bigint").alias("n"))
+    )
+    users = (
+        load_table(spark, sf_dir, "events")
+        .select(F.col("user_id").cast("string").alias("uid"))
+        .groupBy("uid")
+        .agg(F.count("*").cast("bigint").alias("exact_count"))
+        .withColumn(
+            "h32",
+            HH.portable_hash64(F.col("uid")) % HH.MERSENNE31,
+        )
+    )
+    uprobes = users.select(
+        "uid",
+        "exact_count",
+        F.posexplode(
+            F.array(
+                *[
+                    ((F.lit(a) * F.col("h32") + F.lit(b)) % HH.MERSENNE31)
+                    % _CMS_W
+                    for a, b in _CMS_PARAMS
+                ]
+            )
+        ).alias("i", "bucket"),
+    )
+    est = (
+        uprobes.join(F.broadcast(cells), ["i", "bucket"])
+        .groupBy("uid", "exact_count")
+        .agg(F.min("c").cast("bigint").alias("est_count"))
+    )
+    return (
+        est.crossJoin(F.broadcast(tot))
+        .filter(
+            F.col("est_count") * 10000 >= F.col("n") * _Q220_HH_PERMYRIAD
+        )
+        .select(
+            F.col("uid").cast("bigint").alias("user_id"),
+            "exact_count",
+            "est_count",
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # Driver-window rotation
 # --------------------------------------------------------------------------
@@ -11522,7 +11655,7 @@ _DEFERRED = [
     "q63_curated_corpus",        # widest composed pipeline (r3-era green)
     # -- past the 50-slot window BY DESIGN: locally green this round
     #    (oracle parity at sf0.001 AND sf0.01 under a vanilla session),
-    #    rotates into the round-7 driver window (q190-q219, 29 entries) --
+    #    rotates into the round-7 driver window (q190-q220, 30 entries) --
     "q190_session_window_batch",
     "q191_portable_hll_users",
     "q192_kmv_theta_overlap",

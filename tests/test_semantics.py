@@ -2266,3 +2266,49 @@ def test_q219_splits_are_balanced(spark):
     ideal = n / _Q219_PARTS
     for sz in sizes:
         assert abs(sz - ideal) <= ideal * 0.25 + 2, (sizes, ideal)
+
+
+def test_q220_stream_sketch_properties(spark):
+    """CM never underestimates (est >= exact per user); the emitted set
+    is exactly the users whose estimate crosses the threshold of the
+    sketch-recovered total; estimates from the STREAM-maintained cells
+    equal a batch-derived sketch recomputed in pure Python."""
+    import hashlib
+
+    from bigdatamining_graduate_spark.functions.hashing import (
+        MERSENNE31,
+    )
+    from bigdatamining_graduate_spark.plans.queries import (
+        _CMS_PARAMS,
+        _CMS_W,
+        _Q220_HH_PERMYRIAD,
+        q220_stream_cmsketch_heavy_users,
+    )
+    from bigdatamining_graduate_spark.sources.catalog import load_table
+
+    def h32(x: str) -> int:
+        return int(hashlib.md5(x.encode()).hexdigest()[:15], 16) % MERSENNE31
+
+    ev = load_table(spark, SF_SMOKE, "events").select("user_id").collect()
+    from collections import Counter
+    exact = Counter(str(r["user_id"]) for r in ev)
+    n = sum(exact.values())
+    cells: Counter = Counter()
+    for uid, cnt in exact.items():
+        for i, (a, b) in enumerate(_CMS_PARAMS):
+            cells[(i, ((a * h32(uid) + b) % MERSENNE31) % _CMS_W)] += cnt
+    expected = {}
+    for uid, cnt in exact.items():
+        est = min(
+            cells[(i, ((a * h32(uid) + b) % MERSENNE31) % _CMS_W)]
+            for i, (a, b) in enumerate(_CMS_PARAMS)
+        )
+        if est * 10000 >= n * _Q220_HH_PERMYRIAD:
+            expected[int(uid)] = (cnt, est)
+    got = {
+        r["user_id"]: (r["exact_count"], r["est_count"])
+        for r in q220_stream_cmsketch_heavy_users(spark, SF_SMOKE).collect()
+    }
+    assert got == expected
+    for _, (cnt, est) in got.items():
+        assert est >= cnt
