@@ -31,6 +31,7 @@ ALLOWED = {
     "q211_shard_rebalance_cost", # 1-row balance-stat broadcast (q31 pattern)
     "q218_pareto_coverage",      # 1-row total broadcast (q31 pattern)
     "q219_range_split_points",   # 1-row total broadcast (q31 pattern)
+    "q220_stream_cmsketch_heavy_users",  # 1-row sketch-total broadcast
     "q111_embedding_quantization",  # 1-row per-dim min/max arrays broadcast
     "q125_gap_fill_locf",        # 1-row spine-bounds broadcast (q03 pattern)
     "q128_dormant_prospects",    # 1-row global-average broadcast (q03 pattern)
