@@ -11540,6 +11540,73 @@ def q220_stream_cmsketch_heavy_users(
     )
 
 
+@register(
+    "q221_event_disorder_audit",
+    oracle="""
+    WITH seq AS (
+      SELECT event_type,
+             CAST(max(epoch_us(ts)) OVER (PARTITION BY user_id
+                    ORDER BY event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  - epoch_us(ts) AS BIGINT) AS lateness_us
+      FROM events
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CASE WHEN lateness_us > 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_out_of_order,
+           round(CAST(sum(CASE WHEN lateness_us > 0 THEN 1 ELSE 0 END)
+                      AS DOUBLE) / count(*), 6) AS disorder_share,
+           quantile_cont(lateness_us, 0.95) AS p95_lateness_us,
+           quantile_cont(lateness_us, 0.99) AS p99_lateness_us,
+           CAST(max(lateness_us) AS BIGINT) AS max_lateness_us
+    FROM seq GROUP BY event_type
+    """,
+)
+def q221_event_disorder_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time disorder audit — the measurement that SIZES a
+    watermark before any q136/q137-style streaming job commits to one:
+    treating event_id as arrival order, each event's lateness is how
+    far its event time trails the per-user running maximum (the
+    frontier a per-key stateful operator actually tracks), and the
+    per-type report gives the out-of-order share plus p95/p99/max
+    lateness — p99 IS the watermark delay that would retain 99% of
+    late data, read straight off the column (the q60-verified exact
+    percentiles over INTEGER microsecond lateness, so the audit is
+    value-oracled). The fixture's generator emits in timestamp order
+    (disorder_share 0) — the audit proving order is itself the result
+    that licenses a small watermark.
+
+    Scale: ONE shuffle on user_id serves the running-max window and
+    feeds the per-type rollup; bounded per-user partitions, no global
+    window (a global arrival frontier would be a single-partition
+    sort — the per-key frontier is what keyed streaming state sees
+    anyway). At 100 TB run it on q206's deterministic sample.
+    Reference parity: extension; the reference has no event-time
+    reasoning (SURVEY §2.10 note)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    lateness = (
+        F.max(F.unix_micros("ts")).over(w) - F.unix_micros("ts")
+    ).cast("bigint")
+    seq = ev.select("event_type", lateness.alias("lateness_us"))
+    ooo = F.sum(F.when(F.col("lateness_us") > 0, 1).otherwise(0))
+    return seq.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        ooo.cast("bigint").alias("n_out_of_order"),
+        F.round(ooo.cast("double") / F.count("*"), 6).alias(
+            "disorder_share"
+        ),
+        F.expr("percentile(lateness_us, 0.95)").alias("p95_lateness_us"),
+        F.expr("percentile(lateness_us, 0.99)").alias("p99_lateness_us"),
+        F.max("lateness_us").cast("bigint").alias("max_lateness_us"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Driver-window rotation
 # --------------------------------------------------------------------------
@@ -11655,7 +11722,7 @@ _DEFERRED = [
     "q63_curated_corpus",        # widest composed pipeline (r3-era green)
     # -- past the 50-slot window BY DESIGN: locally green this round
     #    (oracle parity at sf0.001 AND sf0.01 under a vanilla session),
-    #    rotates into the round-7 driver window (q190-q220, 30 entries) --
+    #    rotates into the round-7 driver window (q190-q221, 31 entries) --
     "q190_session_window_batch",
     "q191_portable_hll_users",
     "q192_kmv_theta_overlap",

@@ -2312,3 +2312,41 @@ def test_q220_stream_sketch_properties(spark):
     assert got == expected
     for _, (cnt, est) in got.items():
         assert est >= cnt
+
+
+def test_q221_disorder_zero_on_fixture_and_planted_disorder(spark):
+    """The fixture generator emits per-user in-order events — the audit
+    must measure exactly zero disorder; a planted out-of-order arrival
+    sequence through the same running-max formula must match a pure-
+    Python recompute (covers the branch the fixture never exercises)."""
+    from bigdatamining_graduate_spark.plans.queries import (
+        q221_event_disorder_audit,
+    )
+
+    for r in q221_event_disorder_audit(spark, SF_SMOKE).collect():
+        assert r["n_out_of_order"] == 0 and r["max_lateness_us"] == 0, r
+
+    # planted: arrival order (event_id) disagrees with event time
+    rows = [
+        (1, 1, 1_000_000), (1, 2, 3_000_000), (1, 3, 2_000_000),
+        (1, 4, 5_000_000), (1, 5, 2_500_000), (2, 6, 9_000_000),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "event_id", "ts_us"])
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    got = {
+        r["event_id"]: r["late"]
+        for r in df.select(
+            "event_id",
+            (F.max("ts_us").over(w) - F.col("ts_us")).alias("late"),
+        ).collect()
+    }
+    run_max, expected = {}, {}
+    for u, eid, ts in rows:
+        run_max[u] = max(run_max.get(u, ts), ts)
+        expected[eid] = run_max[u] - ts
+    assert got == expected
+    assert got[3] == 1_000_000 and got[5] == 2_500_000
