@@ -119,25 +119,28 @@ def main() -> None:
     # SF. Median-of-3 (not a single sample) because a single warm sample is
     # load-sensitive: round 2 recorded q01 at 6.5 s warm vs 2.0 s cold in
     # the SAME session purely from machine load.
+    from bigdatamining_graduate_spark.checkpoints import release_checkpoints
+
     timings: dict[str, float] = {}
     warm_min: dict[str, float] = {}
     cold: dict[str, float] = {}
-    import gc
     for name in HEADLINE:
-        # checkpointing queries (q26/q71/q78/q107/q110/q168/q169...) leave
-        # dead executor-storage blocks until the Python DataFrame is
-        # garbage-collected; forcing GC per query keeps later queries from
-        # paying eviction/GC pressure for earlier ones (measured: q110
-        # 9.4 s -> ~5 s inside a 47-query session)
-        gc.collect()
         t0 = time.perf_counter()
         QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         cold[name] = round(time.perf_counter() - t0, 3)
+        # checkpointing queries (q26/q71/q78/q107/q110/q168/q169...)
+        # materialize executor-storage blocks; the engine's checkpoint
+        # ledger frees them deterministically once the consuming action is
+        # done — the contract any long-lived pipeline uses (replaces the
+        # round-5 per-query forced-GC workaround, which freed the same
+        # blocks only as a garbage-collection side effect)
+        release_checkpoints()
         samples = []
         for _ in range(3):
             t0 = time.perf_counter()
             QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
             samples.append(time.perf_counter() - t0)
+            release_checkpoints()
         timings[name] = round(sorted(samples)[1], 3)
         warm_min[name] = round(min(samples), 3)
 

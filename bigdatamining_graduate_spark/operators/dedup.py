@@ -25,6 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..checkpoints import local_checkpoint, release_previous
 from ..functions import text as TX
 from ..functions.hashing import (
     affine_minhash_exprs,
@@ -313,8 +314,10 @@ def lsh_candidate_pairs(sig: DataFrame, threshold: float) -> DataFrame:
     four consumers read it (both band sides + both signature lookups),
     and without it each re-runs the corpus tokenize + 16-min aggregation
     — 4 corpus scans at 100 TB for a |docs|-row table (verified: no
-    ReusedExchange across the branches; round-5 scans audit)."""
-    sig = sig.localCheckpoint(eager=False)
+    ReusedExchange across the branches; round-5 scans audit).  Blocks are
+    registered with the checkpoint ledger; the caller frees them via
+    ``checkpoints.release_checkpoints()`` after consuming the result."""
+    sig = local_checkpoint(sig, eager=False)
     bands = sig.select(
         "doc_id",
         F.explode(
@@ -553,10 +556,10 @@ def neardup_components(
     Components in MapReduce and Beyond", SoCC'14 — hash-to-min variant).
     """
     # undirected edge list, both directions, materialized once
-    edges = (
-        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
-        .union(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
-        .localCheckpoint()
+    edges = local_checkpoint(
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")).union(
+            pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+        )
     )
     # the loop runs ONLY over pair-incident nodes — typically a small
     # fraction of the corpus (docs with at least one near-dup); singletons
@@ -565,14 +568,13 @@ def neardup_components(
     # neighbour) comes straight off the edge list as one aggregation, so
     # diameter-1 components (the common dup-cluster shape) need only the
     # single confirming loop round.
-    labels = (
+    labels = local_checkpoint(
         edges.groupBy("src")
         .agg(F.min("dst").alias("mn"))
         .select(
             F.col("src").alias("node"),
             F.least(F.col("src"), F.col("mn")).alias("comp"),
         )
-        .localCheckpoint()
     )
     prev_sum = labels.agg(F.sum("comp")).collect()[0][0]
     for _ in range(max_rounds):
@@ -581,14 +583,16 @@ def neardup_components(
             .groupBy("src")
             .agg(F.min("comp").alias("nb_comp"))
         )
-        labels = (
+        prev_labels = labels
+        labels = local_checkpoint(
             labels.join(nb_min, labels.node == nb_min.src, "left")
             .select(
                 "node",
                 F.least(F.col("comp"), F.coalesce("nb_comp", "comp")).alias("comp"),
             )
-            .localCheckpoint()
         )
+        # round i's blocks are dead once round i+1 materialized (eager)
+        release_previous(prev_labels)
         cur_sum = labels.agg(F.sum("comp")).collect()[0][0]
         if cur_sum == prev_sum:
             break

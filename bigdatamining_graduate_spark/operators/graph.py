@@ -30,6 +30,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..checkpoints import local_checkpoint, release_previous
+
 DAMP_NUM = 85          # damping 0.85 as an exact fraction
 DAMP_DEN = 100
 TOTAL_MASS = 10**12    # fixed-point scale: initial rank = TOTAL_MASS / N
@@ -71,13 +73,14 @@ def integer_pagerank(
     (sf0.1 median-of-3: 8.4 s -> 5.6 s vs every-round); the cadence
     cannot change values — each round's integer arithmetic is exact, so
     only WHERE the pipeline is cut varies."""
-    edges = copurchase_edges(lineitem).localCheckpoint()
+    edges = local_checkpoint(copurchase_edges(lineitem))
     nodes = edges.select(F.col("src").alias("node")).distinct()
     n = nodes.count()
     base = (DAMP_DEN - DAMP_NUM) * TOTAL_MASS // (DAMP_DEN * n)
-    ranks = nodes.select(
-        "node", F.lit(TOTAL_MASS // n).cast("long").alias("r")
-    ).localCheckpoint()
+    ranks = local_checkpoint(
+        nodes.select("node", F.lit(TOTAL_MASS // n).cast("long").alias("r"))
+    )
+    prev_ckpt = ranks
     contrib = F.expr(f"({DAMP_NUM} * r) div ({DAMP_DEN} * deg)")
     for i in range(n_iter):
         ranks = (
@@ -88,7 +91,11 @@ def integer_pagerank(
             .select(F.col("dst").alias("node"), "r")
         )
         if (i + 1) % ckpt_every == 0 or i == n_iter - 1:
-            ranks = ranks.localCheckpoint()
+            ranks = local_checkpoint(ranks)
+            # the prior checkpoint's blocks are dead once this one
+            # materialized (eager) — free them instead of waiting for GC
+            release_previous(prev_ckpt)
+            prev_ckpt = ranks
     return ranks.select("node", F.col("r").alias("rank_mass"))
 
 
@@ -161,8 +168,8 @@ def triangle_counts(lineitem: DataFrame, min_support: int = 1) -> DataFrame:
             F.when(lt, F.col("pa")).otherwise(F.col("pb")).alias("src"),
             F.when(lt, F.col("pb")).otherwise(F.col("pa")).alias("dst"),
         )
-        .localCheckpoint()
     )
+    oriented = local_checkpoint(oriented)
     # oriented out-adjacency, sorted for a deterministic intersection
     adj = oriented.groupBy("src").agg(
         F.sort_array(F.collect_list("dst")).alias("nbrs")
@@ -180,8 +187,8 @@ def triangle_counts(lineitem: DataFrame, min_support: int = 1) -> DataFrame:
         .select(
             "src", "dst", F.explode(F.array_intersect("nu", "nv")).alias("w")
         )
-        .localCheckpoint()
     )
+    tris = local_checkpoint(tris)
     per_node = (
         tris.select(F.col("src").alias("node"))
         .unionByName(tris.select(F.col("dst").alias("node")))
@@ -321,16 +328,15 @@ def label_propagation(
         .agg(F.count("*").alias("w"))
         .filter(F.col("w") >= min_support)
     )
-    edges = (
-        pairs.select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
-        .unionByName(
+    edges = local_checkpoint(
+        pairs.select(F.col("pa").alias("src"), F.col("pb").alias("dst")).unionByName(
             pairs.select(F.col("pb").alias("src"), F.col("pa").alias("dst"))
         )
-        .localCheckpoint()
     )
     labels = edges.select(F.col("src").alias("node")).distinct().select(
         "node", F.col("node").alias("lbl")
     )
+    prev_ckpt = None
     for _ in range(n_rounds):
         votes = (
             edges.join(labels, edges.src == labels.node)
@@ -338,12 +344,13 @@ def label_propagation(
             .groupBy("dst", "lbl")
             .agg(F.count("*").alias("c"))
         )
-        labels = (
+        labels = local_checkpoint(
             votes.groupBy("dst")
             .agg(F.max(F.struct(F.col("c"), (-F.col("lbl")).alias("nl"))).alias("m"))
             .select(F.col("dst").alias("node"), (-F.col("m.nl")).alias("lbl"))
-            .localCheckpoint()
         )
+        release_previous(prev_ckpt)
+        prev_ckpt = labels
     return labels.select("node", F.col("lbl").alias("community"))
 
 
@@ -422,12 +429,10 @@ def kcore(
         .agg(F.count("*").alias("w"))
         .filter(F.col("w") >= min_support)
     )
-    edges = (
-        pairs.select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
-        .unionByName(
+    edges = local_checkpoint(
+        pairs.select(F.col("pa").alias("src"), F.col("pb").alias("dst")).unionByName(
             pairs.select(F.col("pb").alias("src"), F.col("pa").alias("dst"))
         )
-        .localCheckpoint()
     )
     for _ in range(max_rounds):
         deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
@@ -436,11 +441,11 @@ def kcore(
         if n_drop == 0:
             break
         kd = keep.select(F.col("src").alias("dst"))
-        edges = (
-            edges.join(keep, "src", "left_semi")
-            .join(kd, "dst", "left_semi")
-            .localCheckpoint()
+        prev_edges = edges
+        edges = local_checkpoint(
+            edges.join(keep, "src", "left_semi").join(kd, "dst", "left_semi")
         )
+        release_previous(prev_edges)
     else:
         raise RuntimeError(
             f"k-core did not converge within {max_rounds} rounds — raise "
@@ -539,18 +544,16 @@ def bfs_hops(
         .agg(F.count("*").alias("w"))
         .filter(F.col("w") >= min_support)
     )
-    edges = (
-        pairs.select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
-        .unionByName(
+    edges = local_checkpoint(
+        pairs.select(F.col("pa").alias("src"), F.col("pb").alias("dst")).unionByName(
             pairs.select(F.col("pb").alias("src"), F.col("pa").alias("dst"))
         )
-        .localCheckpoint()
     )
     seed = edges.agg(F.min("src").alias("node"))
-    visited = seed.select("node", F.lit(0).alias("hop")).localCheckpoint()
+    visited = local_checkpoint(seed.select("node", F.lit(0).alias("hop")))
     frontier = visited.select("node")
     for h in range(1, max_hops + 1):
-        nxt = (
+        nxt = local_checkpoint(
             edges.join(
                 frontier.withColumnRenamed("node", "f_node"),
                 edges.src == F.col("f_node"),
@@ -559,11 +562,14 @@ def bfs_hops(
             .distinct()
             .join(visited.select("node"), "node", "left_anti")
             .select("node", F.lit(h).alias("hop"))
-            .localCheckpoint()
         )
         if nxt.count() == 0:  # scalar convergence check only
             break
-        visited = visited.unionByName(nxt).localCheckpoint()
+        prev_visited = visited
+        visited = local_checkpoint(visited.unionByName(nxt))
+        # the union checkpoint subsumes the old visited set; the frontier
+        # (= nxt) stays live for the next round's expansion join
+        release_previous(prev_visited)
         frontier = nxt.select("node")
     return visited
 

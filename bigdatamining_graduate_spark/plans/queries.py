@@ -21,6 +21,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..checkpoints import local_checkpoint
 from ..functions import text as TX
 from ..sources.catalog import load_table
 from . import numerics as N
@@ -2179,7 +2180,8 @@ def q78_shard_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         (portable_hash64(F.col("doc_id").cast("string"), salt="pack") % _PACK_BUCKETS).alias("bucket"),
         F.size(TX.tokenize("text")).cast("long").alias("n_tokens"),
-    ).localCheckpoint()  # both passes (bucket totals + final join) read this
+    )
+    base = local_checkpoint(base)  # both passes (bucket totals + final join) read this
     # 3-scalar projection once, instead of re-tokenizing the corpus per branch
     per_bucket = base.groupBy("bucket").agg(F.sum("n_tokens").alias("bucket_tokens"))
     off_w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
@@ -4694,10 +4696,9 @@ def q125_gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # spine bounds, the type list, and the join probe all read it, so the
     # event stream is scanned exactly once (same checkpoint discipline as
     # the graph ops)
-    hourly = (
+    hourly = local_checkpoint(
         ev.groupBy("event_type", h.alias("h"))
         .agg(F.count("*").alias("n"), N.exact_sum(F.col("value")).alias("sum_v"))
-        .localCheckpoint()
     )
     bounds = hourly.agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
     types = hourly.select("event_type").distinct()
@@ -5196,8 +5197,8 @@ def q133_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             "med",
             F.abs(F.col("value") - F.col("med")).alias("adev"),
         )
-        .localCheckpoint()
     )
+    dev = local_checkpoint(dev)
     mad = dev.groupBy("event_type").agg(F.expr("percentile(adev, 0.5)").alias("mad"))
     return (
         dev.join(F.broadcast(mad), "event_type")
@@ -6635,7 +6636,7 @@ def q161_top_revenue_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Re-aggregating the per-supplier frame would re-execute the lineitem
     # scan on the second plan branch (only exchanges are reused); a
     # localCheckpoint pins the small aggregate instead.
-    revenue0 = revenue0.localCheckpoint(eager=False)
+    revenue0 = local_checkpoint(revenue0, eager=False)
     max_rev = revenue0.agg(F.max("total_revenue").alias("max_revenue"))
     return (
         revenue0.join(
@@ -6964,8 +6965,8 @@ def q168_cmsketch_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         toks.groupBy("token")
         .agg(F.count("*").alias("cnt"))
         .withColumn("h32", portable_hash64(F.col("token")) % HH.MERSENNE31)
-        .localCheckpoint()
     )
+    dt = local_checkpoint(dt)
     probes = dt.select(
         "token",
         "cnt",
@@ -7193,8 +7194,8 @@ def q172_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
         # consumed twice (the global total and the filter) — materialized
         # once (measured at sf0.1: 1.10 -> 0.95s; at scale it avoids a
         # second full partsupp pass for a part-sized table)
-        .localCheckpoint(eager=False)
     )
+    v = local_checkpoint(v, eager=False)
     tot = v.agg(F.sum("val").alias("total"), F.count("*").alias("n"))
     return (
         v.crossJoin(F.broadcast(tot))
