@@ -91,6 +91,80 @@ def als_recommendations(
     return recs, rmse
 
 
+def als_recommendation_surfaces(
+    orders: DataFrame,
+    lineitem: DataFrame,
+    k: int = 5,
+    n_subset: int = 25,
+) -> DataFrame:
+    """All four ALS recommendation surfaces (M11, ``hw4/hw4.py:185-194``):
+    ``recommendForAllUsers`` / ``recommendForAllItems`` /
+    ``recommendForUserSubset`` / ``recommendForItemSubset``, normalized to
+    one long table (surface, subject_id, rec_id, rank, score).
+
+    ``subject_id`` is the entity recommendations are FOR (user on the
+    user surfaces, item on the item surfaces); ``rec_id`` is the
+    recommended entity; ``rank`` is the 1-based position inside the
+    subject's top-k (descending score — materialized explicitly with
+    ``posexplode`` so the contract is testable without relying on MLlib's
+    array order being stable across versions).
+
+    The reference picks its subsets with ``distinct().limit(3)``
+    (``hw4/hw4.py:190,193``) — a nondeterministic row sample; here the
+    subsets are the ``n_subset`` SMALLEST user/item ids (orderBy + limit),
+    so the output is a pure function of the data and the seed.
+
+    Scale: the all-pairs score matrix never materializes —
+    ``recommendForAll*`` does the blocked cross-product with per-block
+    top-k pruning JVM-side (the MLlib ``blockify`` path); the subset
+    variants broadcast-filter the factor matrices first. The small
+    subset DataFrames stay distributed end-to-end.
+    """
+    ratings = build_ratings(orders, lineitem)
+    train, _ = ratings.randomSplit([0.8, 0.2], seed=SEED)
+    als = ALS(
+        maxIter=5,
+        regParam=0.01,
+        userCol="user",
+        itemCol="item",
+        ratingCol="rating",
+        coldStartStrategy="drop",
+        seed=SEED,
+    )
+    model = als.fit(train)
+    users = ratings.select("user").distinct().orderBy("user").limit(n_subset)
+    items = ratings.select("item").distinct().orderBy("item").limit(n_subset)
+
+    def _normalize(recs: DataFrame, subject: str, rec: str, surface: str) -> DataFrame:
+        return recs.select(
+            F.col(subject).cast("long").alias("subject_id"),
+            F.posexplode("recommendations").alias("pos", "r"),
+        ).select(
+            F.lit(surface).alias("surface"),
+            "subject_id",
+            F.col(f"r.{rec}").cast("long").alias("rec_id"),
+            (F.col("pos") + 1).cast("int").alias("rank"),
+            F.col("r.rating").cast("double").alias("score"),
+        )
+
+    return (
+        _normalize(model.recommendForAllUsers(k), "user", "item", "all_users")
+        .unionByName(
+            _normalize(model.recommendForAllItems(k), "item", "user", "all_items")
+        )
+        .unionByName(
+            _normalize(
+                model.recommendForUserSubset(users, k), "user", "item", "user_subset"
+            )
+        )
+        .unionByName(
+            _normalize(
+                model.recommendForItemSubset(items, k), "item", "user", "item_subset"
+            )
+        )
+    )
+
+
 def kmeans_cluster_sizes(embeddings: DataFrame, k: int = 8) -> DataFrame:
     """Distributed KMeans over the embedding column (M14): replaces the
     sklearn KMeans on a collected matrix (``FinalProject/BDM_Final.py:536-545``).

@@ -307,6 +307,86 @@ def ann_lsh_pairs_sql(min_sim: float, bits: int = BITS_PER_BAND) -> str:
     """
 
 
+def lsh_rerank_topk(embeddings: DataFrame, query_pred, k: int = 5) -> DataFrame:
+    """Two-stage retrieval — the production ANN shape (FAISS/ScaNN style):
+    a cheap CANDIDATE stage (banded sign-LSH bucket equi-join, the q30
+    generator) followed by an exact cosine RE-RANK of only the candidates,
+    returning each query's top-k as (query_id, neighbor_id, rnk, cos_sim).
+
+    This is the retrieval operator itself (q74/``ann_recall`` is the
+    offline eval of the same two stages). Fully deterministic — fixed
+    hyperplane literals, (cos DESC, neighbor_id) tiebreak — so unlike the
+    IVF path (seeded KMeans quantizer, q55) it carries a complete DuckDB
+    value oracle, not just a recall gate.
+
+    Scale: stage-1 cost is bounded by bucket population (n/2^bits per
+    band — the ``bits`` dial, SCALE.md §5); stage-2 is |candidates| dot
+    products + a per-query top-k window — never a corpus scan per query.
+    The queries themselves stay distributed (a filtered branch of the
+    same bucketed table, reused via one checkpoint-free self-join)."""
+    emb = embeddings.select("vec_id", _as_double("embedding").alias("v"))
+    bucketed = emb.select(
+        "vec_id",
+        "v",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("band"),
+                        _band_value_spark(F.col("v"), j).alias("bv"),
+                    )
+                    for j in range(ANN_BANDS)
+                ]
+            )
+        ).alias("b"),
+    ).select("vec_id", "v", "b.band", "b.bv")
+    q = bucketed.filter(query_pred).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), "band", "bv"
+    )
+    cand = (
+        q.join(bucketed, ["band", "bv"])
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .select("query_id", "qv", F.col("vec_id").alias("neighbor_id"), F.col("v").alias("nv"))
+        .distinct()
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("sim"), F.asc("neighbor_id")
+    )
+    return (
+        cand.select("query_id", "neighbor_id", V.cosine(F.col("qv"), F.col("nv")).alias("sim"))
+        .withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "rnk", F.round("sim", 6).alias("cos_sim"))
+    )
+
+
+def lsh_rerank_topk_sql(query_pred_sql: str, k: int = 5) -> str:
+    """DuckDB twin of :func:`lsh_rerank_topk` (shared hyperplane literals
+    and tiebreak)."""
+    cos = V.cosine_sql("qv", "nv")
+    band_selects = "\n      UNION ALL ".join(
+        f"SELECT vec_id, v, {j} AS band, {_band_value_sql('v', j)} AS bv FROM emb"
+        for j in range(ANN_BANDS)
+    )
+    return f"""
+    WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    bucketed AS ({band_selects}),
+    qb AS (SELECT vec_id AS query_id, v AS qv, band, bv FROM bucketed
+           WHERE {query_pred_sql}),
+    cand AS (
+      SELECT DISTINCT query_id, qv, b.vec_id AS neighbor_id, b.v AS nv
+      FROM qb JOIN bucketed b ON qb.band = b.band AND qb.bv = b.bv
+                             AND query_id <> b.vec_id
+    )
+    SELECT query_id, neighbor_id, rnk, round(sim, 6) AS cos_sim FROM (
+      SELECT query_id, neighbor_id, {cos} AS sim,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY {cos} DESC, neighbor_id) AS rnk
+      FROM cand)
+    WHERE rnk <= {k}
+    """
+
+
 def ivf_knn(
     embeddings: DataFrame,
     query_pred,

@@ -49,6 +49,72 @@ def test_als_rmse_bounded_and_recs_well_formed(spark):
     assert n_bad == 0
 
 
+def test_als_surfaces_well_formed(spark):
+    """q222 quality gate (M11 closure). For each of the four surfaces:
+    * every subject has exactly k recs, ranked 1..k;
+    * scores are finite and non-increasing in rank within a subject;
+    * the subset surfaces cover exactly the requested deterministic
+      subsets (n_subset smallest ids that survived coldStartStrategy);
+    * subset recs AGREE with the corresponding all-* surface on common
+      subjects (same model, same top-k)."""
+    orders = load_table(spark, SF_SMOKE, "orders")
+    li = load_table(spark, SF_SMOKE, "lineitem")
+    k, n_subset = 5, 25
+    rows = P.als_recommendation_surfaces(orders, li, k=k, n_subset=n_subset).collect()
+    by_surface: dict[str, dict[int, list]] = {}
+    for r in rows:
+        assert math.isfinite(r["score"]), r
+        by_surface.setdefault(r["surface"], {}).setdefault(r["subject_id"], []).append(r)
+    assert set(by_surface) == {"all_users", "all_items", "user_subset", "item_subset"}
+    for surface, subjects in by_surface.items():
+        for sid, recs in subjects.items():
+            assert sorted(r["rank"] for r in recs) == list(range(1, k + 1)), (surface, sid)
+            ordered = sorted(recs, key=lambda r: r["rank"])
+            for a, b in zip(ordered, ordered[1:]):
+                assert a["score"] >= b["score"] - 1e-9, (surface, sid)
+    # subset surfaces: exactly the n_subset smallest ids (all survive —
+    # the subsets are drawn from the ratings table itself, and the factor
+    # matrices cover every train id; cold-start drop applies to transform)
+    ratings = P.build_ratings(orders, li)
+    train, _ = ratings.randomSplit([0.8, 0.2], seed=P.SEED)
+    train_users = {r["user"] for r in train.select("user").distinct().collect()}
+    train_items = {r["item"] for r in train.select("item").distinct().collect()}
+    want_users = {
+        r["user"]
+        for r in ratings.select("user").distinct().orderBy("user").limit(n_subset).collect()
+    } & train_users
+    want_items = {
+        r["item"]
+        for r in ratings.select("item").distinct().orderBy("item").limit(n_subset).collect()
+    } & train_items
+    assert set(by_surface["user_subset"]) == want_users
+    assert set(by_surface["item_subset"]) == want_items
+    # same model ⇒ the subset surface is a restriction of the all-surface
+    for sub, full in (("user_subset", "all_users"), ("item_subset", "all_items")):
+        for sid in by_surface[sub]:
+            got = {(r["rank"], r["rec_id"]) for r in by_surface[sub][sid]}
+            want = {(r["rank"], r["rec_id"]) for r in by_surface[full][sid]}
+            assert got == want, (sub, sid)
+
+
+def test_als_surfaces_deterministic(spark):
+    """q222 determinism gate: two independent fits (same seed) produce
+    the identical (surface, subject, rank, rec) table — the engine-wide
+    seeding discipline the reference lacks (``hw4/hw4.py:169`` unseeded)."""
+    orders = load_table(spark, SF_SMOKE, "orders")
+    li = load_table(spark, SF_SMOKE, "lineitem")
+
+    def key_set(df):
+        return {
+            (r["surface"], r["subject_id"], r["rank"], r["rec_id"])
+            for r in df.collect()
+        }
+
+    a = key_set(P.als_recommendation_surfaces(orders, li, k=3, n_subset=10))
+    b = key_set(P.als_recommendation_surfaces(orders, li, k=3, n_subset=10))
+    assert a == b
+
+
 def test_kmeans_partition_is_exhaustive(spark):
     """q33 quality gate: cluster sizes PARTITION the corpus — they sum to
     exactly n rows, every cluster is non-empty, and there are at most k
