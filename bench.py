@@ -96,6 +96,8 @@ HEADLINE = [
     "q204_join_size_estimate",  # exact + uniform + skew-aware cardinality
     "q211_shard_rebalance_cost",  # rendezvous-vs-mod resize movement
     "q217_scd2_point_in_time_join",  # SCD2 history consumed leakage-free
+    "q223_multiset_setops",     # intersectAll/exceptAll bag-semantics twins
+    "q224_lsh_rerank_topk",     # two-stage ANN: LSH candidates + exact rerank
 ]
 
 

@@ -11695,494 +11695,6 @@ def q224_lsh_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.lsh_rerank_topk(emb, F.col("vec_id") % 50 == 0, k=5)
 
 
-#: Benford's-law expected first-digit shares, log10(1+1/d), embedded as
-#: shared literals so both engines use bit-identical constants
-_Q225_BENFORD = {
-    1: 0.301029995664, 2: 0.176091259056, 3: 0.124938736608,
-    4: 0.096910013008, 5: 0.079181246048, 6: 0.066946789631,
-    7: 0.057991946978, 8: 0.051152522447, 9: 0.045757490561,
-}
-
-
-@register(
-    "q225_benford_audit",
-    oracle=f"""
-    WITH fd AS (
-      SELECT cast(floor(o_totalprice / power(10.0, floor(log10(o_totalprice))))
-                  as int) AS digit
-      FROM orders WHERE o_totalprice > 0
-    ), obs AS (
-      SELECT digit, CAST(count(*) AS BIGINT) AS n FROM fd GROUP BY digit
-    ), tot AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM obs),
-    exp AS (
-      SELECT unnest([{', '.join(str(d) for d in _Q225_BENFORD)}]) AS digit,
-             unnest([{', '.join(repr(v) for v in _Q225_BENFORD.values())}]) AS benford
-    )
-    SELECT e.digit, coalesce(o.n, 0) AS n,
-           round(coalesce(o.n, 0) * 1.0 / t.total, 6) AS share,
-           round(e.benford, 6) AS benford_share,
-           round(pow(coalesce(o.n, 0) - t.total * e.benford, 2)
-                 / (t.total * e.benford), 6) AS chi2_term
-    FROM exp e LEFT JOIN obs o ON o.digit = e.digit CROSS JOIN tot t
-    """,
-)
-def q225_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Benford's-law first-digit audit of ``o_totalprice`` — the classic
-    fabricated-/corrupted-numeric-data screen (Benford 1938; standard in
-    forensic data quality): observed first-significant-digit shares vs
-    the log10(1+1/d) expectation with per-digit χ² contributions. The
-    expected shares are PRE-COMPUTED literals shared by both engines, so
-    the only runtime float work is count ratios — hash-stable.
-
-    Scale: one scan + a 9-key aggregation; the expectation table is a
-    9-row broadcast. Zero joins on data."""
-    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 0)
-    digit = F.floor(
-        F.col("o_totalprice") / F.pow(F.lit(10.0), F.floor(F.log10("o_totalprice")))
-    ).cast("int")
-    obs = o.select(digit.alias("digit")).groupBy("digit").agg(
-        F.count("*").cast("bigint").alias("n")
-    )
-    tot = obs.agg(F.sum("n").cast("bigint").alias("total"))
-    exp = F.explode(
-        F.array(
-            *[
-                F.struct(F.lit(d).alias("digit"), F.lit(v).alias("benford"))
-                for d, v in _Q225_BENFORD.items()
-            ]
-        )
-    ).alias("e")
-    expected = spark.range(1).select(exp).select("e.digit", "e.benford")
-    return (
-        expected.join(obs, "digit", "left")
-        .crossJoin(F.broadcast(tot))
-        .select(
-            "digit",
-            F.coalesce("n", F.lit(0)).cast("bigint").alias("n"),
-            F.round(F.coalesce("n", F.lit(0)) / F.col("total"), 6).alias("share"),
-            F.round("benford", 6).alias("benford_share"),
-            F.round(
-                F.pow(F.coalesce("n", F.lit(0)) - F.col("total") * F.col("benford"), F.lit(2.0))
-                / (F.col("total") * F.col("benford")),
-                6,
-            ).alias("chi2_term"),
-        )
-    )
-
-
-@register(
-    "q226_funnel_conversion",
-    oracle="""
-    WITH v AS (
-      SELECT user_id, min(ts) AS t1 FROM events
-      WHERE event_type = 'view' GROUP BY user_id
-    ), c AS (
-      SELECT e.user_id, min(e.ts) AS t2
-      FROM events e JOIN v ON v.user_id = e.user_id AND e.ts >= v.t1
-      WHERE e.event_type = 'click' GROUP BY e.user_id
-    ), p AS (
-      SELECT e.user_id, min(e.ts) AS t3
-      FROM events e JOIN c ON c.user_id = e.user_id AND e.ts >= c.t2
-      WHERE e.event_type = 'purchase' GROUP BY e.user_id
-    ), n AS (
-      SELECT (SELECT CAST(count(*) AS BIGINT) FROM v) AS n1,
-             (SELECT CAST(count(*) AS BIGINT) FROM c) AS n2,
-             (SELECT CAST(count(*) AS BIGINT) FROM p) AS n3
-    )
-    SELECT 1 AS step, 'view' AS step_name, n1 AS n_users,
-           round(1.0, 6) AS conv_from_prev, round(1.0, 6) AS conv_from_start
-    FROM n
-    UNION ALL
-    SELECT 2, 'view>click', n2, round(n2 * 1.0 / n1, 6), round(n2 * 1.0 / n1, 6) FROM n
-    UNION ALL
-    SELECT 3, 'view>click>purchase', n3, round(n3 * 1.0 / n2, 6),
-           round(n3 * 1.0 / n1, 6) FROM n
-    """,
-)
-def q226_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Ordered funnel analysis (view → click-after-view →
-    purchase-after-that-click): per step, users surviving IN ORDER —
-    each stage requires an event at-or-after the user's previous-stage
-    timestamp, the product-analytics semantics a naive per-type distinct
-    count gets wrong. Three conditional-min aggregations chained by
-    user-key equi-joins; no windows over the raw stream.
-
-    Scale: each stage is one map-side-combinable min-agg + one
-    user-keyed join; all three shuffles share the user_id key so AQE
-    coalesces them onto one partitioning. The final 1-row counts are
-    broadcast arithmetic."""
-    ev = load_table(spark, sf_dir, "events")
-    v = (
-        ev.filter(F.col("event_type") == "view")
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t1"))
-    )
-    c = (
-        ev.filter(F.col("event_type") == "click")
-        .join(v, "user_id")
-        .filter(F.col("ts") >= F.col("t1"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t2"))
-    )
-    p = (
-        ev.filter(F.col("event_type") == "purchase")
-        .join(c, "user_id")
-        .filter(F.col("ts") >= F.col("t2"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t3"))
-    )
-    n = (
-        v.agg(F.count("*").cast("bigint").alias("n1"))
-        .crossJoin(c.agg(F.count("*").cast("bigint").alias("n2")))
-        .crossJoin(p.agg(F.count("*").cast("bigint").alias("n3")))
-    )
-    one = F.round(F.lit(1.0), 6)
-    return (
-        n.select(
-            F.lit(1).alias("step"),
-            F.lit("view").alias("step_name"),
-            F.col("n1").alias("n_users"),
-            one.alias("conv_from_prev"),
-            one.alias("conv_from_start"),
-        )
-        .unionByName(
-            n.select(
-                F.lit(2).alias("step"),
-                F.lit("view>click").alias("step_name"),
-                F.col("n2").alias("n_users"),
-                F.round(F.col("n2") / F.col("n1"), 6).alias("conv_from_prev"),
-                F.round(F.col("n2") / F.col("n1"), 6).alias("conv_from_start"),
-            )
-        )
-        .unionByName(
-            n.select(
-                F.lit(3).alias("step"),
-                F.lit("view>click>purchase").alias("step_name"),
-                F.col("n3").alias("n_users"),
-                F.round(F.col("n3") / F.col("n2"), 6).alias("conv_from_prev"),
-                F.round(F.col("n3") / F.col("n1"), 6).alias("conv_from_start"),
-            )
-        )
-    )
-
-
-_WEEK_US_Q227 = 7 * 86_400_000_000
-_Q227_MAX_OFFSET = 4
-
-
-@register(
-    "q227_retention_cohorts",
-    oracle=f"""
-    WITH uw AS (
-      SELECT DISTINCT user_id, epoch_us(ts) // {_WEEK_US_Q227} AS week
-      FROM events
-    ), cohort AS (
-      SELECT user_id, min(week) AS cohort_week FROM uw GROUP BY user_id
-    ), act AS (
-      SELECT c.cohort_week, uw.week - c.cohort_week AS offset_weeks,
-             CAST(count(DISTINCT uw.user_id) AS BIGINT) AS n_active
-      FROM uw JOIN cohort c ON c.user_id = uw.user_id
-      WHERE uw.week - c.cohort_week BETWEEN 0 AND {_Q227_MAX_OFFSET}
-      GROUP BY 1, 2
-    ), base AS (
-      SELECT cohort_week, n_active AS cohort_size FROM act WHERE offset_weeks = 0
-    )
-    SELECT a.cohort_week, a.offset_weeks, a.n_active,
-           round(a.n_active * 1.0 / b.cohort_size, 6) AS retention
-    FROM act a JOIN base b ON b.cohort_week = a.cohort_week
-    """,
-)
-def q227_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cohort retention matrix — the canonical growth-analytics rollup:
-    users grouped by first-activity week, and for offsets 0..{m} weeks
-    the distinct users still active, as a share of the cohort. One
-    distinct (user, week) projection feeds both the cohort min-agg and
-    the activity matrix (two aggs over the same shuffled key).
-
-    Scale: distinct (user, week) is the only fact-sized shuffle; the
-    matrix is |cohorts|x{m} rows. The offset-0 base re-join is
-    dimension-sized and broadcastable.""".format(m=_Q227_MAX_OFFSET)
-    ev = load_table(spark, sf_dir, "events")
-    uw = ev.select(
-        "user_id", F.expr(f"unix_micros(ts) div {_WEEK_US_Q227}").alias("week")
-    ).distinct()
-    cohort = uw.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
-    act = (
-        uw.join(cohort, "user_id")
-        .select("cohort_week", (F.col("week") - F.col("cohort_week")).alias("offset_weeks"), "user_id")
-        .filter(F.col("offset_weeks").between(0, _Q227_MAX_OFFSET))
-        .groupBy("cohort_week", "offset_weeks")
-        .agg(F.countDistinct("user_id").cast("bigint").alias("n_active"))
-    )
-    base = act.filter(F.col("offset_weeks") == 0).select(
-        "cohort_week", F.col("n_active").alias("cohort_size")
-    )
-    return act.join(F.broadcast(base), "cohort_week").select(
-        "cohort_week",
-        "offset_weeks",
-        "n_active",
-        F.round(F.col("n_active") / F.col("cohort_size"), 6).alias("retention"),
-    )
-
-
-@register(
-    "q228_markov_transitions",
-    oracle="""
-    WITH seq AS (
-      SELECT event_type AS from_type,
-             lead(event_type) OVER (PARTITION BY user_id
-                                    ORDER BY ts, event_id) AS to_type
-      FROM events
-    ), t AS (
-      SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
-      FROM seq WHERE to_type IS NOT NULL GROUP BY 1, 2
-    )
-    SELECT from_type, to_type, n,
-           round(n * 1.0 / sum(n) OVER (PARTITION BY from_type), 6) AS prob
-    FROM t
-    """,
-)
-def q228_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """First-order Markov transition matrix over each user's event
-    sequence (``lead`` within user ordered by (ts, event_id) — the
-    deterministic tiebreak for same-microsecond events): counts and
-    row-normalized probabilities per (from, to) event type. The behavior
-    model behind session-path mining (q197) and next-event prediction
-    features.
-
-    Scale: the lead window shuffles once on user_id (same key as every
-    session op); the transition table is |types|² rows, and its
-    normalizing window runs on that tiny table only."""
-    ev = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    seq = ev.select(
-        F.col("event_type").alias("from_type"),
-        F.lead("event_type").over(w).alias("to_type"),
-    ).filter(F.col("to_type").isNotNull())
-    t = seq.groupBy("from_type", "to_type").agg(F.count("*").cast("bigint").alias("n"))
-    return t.select(
-        "from_type",
-        "to_type",
-        "n",
-        F.round(
-            F.col("n") / F.sum("n").over(Window.partitionBy("from_type")), 6
-        ).alias("prob"),
-    )
-
-
-@register(
-    "q229_doc_repetition",
-    oracle=f"""
-    WITH g AS (
-      SELECT doc_id, unnest({TX.word_ngrams_sql(TX.tokenize_sql('text'), 3)}) AS gram
-      FROM documents
-    ), per AS (
-      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
-             CAST(count(DISTINCT gram) AS BIGINT) AS n_distinct
-      FROM g GROUP BY doc_id
-    )
-    SELECT d.doc_id,
-           coalesce(p.n_grams, 0) AS n_grams,
-           coalesce(p.n_distinct, 0) AS n_distinct,
-           round(CASE WHEN p.n_grams > 0
-                      THEN 1.0 - p.n_distinct * 1.0 / p.n_grams
-                      ELSE 0.0 END, 6) AS dup_frac
-    FROM documents d LEFT JOIN per p ON p.doc_id = d.doc_id
-    """,
-)
-def q229_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Within-document repetition metric — the Gopher/MassiveText
-    "duplicate n-gram fraction" rule (Rae et al. 2021 §A1.1): per doc,
-    total vs distinct word-3-grams and the repeated fraction. The
-    INTRA-doc complement of the cross-doc dedup family (q24–q27): a doc
-    that loops the same phrase passes exact/near dedup but fails this.
-
-    Scale: explode + one (doc, gram) aggregation with map-side combine;
-    grams never cross documents, so the shuffle key is doc-local and
-    skew-free. Zero-gram docs (< 3 tokens) are preserved by the left
-    join against the doc spine."""
-    docs = load_table(spark, sf_dir, "documents")
-    g = docs.select(
-        "doc_id", F.explode(TX.word_ngrams(TX.tokenize("text"), 3)).alias("gram")
-    )
-    per = g.groupBy("doc_id").agg(
-        F.count("*").cast("bigint").alias("n_grams"),
-        F.countDistinct("gram").cast("bigint").alias("n_distinct"),
-    )
-    return docs.select("doc_id").join(per, "doc_id", "left").select(
-        "doc_id",
-        F.coalesce("n_grams", F.lit(0)).cast("bigint").alias("n_grams"),
-        F.coalesce("n_distinct", F.lit(0)).cast("bigint").alias("n_distinct"),
-        F.round(
-            F.when(
-                F.col("n_grams") > 0,
-                F.lit(1.0) - F.col("n_distinct") / F.col("n_grams"),
-            ).otherwise(F.lit(0.0)),
-            6,
-        ).alias("dup_frac"),
-    )
-
-
-_Q230_PREFIX = 48
-_Q230_LEN_BUCKET = 100
-_Q230_MAX_DIST = 12
-
-
-@register(
-    "q230_editdist_pairs",
-    oracle=f"""
-    WITH d AS (
-      SELECT doc_id, lang, n_chars // {_Q230_LEN_BUCKET} AS lb,
-             substr({TX.normalize_text_sql('text')}, 1, {_Q230_PREFIX}) AS pfx
-      FROM documents
-    )
-    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-           CAST(levenshtein(a.pfx, b.pfx) AS BIGINT) AS edit_dist
-    FROM d a JOIN d b
-      ON a.lang = b.lang AND a.lb = b.lb AND a.doc_id < b.doc_id
-    WHERE levenshtein(a.pfx, b.pfx) <= {_Q230_MAX_DIST}
-    """,
-)
-def q230_editdist_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Edit-distance near-duplicate pairs over normalized text prefixes —
-    the character-level dedup signal (OCR noise, typo variants) that
-    token-set methods (Jaccard/MinHash) miss. Pair generation is BLOCKED
-    on (lang, length-bucket) — same language and n_chars within
-    {lb} — so the quadratic Levenshtein work is confined to blocks;
-    both engines run the identical Wagner-Fischer integer recurrence,
-    so distances are value-oracled exactly.
-
-    Scale: the block key is the standard blocking-dedup dial — tighten
-    the bucket width (or add a cheap prefix-hash sub-key) to bound the
-    per-block population as the corpus grows 1000x; the join itself is
-    a plain equi-join, never all-pairs.""".format(lb=_Q230_LEN_BUCKET)
-    docs = load_table(spark, sf_dir, "documents")
-    d = docs.select(
-        "doc_id",
-        "lang",
-        F.expr(f"n_chars div {_Q230_LEN_BUCKET}").alias("lb"),
-        F.substring(TX.normalize_text("text"), 1, _Q230_PREFIX).alias("pfx"),
-    )
-    a = d.select(
-        F.col("doc_id").alias("doc_a"), "lang", "lb", F.col("pfx").alias("pa")
-    )
-    b = d.select(
-        F.col("doc_id").alias("doc_b"), "lang", "lb", F.col("pfx").alias("pb")
-    )
-    return (
-        a.join(b, ["lang", "lb"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select(
-            "doc_a",
-            "doc_b",
-            F.levenshtein("pa", "pb").cast("bigint").alias("edit_dist"),
-        )
-        .filter(F.col("edit_dist") <= _Q230_MAX_DIST)
-    )
-
-
-@register(
-    "q231_chi2_independence",
-    oracle="""
-    WITH obs AS (
-      SELECT c.c_mktsegment AS segment, o.o_orderpriority AS priority,
-             CAST(count(*) AS BIGINT) AS n
-      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
-      GROUP BY 1, 2
-    ), rt AS (SELECT segment, CAST(sum(n) AS BIGINT) AS row_n FROM obs GROUP BY 1),
-    ct AS (SELECT priority, CAST(sum(n) AS BIGINT) AS col_n FROM obs GROUP BY 1),
-    tot AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM obs)
-    SELECT o.segment, o.priority, o.n,
-           round(rt.row_n * 1.0 * ct.col_n / t.total, 6) AS expected,
-           round(pow(o.n - rt.row_n * 1.0 * ct.col_n / t.total, 2)
-                 / (rt.row_n * 1.0 * ct.col_n / t.total), 6) AS chi2_term
-    FROM obs o
-    JOIN rt ON rt.segment = o.segment
-    JOIN ct ON ct.priority = o.priority
-    CROSS JOIN tot t
-    """,
-)
-def q231_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """χ² test-of-independence contingency audit between customer market
-    segment and order priority: observed counts, expected counts under
-    independence (row·col/N), and per-cell χ² contributions — the
-    feature-dependence screen (crosstab q182's inferential upgrade; sums
-    of chi2_term against the χ² quantile decide "are these columns
-    independent" for mixture/stratification design).
-
-    Scale: one dim-broadcast join + one (segment, priority) agg on the
-    facts; margins and expectations are arithmetic over the tiny
-    contingency table (|segments|x|priorities| rows)."""
-    o = load_table(spark, sf_dir, "orders")
-    c = load_table(spark, sf_dir, "customer")
-    obs = (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
-        .groupBy(
-            F.col("c_mktsegment").alias("segment"),
-            F.col("o_orderpriority").alias("priority"),
-        )
-        .agg(F.count("*").cast("bigint").alias("n"))
-    )
-    rt = obs.groupBy("segment").agg(F.sum("n").cast("bigint").alias("row_n"))
-    ct = obs.groupBy("priority").agg(F.sum("n").cast("bigint").alias("col_n"))
-    tot = obs.agg(F.sum("n").cast("bigint").alias("total"))
-    e = F.col("row_n").cast("double") * F.col("col_n") / F.col("total")
-    return (
-        obs.join(F.broadcast(rt), "segment")
-        .join(F.broadcast(ct), "priority")
-        .crossJoin(F.broadcast(tot))
-        .select(
-            "segment",
-            "priority",
-            "n",
-            F.round(e, 6).alias("expected"),
-            F.round(F.pow(F.col("n") - e, F.lit(2.0)) / e, 6).alias("chi2_term"),
-        )
-    )
-
-
-@register(
-    "q232_decile_bins",
-    oracle=f"""
-    WITH t AS (
-      SELECT o_totalprice,
-             ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS decile
-      FROM orders
-    )
-    SELECT decile, CAST(count(*) AS BIGINT) AS n,
-           min(o_totalprice) AS lo, max(o_totalprice) AS hi,
-           {N.exact_avg_sql('o_totalprice')} AS avg_price
-    FROM t GROUP BY decile
-    """,
-)
-def q232_decile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Equi-height decile binning of order value (``ntile(10)`` with the
-    (price, orderkey) total order, so ties split deterministically):
-    per-bin population, bounds, and exact-decimal mean — the binned
-    feature/price-band table a monotone calibration or band-pricing
-    report starts from, and the exact twin of q219's sampled range
-    splits.
-
-    Scale note: a global ntile is a total sort — fine for
-    dimension-sized tables; at fact scale swap in q219's
-    cumulative-histogram split points (documented trade: exact bin
-    populations vs one global sort)."""
-    o = load_table(spark, sf_dir, "orders")
-    t = o.select(
-        "o_totalprice",
-        F.ntile(10)
-        .over(Window.orderBy("o_totalprice", "o_orderkey"))
-        .cast("long")
-        .alias("decile"),
-    )
-    return t.groupBy("decile").agg(
-        F.count("*").cast("bigint").alias("n"),
-        F.min("o_totalprice").alias("lo"),
-        F.max("o_totalprice").alias("hi"),
-        N.exact_avg(F.col("o_totalprice")).alias("avg_price"),
-    )
-
-
 # --------------------------------------------------------------------------
 # Driver-window rotation
 # --------------------------------------------------------------------------
@@ -12229,76 +11741,36 @@ _DRIVER_VERIFIED = frozenset(
         "q134", "q148", "q165", "q166",
     ]
     + [f"q{i}" for i in range(167, 182)]
+    # CORRECTNESS_r06: 46 hash-green + 4 no_oracle (q32-q35 MLlib,
+    # ε-gated by design — re-running can't upgrade them, their gates are
+    # tests/test_ml_quality.py, so they count as driver-checked).  The
+    # round-6 window was 8 new capabilities (q182-q189) + 6 new r6
+    # queries (q216-q221) + 36 stalest r1/r2-era re-checks (q14-q49),
+    # all green under the dtype-strict harness.
+    + [f"q{i}" for i in range(182, 190)]
+    + [f"q{i}" for i in range(216, 222)]
 )  # matched on the qNN prefix
 
-# Round-6 window (50 entries): the 8 new capability queries (q182-q189,
+# Round-7 window (50 entries): the 3 new capability queries (q222-q224,
 # absent from both lists, so they sort FIRST via the "not verified and
-# not deferred" bucket in _rotate_registry) + the first 42 of the 44
-# below.  VERDICT r5 ordered the window onto the STALEST greens:
-# q14-q50 (37 queries) were last driver-checked in rounds 1-2, BEFORE
-# the harness grew the dtype-strict comparison — re-confirming them
-# under the current exact hash closes that era gap (q32-q35 are
-# rows-only by design; their quality gates live in
-# tests/test_ml_quality.py).  The fillers are hash-checkable NEIGHBORS
-# of the remaining rows-only queries, so every ε-gated family gets a
-# same-round exact-twin re-confirmation; the last two fillers (q62/q63,
-# r3-era greens re-proven locally every run) are displaced past the
-# 50-slot window by q188/q189 — a deliberate trade of two re-checks for
-# two new oracle-checked capabilities.  8 + 37 + 5 = 50 exactly.  Every
-# deferred entry was locally pre-verified at sf0.01 under a vanilla
-# fresh-process session this round (tools/preverify_window.py + the
-# /verify recipe).
+# not deferred" bucket in _rotate_registry) + the 47 below.  VERDICT r6
+# put it plainly: the round-6 second batch (q190-q214, 25 queries — the
+# portable-sketch trilogy, the sampling/estimation family, FD discovery)
+# is locally oracle-green but has NEVER been seen by the driver's
+# independent DuckDB gate — "that is round 7's first job".  They fill
+# slots 4-28.  The remaining 22 slots re-check the stalest greens: the
+# 8 queries displaced from the planned r6 window by q188/q189+q216-q221
+# (q50/q60/q96/q119/q66/q52/q62/q63 — exact-twin neighbors of the
+# ε-gated families) and the 14 stalest r3-era greens not re-checked
+# since round 3 (q71-q95 band, incl. the checkpoint-hygiene watchlist
+# q71/q74 — re-proving them the same round the explicit
+# checkpoint-release contract landed).  3 + 25 + 22 = 50 exactly.
+# (Round 7 note: 8 further drafted queries were DELETED before
+# registration as duplicates of existing capabilities — q149/q98/q120/
+# q114/q75/q152/q115/q93 already cover Benford/funnel/retention/
+# transitions/repetition/edit-distance/chi2/ntile.)
 _DEFERRED = [
-    # -- stalest greens: the full r1/r2 window, re-checked under the
-    #    hardened dtype-strict harness --
-    "q14_top5_words_per_lang",
-    "q15_best_order_per_customer",
-    "q16_monthly_order_rollup",
-    "q17_hourly_event_stats",
-    "q18_user_sessions",
-    "q19_customer_running_total",
-    "q20_wordcount_top100",
-    "q21_json_props_stats",
-    "q22_user_type_pivot",
-    "q23_doc_fingerprints",
-    "q24_exact_dedup",
-    "q25_ngram_jaccard_pairs",
-    "q26_minhash_lsh_pairs",
-    "q27_simhash_near_dups",
-    "q28_text_quality",
-    "q29_knn_bruteforce",
-    "q30_ann_lsh_pairs",
-    "q31_tfidf_top_terms",
-    "q32_als_recommendations",   # rows-only (MLlib); ε-gate in tests
-    "q33_kmeans_clusters",       # rows-only (MLlib); ε-gate in tests
-    "q34_mllib_minhash_pairs",   # rows-only (MLlib); ε-gate in tests
-    "q35_pca_variance",          # rows-only (MLlib); ε-gate in tests
-    "q36_stream_hourly_counts",
-    "q37_stream_sliding_avg",
-    "q38_stream_dedup_counts",
-    "q39_binary_features",
-    "q40_word_cooccurrence",
-    "q41_sales_rollup",
-    "q42_status_priority_cube",
-    "q43_salted_user_totals",
-    "q44_last_signup_asof",
-    "q45_type_user_stats",
-    "q46_inactive_automobile_customers",
-    "q47_stream_session_windows",
-    "q48_stateful_user_totals",
-    "q49_supplier_region_revenue",
-    "q50_brand_sales",
-    # -- exact-twin neighbors of the rows-only families --
-    "q60_price_percentiles",     # exact-percentile twin of q162 (KLL)
-    "q96_rolling_distinct_users",  # exact-distinct twin of q54/q139 (HLL)
-    "q119_source_overlap_matrix",  # exact set-overlap twin of q163 (theta)
-    "q66_ngram_langid",          # deterministic lang-id twin of q91
-    "q52_embedding_neardup_docs",  # exact-cosine twin of q55 (IVF ANN)
-    "q62_clicks_before_error",   # binned range join (r3-era green)
-    "q63_curated_corpus",        # widest composed pipeline (r3-era green)
-    # -- past the 50-slot window BY DESIGN: locally green this round
-    #    (oracle parity at sf0.001 AND sf0.01 under a vanilla session),
-    #    rotates into the round-7 driver window (q190-q221, 31 entries) --
+    # -- the 25 never-driver-checked round-6 queries (VERDICT r6 #1) --
     "q190_session_window_batch",
     "q191_portable_hll_users",
     "q192_kmv_theta_overlap",
@@ -12324,6 +11796,32 @@ _DEFERRED = [
     "q212_rollup_consistency_audit",
     "q213_rolling_median_revenue",
     "q214_conversion_latency",
+    # -- re-checks: displaced from the r6 window (exact twins of the
+    #    ε-gated families) --
+    "q50_brand_sales",
+    "q60_price_percentiles",     # exact-percentile twin of q162 (KLL)
+    "q96_rolling_distinct_users",  # exact-distinct twin of q54/q139 (HLL)
+    "q119_source_overlap_matrix",  # exact set-overlap twin of q163 (theta)
+    "q66_ngram_langid",          # deterministic lang-id twin of q91
+    "q52_embedding_neardup_docs",  # exact-cosine twin of q55 (IVF ANN)
+    "q62_clicks_before_error",   # binned range join (r3-era green)
+    "q63_curated_corpus",        # widest composed pipeline (r3-era green)
+    # -- re-checks: r3-era greens, stalest remaining; q71/q74 are the
+    #    checkpoint-release watchlist --
+    "q71_neardup_components",
+    "q74_ann_recall",
+    "q76_stream_late_data",
+    "q77_incremental_dedup",
+    "q78_shard_packing",
+    "q79_context_chunks",
+    "q80_benchmark_decontaminate",
+    "q81_balanced_mixture",
+    "q84_stream_stream_join",
+    "q86_boilerplate_lines",
+    "q87_zorder_layout",
+    "q89_frequent_itemsets",
+    "q94_shipping_priority",
+    "q95_large_volume_customers",
 ]
 
 

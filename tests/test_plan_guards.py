@@ -19,6 +19,7 @@ ALLOWED = {
     "q29_knn_bruteforce",        # exact similarity baseline (documented)
     "q31_tfidf_top_terms",       # 1-row corpus-size broadcast
     "q32_als_recommendations",   # MLlib-internal recommendForAllUsers
+    "q222_als_surfaces",         # MLlib-internal recommendForAll{Users,Items}
     "q74_ann_recall",            # contains the exact baseline side
     "q81_balanced_mixture",      # 1-row min-count broadcast
     "q88_pmi_collocations",      # 1-row corpus-size broadcast (q31 pattern)

@@ -91,6 +91,8 @@ NOTES = {
     "q204_join_size_estimate": "cc-collapse, no joins, 1 tiny window",
     "q211_shard_rebalance_cost": "explode x10 weights, max_by argmax agg",
     "q217_scd2_point_in_time_join": "q179 window build + user-key PIT join",
+    "q223_multiset_setops": "bag set-ops: per-key count agg, no join/sort",
+    "q224_lsh_rerank_topk": "LSH bucket equi-join + exact rerank window",
 }
 
 TABLE_HEAD = "| Query | sf | sec (warm) | sec (cold) | Notes | Run date |"
