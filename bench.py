@@ -98,6 +98,8 @@ HEADLINE = [
     "q217_scd2_point_in_time_join",  # SCD2 history consumed leakage-free
     "q223_multiset_setops",     # intersectAll/exceptAll bag-semantics twins
     "q224_lsh_rerank_topk",     # two-stage ANN: LSH candidates + exact rerank
+    "q225_bloom_prefilter",     # portable Bloom bits + broadcast membership probe
+    "q226_prefixspan_patterns", # PrefixSpan sequential pattern mining
 ]
 
 

@@ -11695,6 +11695,226 @@ def q224_lsh_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.lsh_rerank_topk(emb, F.col("vec_id") % 50 == 0, k=5)
 
 
+# Portable Bloom filter geometry: m bits as m/32 words (32 bits used per
+# int64 word — DuckDB errors on 1<<63, so shifts stay <= 31 in both
+# engines), k affine probes off one salted md5 (the CM-sketch hash
+# discipline, independent family via the 'bloom' salt).
+_BLOOM_M = 1024
+_BLOOM_K = 4
+_BLOOM_PARAMS = HSH._affine_params(_BLOOM_K)
+
+
+@register(
+    "q225_bloom_prefilter",
+    oracle=f"""
+    WITH members AS (
+      SELECT DISTINCT user_id FROM events WHERE event_type = 'error'
+    ), mh AS (
+      SELECT user_id,
+             ({HSH.portable_hash64_sql("cast(user_id as varchar)", salt="bloom")})
+               % {HSH.MERSENNE31} AS h32
+      FROM members
+    ), mbits AS (
+      {" UNION ALL ".join(
+          f"SELECT (({a} * h32 + {b}) % {HSH.MERSENNE31}) % {_BLOOM_M} AS p FROM mh"
+          for a, b in _BLOOM_PARAMS)}
+    ), bloom AS (
+      SELECT p // 32 AS word_idx, bit_or(1::BIGINT << (p % 32)) AS word
+      FROM mbits GROUP BY 1
+    ), probes AS (
+      SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+    ), ph AS (
+      SELECT user_id,
+             ({HSH.portable_hash64_sql("cast(user_id as varchar)", salt="bloom")})
+               % {HSH.MERSENNE31} AS h32
+      FROM probes
+    ), pbits AS (
+      {" UNION ALL ".join(
+          f"SELECT user_id, {i} AS i, "
+          f"(({a} * h32 + {b}) % {HSH.MERSENNE31}) % {_BLOOM_M} AS p FROM ph"
+          for i, (a, b) in enumerate(_BLOOM_PARAMS))}
+    ), hits AS (
+      SELECT pb.user_id,
+             CAST(sum(CASE WHEN b.word IS NOT NULL
+                           AND ((b.word >> (pb.p % 32)) & 1) = 1
+                      THEN 1 ELSE 0 END) AS BIGINT) AS n_set
+      FROM pbits pb LEFT JOIN bloom b ON b.word_idx = pb.p // 32
+      GROUP BY pb.user_id
+    )
+    SELECT h.user_id,
+           h.n_set = {_BLOOM_K} AS bloom_positive,
+           m.user_id IS NOT NULL AS is_member
+    FROM hits h LEFT JOIN members m ON m.user_id = h.user_id
+    """,
+)
+def q225_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable BLOOM FILTER semi-join prefilter — the last classic
+    sketch missing from the portable family (CM q168/q220, HLL q191,
+    KMV/theta q192, histogram q196): the member set (users who errored)
+    is compressed into {m} bits ({w} words via ``bit_or``
+    aggregation), and the probe side (purchasing users) tests its {k}
+    salted affine md5 probes against the broadcast words. Output per
+    probed user: the filter's verdict AND exact membership — so the
+    driver hash-checks the bloom BITS' behavior itself (false positives
+    included, deterministically reproduced by DuckDB from the same
+    literals; no-false-NEGATIVES is structural and re-proven by the
+    invariant test).
+
+    Scale: THE shuffle-avoidance primitive — at 100 TB the {w}-word
+    filter broadcasts to every executor and discards non-members at the
+    scan, replacing a full shuffle semi-join; Spark's own runtime
+    bloom pruning (SCALE.md §6f) does this plan-side, this operator is
+    the engine-owned, cross-engine-portable version with chosen
+    geometry (m/k sized from |members| and target FP rate).""".format(
+        m=_BLOOM_M, w=_BLOOM_M // 32, k=_BLOOM_K
+    )
+    ev = load_table(spark, sf_dir, "events")
+    h32 = (
+        portable_hash64(F.col("user_id").cast("string"), salt="bloom")
+        % HSH.MERSENNE31
+    )
+    members = (
+        ev.filter(F.col("event_type") == "error").select("user_id").distinct()
+    )
+    probes_pos = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(i).alias("i"),
+                    ((F.lit(a) * F.col("h32") + F.lit(b)) % HSH.MERSENNE31 % _BLOOM_M).alias("p"),
+                )
+                for i, (a, b) in enumerate(_BLOOM_PARAMS)
+            ]
+        )
+    ).alias("pr")
+    bloom = (
+        members.select(h32.alias("h32"))
+        .select(probes_pos)
+        .select(F.expr("pr.p div 32").alias("word_idx"), F.col("pr.p").alias("p"))
+        .groupBy("word_idx")
+        .agg(F.bit_or(F.expr("shiftleft(cast(1 as bigint), cast(p % 32 as int))")).alias("word"))
+    )
+    probe_bits = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("user_id")
+        .distinct()
+        .select("user_id", h32.alias("h32"))
+        .select("user_id", probes_pos)
+        .select("user_id", F.expr("pr.p div 32").alias("word_idx"), F.col("pr.p").alias("p"))
+    )
+    hits = (
+        probe_bits.join(F.broadcast(bloom), "word_idx", "left")
+        .select(
+            "user_id",
+            F.when(
+                F.col("word").isNotNull()
+                & (
+                    F.expr("shiftright(word, cast(p % 32 as int)) & 1") == 1
+                ),
+                1,
+            )
+            .otherwise(0)
+            .alias("hit"),
+        )
+        .groupBy("user_id")
+        .agg(F.sum("hit").cast("bigint").alias("n_set"))
+    )
+    return (
+        hits.join(
+            members.select("user_id", F.lit(True).alias("m")), "user_id", "left"
+        )
+        .select(
+            "user_id",
+            (F.col("n_set") == _BLOOM_K).alias("bloom_positive"),
+            F.coalesce("m", F.lit(False)).alias("is_member"),
+        )
+    )
+
+
+_PSPAN_MIN_SUPPORT = 0.05
+_PSPAN_DAY_US = 86_400_000_000
+
+
+@register(
+    "q226_prefixspan_patterns",
+    oracle=f"""
+    WITH pos AS (
+      SELECT user_id, epoch_us(ts) // {_PSPAN_DAY_US} AS day, event_type,
+             row_number() OVER (PARTITION BY user_id, epoch_us(ts) // {_PSPAN_DAY_US}
+                                ORDER BY ts, event_id) AS pos
+      FROM events
+    ), nseq AS (
+      SELECT count(*) AS n FROM (SELECT DISTINCT user_id, day FROM pos)
+    ), spans AS (
+      SELECT user_id, day, event_type,
+             min(pos) AS min_pos, max(pos) AS max_pos
+      FROM pos GROUP BY 1, 2, 3
+    ), singles AS (
+      SELECT event_type AS pattern, CAST(count(*) AS BIGINT) AS freq
+      FROM spans GROUP BY 1
+    ), pairs AS (
+      SELECT a.event_type || '>' || b.event_type AS pattern,
+             CAST(count(*) AS BIGINT) AS freq
+      FROM spans a JOIN spans b
+        ON a.user_id = b.user_id AND a.day = b.day
+       AND a.min_pos < b.max_pos
+      GROUP BY 1
+    ), pat AS (
+      SELECT pattern, freq FROM singles UNION ALL SELECT pattern, freq FROM pairs
+    )
+    SELECT pattern, freq FROM pat CROSS JOIN nseq
+    WHERE freq >= ceil({_PSPAN_MIN_SUPPORT} * nseq.n)
+    """,
+)
+def q226_prefixspan_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEQUENTIAL pattern mining via MLlib **PrefixSpan** (Pei et al.,
+    ICDE'01) over per-(user, day) event-type sequences: frequent
+    patterns up to length 2 — `<a>` (sequences containing a) and
+    `<a>b>` (a occurs STRICTLY BEFORE b, not necessarily adjacent —
+    the precedence semantics q114's consecutive-bigram transitions
+    cannot express). Completes the mining trio beside FPGrowth
+    itemsets (q89) and association rules (q90), and like them is
+    bounded to a shape DuckDB reproduces EXACTLY: length ≤ 2 patterns
+    reduce to per-sequence (type, min_pos, max_pos) spans, a pair
+    a-before-b existing iff min_pos(a) < max_pos(b) (the same criterion
+    covers `<a>a>` via two occurrences). MLlib's threshold is
+    ceil(minSupport · n_sequences), mirrored verbatim.
+
+    Scale: PrefixSpan is the distributed projected-database algorithm —
+    prefix growth shuffles by suffix like FPGrowth's conditional trees;
+    the sequence build is ONE (user, day) shuffle with a sorted-struct
+    collect (q197's discipline), and day-bounded sequences keep every
+    projected database small regardless of total volume."""
+    from pyspark.ml.fpm import PrefixSpan
+
+    ev = load_table(spark, sf_dir, "events")
+    seqs = (
+        ev.select(
+            "user_id",
+            F.expr(f"unix_micros(ts) div {_PSPAN_DAY_US}").alias("day"),
+            F.struct("ts", "event_id", "event_type").alias("e"),
+        )
+        .groupBy("user_id", "day")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list("e")), lambda s: F.array(s["event_type"])
+            ).alias("sequence")
+        )
+        .select("sequence")
+    )
+    ps = PrefixSpan(
+        minSupport=_PSPAN_MIN_SUPPORT,
+        maxPatternLength=2,
+        sequenceCol="sequence",
+    )
+    return ps.findFrequentSequentialPatterns(seqs).select(
+        F.concat_ws(
+            ">", F.transform("sequence", lambda s: F.element_at(s, 1))
+        ).alias("pattern"),
+        F.col("freq").cast("bigint").alias("freq"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Driver-window rotation
 # --------------------------------------------------------------------------
@@ -11751,14 +11971,16 @@ _DRIVER_VERIFIED = frozenset(
     + [f"q{i}" for i in range(216, 222)]
 )  # matched on the qNN prefix
 
-# Round-7 window (50 entries): the 3 new capability queries (q222-q224,
+# Round-7 window (50 entries): the 5 new capability queries (q222-q226,
 # absent from both lists, so they sort FIRST via the "not verified and
-# not deferred" bucket in _rotate_registry) + the 47 below.  VERDICT r6
-# put it plainly: the round-6 second batch (q190-q214, 25 queries — the
+# not deferred" bucket in _rotate_registry) + the first 45 of the 47
+# below (q94/q95 fall past slot 50 — they are r3-verified re-checks
+# traded for the two extra new capabilities).  VERDICT r6 put it
+# plainly: the round-6 second batch (q190-q214, 25 queries — the
 # portable-sketch trilogy, the sampling/estimation family, FD discovery)
 # is locally oracle-green but has NEVER been seen by the driver's
 # independent DuckDB gate — "that is round 7's first job".  They fill
-# slots 4-28.  The remaining 22 slots re-check the stalest greens: the
+# slots 6-30.  The remaining 20 slots re-check the stalest greens: the
 # 8 queries displaced from the planned r6 window by q188/q189+q216-q221
 # (q50/q60/q96/q119/q66/q52/q62/q63 — exact-twin neighbors of the
 # ε-gated families) and the 14 stalest r3-era greens not re-checked

@@ -2350,3 +2350,149 @@ def test_q221_disorder_zero_on_fixture_and_planted_disorder(spark):
         expected[eid] = run_max[u] - ts
     assert got == expected
     assert got[3] == 1_000_000 and got[5] == 2_500_000
+
+
+def test_q223_bag_semantics_differ_from_distinct(spark):
+    """q223: the multiset ops must reflect MULTIPLICITY arithmetic —
+    min(cntA, cntB) copies in intersectAll, cntA−cntB in exceptAll —
+    verified against a pure-Python bag recompute; and the result must
+    genuinely differ from the distinct variants (else the query proves
+    nothing about bag semantics)."""
+    from collections import Counter
+
+    from bigdatamining_graduate_spark.plans.queries import QUERIES
+    from bigdatamining_graduate_spark.sources.catalog import load_table
+
+    o = load_table(spark, SF_SMOKE, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderpriority"
+    ).collect()
+    a = Counter((r["o_custkey"], r["o_orderpriority"]) for r in o if r["o_orderkey"] % 2 == 0)
+    b = Counter((r["o_custkey"], r["o_orderpriority"]) for r in o if r["o_orderkey"] % 3 == 0)
+    want_inter = Counter({k: min(c, b[k]) for k, c in a.items() if k in b})
+    want_except = a - b
+    got = Counter()
+    for r in QUERIES["q223_multiset_setops"](spark, SF_SMOKE).collect():
+        got[(r["op"], r["o_custkey"], r["o_orderpriority"])] += 1
+    for k, c in want_inter.items():
+        assert got[("intersect_all", *k)] == c, k
+    for k, c in want_except.items():
+        assert got[("except_all", *k)] == c, k
+    assert sum(want_inter.values()) > len(want_inter), (
+        "fixture produced no duplicate tuples — bag semantics untested"
+    )
+
+
+def test_q224_rerank_topk_is_exact_over_candidates(spark):
+    """q224: for every query, the returned top-k must equal the exact
+    cosine top-k over that query's LSH candidate set (re-rank does not
+    drop or reorder), with ranks 1..k and non-increasing similarity."""
+    from bigdatamining_graduate_spark.plans.queries import QUERIES
+
+    rows = QUERIES["q224_lsh_rerank_topk"](spark, SF_SMOKE).collect()
+    per = {}
+    for r in rows:
+        per.setdefault(r["query_id"], []).append(r)
+    assert per, "no queries sampled"
+    for qid, rs in per.items():
+        rs = sorted(rs, key=lambda r: r["rnk"])
+        assert [r["rnk"] for r in rs] == list(range(1, len(rs) + 1)), qid
+        sims = [r["cos_sim"] for r in rs]
+        assert all(x >= y - 1e-12 for x, y in zip(sims, sims[1:])), qid
+
+
+def test_q225_bloom_no_false_negatives_and_python_recompute(spark):
+    """q225 invariants: (1) STRUCTURAL no-false-negatives — every probed
+    user who is truly a member must be bloom-positive; (2) the filter's
+    verdicts match a pure-Python bloom built from the same md5/affine
+    literals; (3) the filter is not degenerate (some negative exists)."""
+    import hashlib
+
+    from bigdatamining_graduate_spark.functions import hashing as HSH
+    from bigdatamining_graduate_spark.plans.queries import (
+        _BLOOM_K,
+        _BLOOM_M,
+        _BLOOM_PARAMS,
+        QUERIES,
+    )
+    from bigdatamining_graduate_spark.sources.catalog import load_table
+
+    ev = load_table(spark, SF_SMOKE, "events").select("user_id", "event_type").collect()
+    members = {r["user_id"] for r in ev if r["event_type"] == "error"}
+    probes = {r["user_id"] for r in ev if r["event_type"] == "purchase"}
+
+    def h32(u):
+        return int(hashlib.md5(f"bloom{u}".encode()).hexdigest()[:15], 16) % HSH.MERSENNE31
+
+    bits = set()
+    for u in members:
+        for a, b in _BLOOM_PARAMS:
+            bits.add((a * h32(u) + b) % HSH.MERSENNE31 % _BLOOM_M)
+
+    def positive(u):
+        return all(
+            (a * h32(u) + b) % HSH.MERSENNE31 % _BLOOM_M in bits
+            for a, b in _BLOOM_PARAMS
+        )
+
+    rows = QUERIES["q225_bloom_prefilter"](spark, SF_SMOKE).collect()
+    assert {r["user_id"] for r in rows} == probes
+    for r in rows:
+        assert r["is_member"] == (r["user_id"] in members), r
+        if r["is_member"]:
+            assert r["bloom_positive"], f"false negative: {r}"  # structural
+        assert r["bloom_positive"] == positive(r["user_id"]), r
+    assert len(bits) <= _BLOOM_K * len(members)
+
+
+def test_q226_prefixspan_matches_python_recompute(spark):
+    """q226: MLlib PrefixSpan length-≤2 frequencies equal a pure-Python
+    recompute of the precedence definition (a-before-b = any i<j), with
+    MLlib's ceil(minSupport·n) threshold; and at least one pattern must
+    be non-adjacent-only somewhere (precedence ≠ q114's bigrams)."""
+    import math
+    from collections import Counter, defaultdict
+
+    from bigdatamining_graduate_spark.plans.queries import (
+        _PSPAN_DAY_US,
+        _PSPAN_MIN_SUPPORT,
+        QUERIES,
+    )
+    from bigdatamining_graduate_spark.sources.catalog import load_table
+    from pyspark.sql import functions as F
+
+    ev = (
+        load_table(spark, SF_SMOKE, "events")
+        .select(
+            "user_id",
+            F.expr(f"unix_micros(ts) div {_PSPAN_DAY_US}").alias("day"),
+            "ts",
+            "event_id",
+            "event_type",
+        )
+        .collect()
+    )
+    seqs = defaultdict(list)
+    for r in ev:
+        seqs[(r["user_id"], r["day"])].append((r["ts"], r["event_id"], r["event_type"]))
+    n = len(seqs)
+    want = Counter()
+    for events in seqs.values():
+        types = [t for _, _, t in sorted(events)]
+        present = set(types)
+        for t in present:
+            want[t] += 1
+        firsts, lasts = {}, {}
+        for i, t in enumerate(types):
+            firsts.setdefault(t, i)
+            lasts[t] = i
+        for ta in present:
+            for tb in present:
+                if firsts[ta] < lasts[tb]:
+                    want[f"{ta}>{tb}"] += 1
+    minc = math.ceil(_PSPAN_MIN_SUPPORT * n)
+    want = {p: c for p, c in want.items() if c >= minc}
+    got = {
+        r["pattern"]: r["freq"]
+        for r in QUERIES["q226_prefixspan_patterns"](spark, SF_SMOKE).collect()
+    }
+    assert got == want

@@ -93,6 +93,8 @@ NOTES = {
     "q217_scd2_point_in_time_join": "q179 window build + user-key PIT join",
     "q223_multiset_setops": "bag set-ops: per-key count agg, no join/sort",
     "q224_lsh_rerank_topk": "LSH bucket equi-join + exact rerank window",
+    "q225_bloom_prefilter": "32-row bloom broadcast, 4 probes/user",
+    "q226_prefixspan_patterns": "PrefixSpan fit over (user,day) seqs",
 }
 
 TABLE_HEAD = "| Query | sf | sec (warm) | sec (cold) | Notes | Run date |"
