@@ -155,3 +155,22 @@ SKETCH_OPS_R6 = [
 @pytest.mark.parametrize("name", SKETCH_OPS_R6)
 def test_sketch_ops_hash_match_at_10x(spark, synth_dir, name):
     assert_matches(QUERIES[name](spark, synth_dir), ORACLE[name], synth_dir)
+
+
+#: round-7 additions at 10x — q223's multiplicity arithmetic must hold as
+#: duplicate-tuple counts grow 10x; q224's bucket populations grow 10x...
+#: no: embeddings are a DIMENSION (copied verbatim), so q224 is pinned for
+#: REGRESSION (identical result), like q74's treatment in §6n; q225's
+#: bloom words must reproduce bit-for-bit with a 10x probe side; q226's
+#: precedence counts grow with (user, day) sequences
+R7_OPS = [
+    "q223_multiset_setops",
+    "q224_lsh_rerank_topk",
+    "q225_bloom_prefilter",
+    "q226_prefixspan_patterns",
+]
+
+
+@pytest.mark.parametrize("name", R7_OPS)
+def test_r7_ops_hash_match_at_10x(spark, synth_dir, name):
+    assert_matches(QUERIES[name](spark, synth_dir), ORACLE[name], synth_dir)
