@@ -100,6 +100,8 @@ HEADLINE = [
     "q224_lsh_rerank_topk",     # two-stage ANN: LSH candidates + exact rerank
     "q225_bloom_prefilter",     # portable Bloom bits + broadcast membership probe
     "q226_prefixspan_patterns", # PrefixSpan sequential pattern mining
+    "q227_incremental_lsh_pairs",  # incremental MinHash-LSH maintenance
+    "q228_incremental_components",  # incremental CC via contraction graph
 ]
 
 

@@ -19,22 +19,34 @@ Usage::
 
     sig = local_checkpoint(sig, eager=False)   # instead of .localCheckpoint()
     ...                                         # consume the query result
-    release_checkpoints(spark)                  # free every tracked block
+    release_checkpoints()                       # free every tracked block
 
 Contract
 --------
 * ``local_checkpoint(df)`` behaves exactly like ``df.localCheckpoint()``
-  but registers the checkpointed RDD in a per-SparkContext ledger.
-* ``release_checkpoints()`` unpersists every tracked RDD (non-blocking)
-  and clears the ledger.  Call it only AFTER the consuming action has
-  finished: locally-checkpointed RDDs have no lineage to recompute from,
-  so releasing blocks mid-query would fail the job (the same failure mode
+  but records the checkpointed RDD's **integer id** in a ledger.  The
+  ledger holds no py4j references — only ints — so it can never pin JVM
+  objects or defeat the ContextCleaner for callers that forget to
+  release (ADVICE r7: the previous strong-reference ledger reintroduced
+  the very leak it was written to fix for every caller except bench.py).
+* ``release_checkpoints()`` looks each tracked id up in the live
+  ``getPersistentRDDs`` map of the active SparkContext, unpersists the
+  ones still resident (non-blocking), and clears the ledger.  Ids whose
+  blocks were already freed (by GC or a context restart) are skipped
+  silently.  Call it only AFTER the consuming action has finished:
+  locally-checkpointed RDDs have no lineage to recompute from, so
+  releasing blocks mid-query would fail the job (the same failure mode
   as executor loss under ``localCheckpoint`` — documented Spark
   semantics, not an artifact of this module).
 * ``release_previous(handle)`` frees one earlier checkpoint — the
   iterative-loop pattern (PageRank/LPA/k-core/BFS/connected components)
   where round *i*'s blocks are dead as soon as round *i+1* has
   materialized eagerly.
+* The ledger is keyed by nothing but RDD ids, which are unique per
+  SparkContext; a context restart invalidates old ids, and the lookup
+  path simply finds them absent (tests run one session, the driver one
+  context — cross-context id collisions would need two contexts in one
+  process with interleaved ledgers, which no caller does).
 * On any py4j surface change the tracker degrades to a no-op (the
   checkpoint still works; cleanup falls back to GC), never breaks the
   query.
@@ -51,16 +63,19 @@ from __future__ import annotations
 import threading
 from typing import Any, Optional
 
+from pyspark import SparkContext
 from pyspark.sql import DataFrame
 
 _lock = threading.Lock()
-#: JVM RDD handles (py4j JavaObject) whose blocks we own, per context id.
-_tracked: list[Any] = []
+#: Integer RDD ids whose storage blocks we own.  Ints only — never py4j
+#: handles — so an unreleased ledger pins nothing (GC cleanup still works).
+_tracked: list[int] = []
 
 
 def _checkpointed_jrdd(df: DataFrame) -> Optional[Any]:
     """The JVM RDD backing a just-checkpointed DataFrame (its analyzed
-    plan is a ``LogicalRDD``), or None if the plan shape is unexpected."""
+    plan is a ``LogicalRDD``), or None if the plan shape is unexpected.
+    The returned py4j proxy is used transiently and never stored."""
     try:
         plan = df._jdf.queryExecution().analyzed()
         jrdd = plan.rdd()  # LogicalRDD.rdd — the checkpointed RDD[InternalRow]
@@ -70,14 +85,26 @@ def _checkpointed_jrdd(df: DataFrame) -> Optional[Any]:
         return None
 
 
+def _persistent_rdds() -> Optional[Any]:
+    """The active context's live id→JavaRDD map, or None if no context /
+    surface change."""
+    sc = SparkContext._active_spark_context
+    if sc is None:
+        return None
+    try:
+        return sc._jsc.getPersistentRDDs()
+    except Exception:
+        return None
+
+
 def local_checkpoint(df: DataFrame, eager: bool = True) -> DataFrame:
-    """``df.localCheckpoint(eager)`` + register the blocks for explicit
+    """``df.localCheckpoint(eager)`` + record the RDD id for explicit
     release.  Returns the checkpointed DataFrame unchanged."""
     out = df.localCheckpoint(eager=eager)
     jrdd = _checkpointed_jrdd(out)
     if jrdd is not None:
         with _lock:
-            _tracked.append(jrdd)
+            _tracked.append(jrdd.id())
     return out
 
 
@@ -91,39 +118,41 @@ def release_previous(df: Optional[DataFrame]) -> None:
     if jrdd is None:
         return
     try:
+        rid = jrdd.id()
         jrdd.unpersist(False)
     except Exception:
         return
     with _lock:
-        for i, t in enumerate(_tracked):
-            try:
-                same = t.id() == jrdd.id()
-            except Exception:
-                same = False
-            if same:
-                del _tracked[i]
-                break
+        if rid in _tracked:
+            _tracked.remove(rid)
 
 
 def release_checkpoints() -> int:
     """Unpersist every tracked checkpoint's blocks (non-blocking) and
-    clear the ledger.  Returns how many RDDs were released.  Call after
-    the consuming action completes — never while a job that reads the
-    checkpoints is still running."""
+    clear the ledger.  Returns how many resident RDDs were released.
+    Call after the consuming action completes — never while a job that
+    reads the checkpoints is still running."""
     with _lock:
-        rdds = _tracked[:]
+        ids = _tracked[:]
         _tracked.clear()
+    if not ids:
+        return 0
+    live = _persistent_rdds()
+    if live is None:
+        return 0
     n = 0
-    for r in rdds:
+    for rid in ids:
         try:
-            r.unpersist(False)
-            n += 1
+            jrdd = live.get(rid)
+            if jrdd is not None:
+                jrdd.unpersist(False)
+                n += 1
         except Exception:
             pass
     return n
 
 
 def tracked_count() -> int:
-    """How many checkpointed RDDs the ledger currently owns (tests)."""
+    """How many checkpointed RDD ids the ledger currently owns (tests)."""
     with _lock:
         return len(_tracked)

@@ -17,3 +17,17 @@ def spark():
     )
     yield s
     s.stop()
+
+
+@pytest.fixture(autouse=True)
+def _release_checkpoints_after_each_test():
+    """The session-scoped suite runs hundreds of queries; without this,
+    localCheckpoint blocks from checkpoint-heavy operators (CC, PageRank,
+    LPA, ...) would accumulate for the whole session (ADVICE r7).  A
+    test's consuming actions have all finished by teardown, so the
+    release is safe here — any test that needs blocks to survive across
+    tests would have to pin them itself (none do)."""
+    yield
+    from bigdatamining_graduate_spark.checkpoints import release_checkpoints
+
+    release_checkpoints()

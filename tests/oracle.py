@@ -44,6 +44,14 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
 
 
 def assert_matches(spark_df, sql: str, sf_dir: str, float_tol: float = 1e-9) -> None:
+    """Compare a Spark result to its DuckDB oracle.
+
+    ``float_tol=0.0`` is the strict mode (driver-equivalent): floats
+    must match bit-for-bit — use it for queries in
+    ``plans.queries.EXACT_FLOATS``, whose float columns are derived
+    from exact decimals/integers so ANY divergence is a real
+    cross-engine disagreement (the class of bug the blanket 1e-9
+    tolerance masked in q212, VERDICT r7)."""
     got = _canon(spark_df.toPandas())
     exp = _canon(run_oracle(sql, sf_dir))
     assert list(got.columns) == list(exp.columns), (

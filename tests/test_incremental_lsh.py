@@ -1,0 +1,120 @@
+"""Incremental MinHash-LSH maintenance (q227): the merge-equals-recompute
+proof (VERDICT r7 #6 — the q203/q209 "incremental == full" discipline
+applied to the q26/q71 LSH pipeline).
+
+Three invariants:
+
+* merged (carried ∪ fresh) pair set == full recompute over the whole
+  corpus, value-for-value;
+* the same through a PERSISTED parquet store roundtrip — base signatures
+  and carried pairs written, read back, and merged with a freshly-banded
+  batch (the shape a daily refresh actually runs);
+* the component closure over merged pairs == closure over full pairs
+  (dedup decisions, not just candidate pairs, are refresh-stable).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from bigdatamining_graduate_spark.operators import dedup as DD
+
+from .conftest import SF_SMOKE
+
+THRESH = 0.5
+
+
+def _docs(spark):
+    from bigdatamining_graduate_spark.sources.catalog import load_table
+
+    return load_table(spark, SF_SMOKE, "documents")
+
+
+def _pairs_key(df):
+    """Sorted (doc_a, doc_b, sig_match) tuples — provenance-blind."""
+    rows = df.select("doc_a", "doc_b", "sig_match").collect()
+    return sorted((r.doc_a, r.doc_b, round(r.sig_match, 9)) for r in rows)
+
+
+def test_merged_equals_full_recompute(spark):
+    docs = _docs(spark)
+    merged = DD.incremental_lsh_pairs(docs, THRESH)
+    full = DD.lsh_candidate_pairs(DD.minhash_signatures(docs), THRESH)
+    assert _pairs_key(merged) == _pairs_key(full)
+    # and the split is a real partition: both provenances non-empty at
+    # this fixture, no pair carries both tags
+    by_src = dict(
+        merged.groupBy("src").count().rdd.map(tuple).collect()
+    )
+    assert set(by_src) == {"carried", "fresh"}
+    assert merged.groupBy("doc_a", "doc_b").count().filter(
+        F.col("count") > 1
+    ).count() == 0
+
+
+def test_store_roundtrip_equals_full(spark, tmp_path):
+    """The persisted-store path: base signatures + carried pairs written
+    to parquet (the 'previous run'), read back, merged with a
+    freshly-banded batch — byte-equal to the full recompute."""
+    docs = _docs(spark)
+    base_docs = docs.filter(~DD._incr_delta_flag())
+    sig_store = str(tmp_path / "sig_store")
+    pair_store = str(tmp_path / "pair_store")
+    base_sig = DD.minhash_signatures(base_docs)
+    base_sig.write.mode("overwrite").parquet(sig_store)
+    DD.lsh_candidate_pairs(base_sig, THRESH).select(
+        "doc_a", "doc_b"
+    ).write.mode("overwrite").parquet(pair_store)
+
+    merged = DD.incremental_lsh_pairs(
+        docs,
+        THRESH,
+        base_sig=spark.read.parquet(sig_store),
+        carried_pairs=spark.read.parquet(pair_store),
+    )
+    full = DD.lsh_candidate_pairs(DD.minhash_signatures(docs), THRESH)
+    assert _pairs_key(merged) == _pairs_key(full)
+
+
+def test_components_merged_equals_full(spark):
+    """Transitive closure (the actual dedup decision) is refresh-stable:
+    components from merged pairs == components from a full recompute."""
+    docs = _docs(spark)
+    merged = DD.incremental_lsh_pairs(docs, THRESH)
+    full = DD.lsh_candidate_pairs(DD.minhash_signatures(docs), THRESH)
+
+    def comp_key(pairs):
+        rows = DD.neardup_components(docs, pairs).collect()
+        return sorted((r.doc_id, r.component, r.csize) for r in rows)
+
+    assert comp_key(merged) == comp_key(full)
+
+
+def test_incremental_components_label_store_roundtrip(spark, tmp_path):
+    """q228's persisted-store path: the base labeling written to
+    parquet (the 'previous run'), read back, and advanced with the
+    batch's fresh pairs via the contraction graph — equal to a full CC
+    recompute over all pairs.  (The in-plan path is driver-checked by
+    q228's full-closure oracle; this pins the read-back path.)"""
+    docs = _docs(spark)
+    base_docs = docs.filter(~DD._incr_delta_flag())
+    base_pairs = DD.lsh_candidate_pairs(
+        DD.minhash_signatures(base_docs), THRESH
+    )
+    store = str(tmp_path / "label_store")
+    DD.neardup_components(base_docs, base_pairs).select(
+        "doc_id", "component"
+    ).write.mode("overwrite").parquet(store)
+
+    inc = DD.incremental_components(
+        docs, THRESH, base_labels=spark.read.parquet(store)
+    )
+    full_pairs = DD.lsh_candidate_pairs(DD.minhash_signatures(docs), THRESH)
+    full = DD.neardup_components(docs, full_pairs)
+
+    def key(df):
+        return sorted(
+            (r.doc_id, r.component, r.csize) for r in df.collect()
+        )
+
+    assert key(inc) == key(full)

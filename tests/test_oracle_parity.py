@@ -6,7 +6,11 @@ from __future__ import annotations
 
 import pytest
 
-from bigdatamining_graduate_spark.plans.queries import ORACLE, QUERIES
+from bigdatamining_graduate_spark.plans.queries import (
+    EXACT_FLOATS,
+    ORACLE,
+    QUERIES,
+)
 
 from .conftest import SF_SMOKE
 from .oracle import assert_matches
@@ -15,7 +19,10 @@ from .oracle import assert_matches
 @pytest.mark.parametrize("name", sorted(ORACLE))
 def test_query_matches_oracle(spark, name):
     df = QUERIES[name](spark, SF_SMOKE)
-    assert_matches(df, ORACLE[name], SF_SMOKE)
+    # EXACT_FLOATS queries compare bit-exactly (driver-equivalent); the
+    # rest keep the 1e-9 tolerance for genuinely float-path outputs.
+    tol = 0.0 if name in EXACT_FLOATS else 1e-9
+    assert_matches(df, ORACLE[name], SF_SMOKE, float_tol=tol)
 
 
 def test_all_queries_run(spark):

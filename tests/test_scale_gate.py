@@ -126,6 +126,23 @@ def test_text_window_hash_match_at_10x(spark, synth_dir, name):
     assert_matches(QUERIES[name](spark, synth_dir), ORACLE[name], synth_dir)
 
 
+def test_incremental_lsh_hash_match_at_10x(spark, synth_dir):
+    """q227 at 10x the corpus (round 8): the carried/fresh split must
+    stay a partition of the full band-collision set as bucket
+    populations and batch size grow 10x — hash-matched against the
+    DuckDB twin, which recomputes the same incremental construction."""
+    name = "q227_incremental_lsh_pairs"
+    assert_matches(QUERIES[name](spark, synth_dir), ORACLE[name], synth_dir)
+
+
+def test_incremental_components_hash_match_at_10x(spark, synth_dir):
+    """q228 at 10x: the contraction-graph labeling must equal the FULL
+    recursive closure (its oracle) as component counts and batch size
+    grow 10x — the merge-equals-recompute proof at scale."""
+    name = "q228_incremental_components"
+    assert_matches(QUERIES[name](spark, synth_dir), ORACLE[name], synth_dir)
+
+
 def test_hll_rollup_epsilon_at_10x(spark, synth_dir):
     check_hll_accuracy(spark, synth_dir)
 

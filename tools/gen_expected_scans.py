@@ -36,6 +36,7 @@ SKIP_PREFIXES = (
     "q57", "q65", "q67", "q71", "q76", "q78", "q84", "q89", "q90", "q91",
     "q102", "q104", "q107", "q110", "q122", "q125", "q133", "q136", "q137",
     "q165", "q166", "q167", "q169", "q170", "q175", "q209", "q220",
+    "q228",  # incremental CC: base labeling + contraction loop run at plan-build
 )
 
 
