@@ -102,6 +102,8 @@ HEADLINE = [
     "q226_prefixspan_patterns", # PrefixSpan sequential pattern mining
     "q227_incremental_lsh_pairs",  # incremental MinHash-LSH maintenance
     "q228_incremental_components",  # incremental CC via contraction graph
+    "q229_delete_aware_components",  # deletion-side bounded reclose
+    "q230_stream_incremental_lsh",  # foreachBatch LSH maintenance (stream == batch)
 ]
 
 

@@ -304,6 +304,27 @@ def _band_cols(j: int) -> list[str]:
     return [f"mh{i}" for i in range(j * LSH_ROWS, (j + 1) * LSH_ROWS)]
 
 
+def signature_bands(sig: DataFrame, *extra_cols: str) -> DataFrame:
+    """(doc_id[, extra...], band, bh): one row per (doc, band) with the
+    band's md5 bucket hash — the LSH bucket key every pair generator
+    equi-joins on."""
+    return sig.select(
+        "doc_id",
+        *extra_cols,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("band"),
+                        F.md5(F.concat_ws("|", *_band_cols(j))).alias("bh"),
+                    )
+                    for j in range(LSH_BANDS)
+                ]
+            )
+        ).alias("b"),
+    ).select("doc_id", *extra_cols, "b.band", "b.bh")
+
+
 def lsh_candidate_pairs(sig: DataFrame, threshold: float) -> DataFrame:
     """LSH banding: a pair is a candidate if ANY band of the signature
     matches exactly; then filter by estimated Jaccard = fraction of equal
@@ -508,6 +529,33 @@ def incremental_lsh_pairs(
     )
 
 
+def filter_pairs_by_signature(
+    cand: DataFrame, sig: DataFrame, threshold: float
+) -> DataFrame:
+    """Attach estimated Jaccard (fraction of equal signature
+    components) to candidate pairs and keep those >= threshold.
+    ``cand`` needs (doc_a, doc_b [, extra cols]); extras pass through."""
+    extra = [c for c in cand.columns if c not in ("doc_a", "doc_b")]
+    sa = sig.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"mh{i}").alias(f"a{i}") for i in range(MINHASH_K)],
+    )
+    sb = sig.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"mh{i}").alias(f"b{i}") for i in range(MINHASH_K)],
+    )
+    agree = sum(
+        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
+        for i in range(MINHASH_K)
+    ) / float(MINHASH_K)
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", agree.alias("sig_match"), *extra)
+        .filter(F.col("sig_match") >= threshold)
+    )
+
+
 def incremental_lsh_pairs_sql(threshold: float) -> str:
     """DuckDB twin of :func:`incremental_lsh_pairs` (in-plan store)."""
     mixed = affine_minhash_exprs_sql(portable_hash64_sql("gram"), MINHASH_K)
@@ -641,6 +689,102 @@ def incremental_components(
         .cast("long")
         .alias("csize"),
     )
+
+
+INCR_DEL_BUCKETS = 10  # doc_id hash bucket 0 (salt "idel") = deleted
+
+
+def _incr_deleted_flag(id_col: str = "doc_id"):
+    """True for documents DELETED from the corpus (deterministic 10%
+    hash slice, own salt — independent of the q227 batch split)."""
+    return (
+        portable_hash64(F.col(id_col).cast("string"), salt="idel")
+        % INCR_DEL_BUCKETS
+        == 0
+    )
+
+
+def delete_aware_components(
+    docs: DataFrame,
+    threshold: float,
+    prev_labels: DataFrame | None = None,
+    pair_store: DataFrame | None = None,
+    deleted_flag=None,
+) -> DataFrame:
+    """Deletion-side incremental component maintenance — the tombstone /
+    takedown shape (GDPR erasure, robots.txt retro-opt-out) that
+    insert-only maintenance (q227/q228) cannot express: removing a
+    document can SPLIT a component (the deleted doc was the bridge), so
+    labels cannot be advanced by min-propagation alone.  The bounded
+    recompute: components containing NO deleted doc keep their labels
+    verbatim (their members and min ids are untouched); components
+    containing a deleted doc are re-closed from scratch — but only over
+    THEIR remaining members and the pair store filtered to them, so the
+    loop is bounded by the affected subgraph, never the corpus.
+    Deletions never ADD pairs (a pair among remaining docs was already
+    in the store), so no re-banding happens at all.
+
+    The DuckDB oracle is the FULL closure over the remaining corpus, so
+    the driver's hash-match proves bounded-recompute == full-recompute
+    each round (same discipline as q228).  ``prev_labels`` /
+    ``pair_store`` inject the persisted previous state (roundtrip
+    test); ``deleted_flag`` injects a custom deletion predicate (the
+    bridge-split unit test — the fixture's natural dup clusters are
+    pairs, which shrink but never split); defaults derive from ``docs``
+    and the deterministic hash slice.
+    """
+    deleted = _incr_deleted_flag() if deleted_flag is None else deleted_flag
+    if pair_store is None:
+        pair_store = lsh_candidate_pairs(
+            minhash_signatures(docs), threshold
+        ).select("doc_a", "doc_b")
+    pair_store = local_checkpoint(pair_store, eager=False)
+    if prev_labels is None:
+        prev_labels = neardup_components(docs, pair_store).select(
+            "doc_id", "component"
+        )
+    prev_labels = local_checkpoint(prev_labels, eager=False)
+    affected = (
+        prev_labels.filter(deleted).select("component").distinct()
+    )
+    remaining = prev_labels.filter(~deleted)
+    keep = remaining.join(affected, "component", "left_anti").select(
+        "doc_id", "component"
+    )
+    aff_docs = remaining.join(affected, "component").select("doc_id")
+    ra = aff_docs.select(F.col("doc_id").alias("doc_a"))
+    rb = aff_docs.select(F.col("doc_id").alias("doc_b"))
+    aff_pairs = pair_store.join(ra, "doc_a", "left_semi").join(
+        rb, "doc_b", "left_semi"
+    )
+    reclosed = neardup_components(aff_docs, aff_pairs).select(
+        "doc_id", "component"
+    )
+    out = keep.unionByName(reclosed)
+    return out.select(
+        "doc_id",
+        "component",
+        F.count("*")
+        .over(Window.partitionBy("component"))
+        .cast("long")
+        .alias("csize"),
+    )
+
+
+def delete_aware_components_sql(threshold: float) -> str:
+    """DuckDB twin: the FULL recursive closure over the REMAINING corpus
+    (pairs among remaining docs == the pair store filtered to remaining
+    endpoints, since band collisions are pairwise properties)."""
+    flag = (
+        lambda c: f"({portable_hash64_sql(f'cast({c} as varchar)', 'idel')}"
+        f" % {INCR_DEL_BUCKETS}) = 0"
+    )
+    pairs = (
+        f"SELECT doc_a, doc_b FROM ({minhash_lsh_pairs_sql(threshold)})"
+        f" WHERE NOT {flag('doc_a')} AND NOT {flag('doc_b')}"
+    )
+    table = f"(SELECT doc_id FROM documents WHERE NOT {flag('doc_id')})"
+    return neardup_components_sql(pairs, table=table)
 
 
 # -- SimHash ----------------------------------------------------------------

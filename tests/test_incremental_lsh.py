@@ -90,6 +90,84 @@ def test_components_merged_equals_full(spark):
     assert comp_key(merged) == comp_key(full)
 
 
+def test_delete_aware_store_roundtrip(spark, tmp_path):
+    """q229's persisted-store path: the previous labeling AND the pair
+    store written to parquet, read back, advanced through the deletion
+    slice — equal to a full CC recompute over the remaining corpus.
+    Also pins that the bounded path touches real work at this fixture
+    (affected components exist and deleted docs sit inside >1-size
+    clusters)."""
+    docs = _docs(spark)
+    pairs = DD.lsh_candidate_pairs(
+        DD.minhash_signatures(docs), THRESH
+    ).select("doc_a", "doc_b")
+    prev = DD.neardup_components(docs, pairs)
+    assert (
+        prev.filter(DD._incr_deleted_flag()).filter("csize > 1").count()
+        > 0
+    ), "deletion slice misses every cluster — the bounded path is idle"
+    lbl_store = str(tmp_path / "labels")
+    pair_store = str(tmp_path / "pairs")
+    prev.select("doc_id", "component").write.mode("overwrite").parquet(
+        lbl_store
+    )
+    pairs.write.mode("overwrite").parquet(pair_store)
+
+    inc = DD.delete_aware_components(
+        docs,
+        THRESH,
+        prev_labels=spark.read.parquet(lbl_store),
+        pair_store=spark.read.parquet(pair_store),
+    )
+    remaining = docs.filter(~DD._incr_deleted_flag())
+    full_pairs = DD.lsh_candidate_pairs(
+        DD.minhash_signatures(remaining), THRESH
+    )
+    full = DD.neardup_components(remaining, full_pairs)
+
+    def key(df):
+        return sorted(
+            (r.doc_id, r.component, r.csize) for r in df.collect()
+        )
+
+    assert key(inc) == key(full)
+
+
+def test_delete_aware_bridge_split(spark):
+    """The semantics insert-only maintenance cannot express: deleting a
+    BRIDGE doc splits its component.  Crafted store: A—B—C (B bridges),
+    D—E untouched, F singleton; delete B.  The bounded recompute must
+    split {A,B,C} into {A} and {C}, keep {D,E} verbatim, and never
+    touch F."""
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [(i,) for i in (1, 2, 3, 4, 5, 6)], "doc_id: long"
+    )
+    prev = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (4, 4), (5, 4), (6, 6)],
+        "doc_id: long, component: long",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (4, 5)], "doc_a: long, doc_b: long"
+    )
+    out = DD.delete_aware_components(
+        docs,
+        THRESH,
+        prev_labels=prev,
+        pair_store=pairs,
+        deleted_flag=F.col("doc_id") == 2,
+    )
+    got = sorted((r.doc_id, r.component, r.csize) for r in out.collect())
+    assert got == [
+        (1, 1, 1),  # split off
+        (3, 3, 1),  # split off, relabeled to its own min id
+        (4, 4, 2),  # untouched component, label verbatim
+        (5, 4, 2),
+        (6, 6, 1),  # singleton untouched
+    ]
+
+
 def test_incremental_components_label_store_roundtrip(spark, tmp_path):
     """q228's persisted-store path: the base labeling written to
     parquet (the 'previous run'), read back, and advanced with the

@@ -10,6 +10,7 @@ from bigdatamining_graduate_spark.plans.queries import (
     EXACT_FLOATS,
     ORACLE,
     QUERIES,
+    TOLERANT_FLOATS,
 )
 
 from .conftest import SF_SMOKE
@@ -19,9 +20,16 @@ from .oracle import assert_matches
 @pytest.mark.parametrize("name", sorted(ORACLE))
 def test_query_matches_oracle(spark, name):
     df = QUERIES[name](spark, SF_SMOKE)
-    # EXACT_FLOATS queries compare bit-exactly (driver-equivalent); the
-    # rest keep the 1e-9 tolerance for genuinely float-path outputs.
-    tol = 0.0 if name in EXACT_FLOATS else 1e-9
+    # STRICT by default (float_tol=0.0 — driver-equivalent exact
+    # compare): the round-8 two-partitioning sweep proved every
+    # registered oracle query bit-exact, so the 1e-9 tolerance exists
+    # only for explicitly opted-out TOLERANT_FLOATS queries (none
+    # today).  EXACT_FLOATS declarations override any opt-out.
+    tol = (
+        1e-9
+        if name in TOLERANT_FLOATS and name not in EXACT_FLOATS
+        else 0.0
+    )
     assert_matches(df, ORACLE[name], SF_SMOKE, float_tol=tol)
 
 

@@ -143,6 +143,23 @@ def test_incremental_components_hash_match_at_10x(spark, synth_dir):
     assert_matches(QUERIES[name](spark, synth_dir), ORACLE[name], synth_dir)
 
 
+def test_delete_aware_components_hash_match_at_10x(spark, synth_dir):
+    """q229 at 10x: the bounded reclose (only components touching a
+    deletion re-run CC) must equal the FULL closure over the remaining
+    corpus as cluster counts and the deletion slice grow 10x."""
+    name = "q229_delete_aware_components"
+    assert_matches(QUERIES[name](spark, synth_dir), ORACLE[name], synth_dir)
+
+
+def test_stream_incremental_lsh_hash_match_at_10x(spark, synth_dir):
+    """q230 at 10x: three 10x-sized micro-batches through the
+    foreachBatch signature-store maintenance must still emit exactly
+    the full batch recompute (stream == batch as store size and
+    per-trigger band-join volume grow 10x)."""
+    name = "q230_stream_incremental_lsh"
+    assert_matches(QUERIES[name](spark, synth_dir), ORACLE[name], synth_dir)
+
+
 def test_hll_rollup_epsilon_at_10x(spark, synth_dir):
     check_hll_accuracy(spark, synth_dir)
 

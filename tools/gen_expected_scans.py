@@ -37,6 +37,8 @@ SKIP_PREFIXES = (
     "q102", "q104", "q107", "q110", "q122", "q125", "q133", "q136", "q137",
     "q165", "q166", "q167", "q169", "q170", "q175", "q209", "q220",
     "q228",  # incremental CC: base labeling + contraction loop run at plan-build
+    "q229",  # delete-aware CC: prev labeling + bounded reclose run at plan-build
+    "q230",  # streaming LSH maintenance: the stream drains at plan-build
 )
 
 
