@@ -104,6 +104,7 @@ HEADLINE = [
     "q228_incremental_components",  # incremental CC via contraction graph
     "q229_delete_aware_components",  # deletion-side bounded reclose
     "q230_stream_incremental_lsh",  # foreachBatch LSH maintenance (stream == batch)
+    "q231_upsert_aware_lsh",    # content-change maintenance (stale drop + re-band)
 ]
 
 

@@ -691,6 +691,129 @@ def incremental_components(
     )
 
 
+INCR_UPD_BUCKETS = 10  # doc_id hash bucket 0 (salt "iupd") = content changed
+#: deterministic v2 content for changed docs — a real token-level change
+#: (suffix sentence) so signatures, bands, and pair sets genuinely move
+INCR_UPD_SUFFIX = " revised snapshot content"
+
+
+def _incr_updated_flag(id_col: str = "doc_id"):
+    """True for documents whose CONTENT changed between snapshots
+    (deterministic 10% hash slice, own salt)."""
+    return (
+        portable_hash64(F.col(id_col).cast("string"), salt="iupd")
+        % INCR_UPD_BUCKETS
+        == 0
+    )
+
+
+def upsert_aware_lsh_pairs(
+    docs: DataFrame,
+    threshold: float,
+    pair_store: DataFrame | None = None,
+) -> DataFrame:
+    """UPSERT-side near-dup maintenance — the crawl-refresh shape where
+    pages CHANGE content between snapshots (neither pure arrival q227
+    nor pure deletion q229): a deterministic 10% slice of documents is
+    revised (suffix sentence appended — a real token-level change, so
+    signatures and bands genuinely move).  The maintenance step:
+
+    * pairs among UNCHANGED docs are carried verbatim from the t0 pair
+      store — band collisions are pairwise properties, so the unchanged
+      × unchanged subset is identical in both snapshots;
+    * every t0 pair TOUCHING a changed doc is dropped (stale — the
+      content it was computed from no longer exists);
+    * only the changed docs are re-signed and re-banded; their fresh
+      pairs come from bands(changed-v2) ⋈ bands(t1 corpus).
+
+    carried ∪ fresh provably equals the full recompute over the t1
+    corpus (unchanged originals + revised texts), and the DuckDB oracle
+    IS that full t1 recompute — the driver hash-match is the proof.
+    Output: (doc_a, doc_b, sig_match, src) with src ∈
+    {'carried','refreshed'}.
+
+    Scale: re-signing is O(|changed|); the stale-pair drop is two
+    hash-slice anti-filters on the pair store; the only fresh band join
+    is |changed|-sided.  ``pair_store`` injects the persisted t0 pairs
+    (roundtrip test); default derives them in-plan.
+    """
+    changed = _incr_updated_flag()
+    t1 = docs.withColumn(
+        "text",
+        F.when(changed, F.concat(F.col("text"), F.lit(INCR_UPD_SUFFIX)))
+        .otherwise(F.col("text")),
+    )
+    if pair_store is None:
+        pair_store = lsh_candidate_pairs(
+            minhash_signatures(docs), threshold
+        ).select("doc_a", "doc_b")
+    chg_a = _incr_updated_flag("doc_a")
+    chg_b = _incr_updated_flag("doc_b")
+    carried = pair_store.filter(~chg_a & ~chg_b)
+    sig_t1 = local_checkpoint(minhash_signatures(t1), eager=False)
+    bands_all = signature_bands(sig_t1).alias("x")
+    bands_chg = (
+        signature_bands(sig_t1.filter(_incr_updated_flag())).alias("d")
+    )
+    fresh = (
+        bands_chg.join(bands_all, ["band", "bh"])
+        .filter(F.col("d.doc_id") != F.col("x.doc_id"))
+        .select(
+            F.least(F.col("d.doc_id"), F.col("x.doc_id")).alias("doc_a"),
+            F.greatest(F.col("d.doc_id"), F.col("x.doc_id")).alias("doc_b"),
+        )
+        .distinct()
+    )
+    cand = carried.withColumn("src", F.lit("carried")).unionByName(
+        fresh.withColumn("src", F.lit("refreshed"))
+    )
+    return filter_pairs_by_signature(cand, sig_t1, threshold)
+
+
+def upsert_aware_lsh_pairs_sql(threshold: float) -> str:
+    """DuckDB twin: the FULL LSH recompute over the t1 corpus, with the
+    same carried/refreshed provenance split."""
+    flag = (
+        lambda c: f"({portable_hash64_sql(f'cast({c} as varchar)', 'iupd')}"
+        f" % {INCR_UPD_BUCKETS}) = 0"
+    )
+    t1_docs = (
+        f"SELECT doc_id, CASE WHEN {flag('doc_id')} THEN text ||"
+        f" '{INCR_UPD_SUFFIX}' ELSE text END AS text FROM documents"
+    )
+    mixed = affine_minhash_exprs_sql(portable_hash64_sql("gram"), MINHASH_K)
+    mins = ",\n        ".join(
+        f"min({mixed[i]}) AS mh{i}" for i in range(MINHASH_K)
+    )
+    band_selects = "\n      UNION ALL ".join(
+        f"SELECT doc_id, {j} AS band,"
+        f" md5(concat_ws('|', {', '.join(_band_cols(j))})) AS bh FROM sig"
+        for j in range(LSH_BANDS)
+    )
+    agree = " + ".join(
+        f"(CASE WHEN sa.mh{i} = sb.mh{i} THEN 1 ELSE 0 END)"
+        for i in range(MINHASH_K)
+    )
+    return f"""
+    WITH t1 AS ({t1_docs}),
+    grams AS ({doc_grams_sql(table="t1")}),
+    sig AS (SELECT doc_id, {mins} FROM grams GROUP BY doc_id),
+    bands AS ({band_selects}),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CASE WHEN {flag('a.doc_id')} OR {flag('b.doc_id')}
+                  THEN 'refreshed' ELSE 'carried' END AS src
+      FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh
+                               AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b, ({agree}) / {float(MINHASH_K)} AS sig_match, src
+    FROM cand
+    JOIN sig sa ON sa.doc_id = doc_a
+    JOIN sig sb ON sb.doc_id = doc_b
+    WHERE ({agree}) / {float(MINHASH_K)} >= {threshold}
+    """
+
+
 INCR_DEL_BUCKETS = 10  # doc_id hash bucket 0 (salt "idel") = deleted
 
 

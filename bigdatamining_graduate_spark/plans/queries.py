@@ -12080,6 +12080,31 @@ def q230_stream_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ST.stream_incremental_lsh_pairs(spark, sf_dir, 0.5)
 
 
+@register(
+    "q231_upsert_aware_lsh",
+    oracle=DD.upsert_aware_lsh_pairs_sql(0.5),
+)
+def q231_upsert_aware_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UPSERT-side near-dup maintenance — the third and final arrival
+    shape (content CHANGES between snapshots: the crawl-refresh reality
+    neither pure insert q227 nor pure delete q229 covers). A 10%
+    deterministic slice is revised (suffix sentence — signatures and
+    bands genuinely move); pairs among unchanged docs carry verbatim
+    from the t0 pair store, every stale pair touching a changed doc is
+    dropped, and only the changed docs are re-signed/re-banded. The
+    oracle is the FULL LSH recompute over the t1 corpus, so the driver
+    hash-match proves carried ∪ refreshed == full, every round.
+    Provenance column src ∈ {'carried','refreshed'};
+    ``tests/test_incremental_lsh.py`` pins the pair-store roundtrip and
+    that revised docs genuinely change their pair set.
+
+    Scale: re-signing O(|changed|); the stale drop is two hash-slice
+    filters on the pair store; one |changed|-sided band equi-join.
+    Reference parity: extension; anchors ``hw3/hw3.py:125-172``."""
+    docs = load_table(spark, sf_dir, "documents")
+    return DD.upsert_aware_lsh_pairs(docs, 0.5)
+
+
 # --------------------------------------------------------------------------
 # Driver-window rotation
 # --------------------------------------------------------------------------
@@ -12154,8 +12179,8 @@ _DRIVER_VERIFIED = frozenset(
 # end-to-end), whose green re-verification is the round's top directive
 # — followed by the stalest greens: q01-q13 (never re-checked since
 # r2), the q14-q23 band and q41-q46 (r6 re-checks the judge named for
-# rotation), q56-q59 and the 12 stalest r5-era greens (q51-q130 band).
-# 4 new (q227-q230) + q212 + 29 r1/r2-era + 16 r5-era = 50 exactly;
+# rotation), q56-q59 and the 11 stalest r5-era greens (q51-q83 band).
+# 5 new (q227-q231) + q212 + 29 r1/r2-era + 15 r5-era = 50 exactly;
 # >=20 r1/r2-era rows as directed.
 _DEFERRED = [
     # -- the fix re-verification (VERDICT r7 #1) --
@@ -12207,7 +12232,6 @@ _DEFERRED = [
     "q75_rep_ngram_quality",
     "q82_onehot_langs",
     "q83_table_profile",
-    "q130_source_temperature_mix",
 ]
 
 

@@ -168,6 +168,56 @@ def test_delete_aware_bridge_split(spark):
     ]
 
 
+def test_upsert_aware_store_roundtrip(spark, tmp_path):
+    """q231's persisted-store path: the t0 pair store written to
+    parquet, read back, advanced through the content-change slice —
+    equal to a full LSH recompute over the t1 corpus.  Also pins that
+    the revision is REAL work: at least one changed doc's pair set
+    differs between t0 and t1 (otherwise the stale-drop/re-band path
+    would be vacuous)."""
+    from pyspark.sql import functions as F
+
+    docs = _docs(spark)
+    t0_pairs = DD.lsh_candidate_pairs(
+        DD.minhash_signatures(docs), THRESH
+    ).select("doc_a", "doc_b")
+    store = str(tmp_path / "t0_pairs")
+    t0_pairs.write.mode("overwrite").parquet(store)
+
+    inc = DD.upsert_aware_lsh_pairs(
+        docs, THRESH, pair_store=spark.read.parquet(store)
+    )
+    t1 = docs.withColumn(
+        "text",
+        F.when(
+            DD._incr_updated_flag(),
+            F.concat(F.col("text"), F.lit(DD.INCR_UPD_SUFFIX)),
+        ).otherwise(F.col("text")),
+    )
+    full = DD.lsh_candidate_pairs(DD.minhash_signatures(t1), THRESH)
+    assert _pairs_key(inc) == _pairs_key(full)
+
+    # the revision is REAL re-signing work: changed docs' signatures
+    # genuinely differ between snapshots (the pair SET may legitimately
+    # be stable — a one-sided suffix drops an exact-dup pair's
+    # sig_match from 1.0 to ~0.81, still above the 0.5 threshold — but
+    # the sig_match VALUES and the signatures must move)
+    def sigs(src_docs):
+        return {
+            r["doc_id"]: tuple(r[f"mh{i}"] for i in range(DD.MINHASH_K))
+            for r in DD.minhash_signatures(
+                src_docs.filter(DD._incr_updated_flag())
+            ).collect()
+        }
+
+    s0, s1 = sigs(docs), sigs(t1)
+    moved = [d for d in s0 if s0[d] != s1[d]]
+    assert moved, (
+        "content revision changed no changed-doc signature — the "
+        "upsert path is vacuous at this fixture"
+    )
+
+
 def test_incremental_components_label_store_roundtrip(spark, tmp_path):
     """q228's persisted-store path: the base labeling written to
     parquet (the 'previous run'), read back, and advanced with the

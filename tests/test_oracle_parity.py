@@ -33,6 +33,15 @@ def test_query_matches_oracle(spark, name):
     assert_matches(df, ORACLE[name], SF_SMOKE, float_tol=tol)
 
 
+def test_float_declaration_sets_are_coherent():
+    """EXACT_FLOATS / TOLERANT_FLOATS must reference registered
+    oracle-bearing queries and never overlap (an overlapping name would
+    silently resolve to strict, hiding the opt-out)."""
+    assert EXACT_FLOATS <= set(ORACLE)
+    assert TOLERANT_FLOATS <= set(ORACLE)
+    assert not (EXACT_FLOATS & TOLERANT_FLOATS)
+
+
 def test_all_queries_run(spark):
     for name, fn in QUERIES.items():
         assert fn(spark, SF_SMOKE).count() >= 0, name

@@ -160,6 +160,14 @@ def test_stream_incremental_lsh_hash_match_at_10x(spark, synth_dir):
     assert_matches(QUERIES[name](spark, synth_dir), ORACLE[name], synth_dir)
 
 
+def test_upsert_aware_lsh_hash_match_at_10x(spark, synth_dir):
+    """q231 at 10x: carried (t0 store, unchanged x unchanged) plus
+    refreshed (re-banded changed docs) must equal the full t1 recompute
+    as the store and the changed slice grow 10x."""
+    name = "q231_upsert_aware_lsh"
+    assert_matches(QUERIES[name](spark, synth_dir), ORACLE[name], synth_dir)
+
+
 def test_hll_rollup_epsilon_at_10x(spark, synth_dir):
     check_hll_accuracy(spark, synth_dir)
 
