@@ -105,6 +105,7 @@ HEADLINE = [
     "q229_delete_aware_components",  # deletion-side bounded reclose
     "q230_stream_incremental_lsh",  # foreachBatch LSH maintenance (stream == batch)
     "q231_upsert_aware_lsh",    # content-change maintenance (stale drop + re-band)
+    "q232_upsert_aware_components",  # two-phase split+merge label maintenance
 ]
 
 

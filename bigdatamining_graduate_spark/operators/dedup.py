@@ -814,6 +814,128 @@ def upsert_aware_lsh_pairs_sql(threshold: float) -> str:
     """
 
 
+def upsert_aware_components(
+    docs: DataFrame,
+    threshold: float,
+    prev_labels: DataFrame | None = None,
+    pair_store: DataFrame | None = None,
+    fresh_pairs: DataFrame | None = None,
+    changed_flag=None,
+) -> DataFrame:
+    """Component maintenance under CONTENT CHANGE — the general
+    maintenance step, because an update is a delete-then-insert on the
+    pair graph: a changed doc loses every stale edge (its component may
+    SPLIT, q229's case) and gains fresh edges that may link it into ANY
+    other component (a MERGE, q228's case).  Two bounded phases:
+
+    1. **Reclose** (delete side): components containing a changed doc
+       re-close over their carried (unchanged×unchanged) edges — the
+       changed docs participate as edge-less singletons; untouched
+       components keep their labels verbatim.
+    2. **Contract** (insert side): fresh pairs (from the re-banded
+       changed slice, q231) are mapped through the phase-1 labeling and
+       connected components runs on the CONTRACTION graph only.
+
+    Phase-1 cost is bounded by |components touching a change|, phase-2
+    by |labels| + |fresh| — never the corpus.  Correctness is an
+    identity: the t1 pair graph IS carried ∪ fresh, phase 1 computes
+    components of (docs, carried), phase 2 closes them under fresh.
+    The DuckDB oracle is the FULL recursive closure over the t1 pair
+    set, so the driver hash-match proves the two-phase maintenance ==
+    full recompute each round.  ``prev_labels`` / ``pair_store`` inject
+    the persisted t0 state (roundtrip test); ``fresh_pairs`` /
+    ``changed_flag`` inject a crafted change set (the split+merge unit
+    test)."""
+    changed = _incr_updated_flag() if changed_flag is None else changed_flag
+    if pair_store is None:
+        pair_store = lsh_candidate_pairs(
+            minhash_signatures(docs), threshold
+        ).select("doc_a", "doc_b")
+    pair_store = local_checkpoint(pair_store, eager=False)
+    if prev_labels is None:
+        prev_labels = neardup_components(docs, pair_store).select(
+            "doc_id", "component"
+        )
+    prev_labels = local_checkpoint(prev_labels, eager=False)
+    if changed_flag is None:
+        carried = pair_store.filter(
+            ~_incr_updated_flag("doc_a") & ~_incr_updated_flag("doc_b")
+        )
+    else:
+        chg_ids = docs.filter(changed).select("doc_id")
+        carried = pair_store.join(
+            chg_ids.select(F.col("doc_id").alias("doc_a")),
+            "doc_a",
+            "left_anti",
+        ).join(
+            chg_ids.select(F.col("doc_id").alias("doc_b")),
+            "doc_b",
+            "left_anti",
+        )
+    if fresh_pairs is not None:
+        fresh = fresh_pairs.select("doc_a", "doc_b")
+    else:
+        fresh = (
+            upsert_aware_lsh_pairs(docs, threshold, pair_store=pair_store)
+            .filter(F.col("src") == "refreshed")
+            .select("doc_a", "doc_b")
+        )
+    # phase 1: bounded reclose of change-affected components
+    affected = prev_labels.filter(changed).select("component").distinct()
+    keep = prev_labels.join(affected, "component", "left_anti").select(
+        "doc_id", "component"
+    )
+    aff_docs = prev_labels.join(affected, "component").select("doc_id")
+    aff_pairs = carried.join(
+        aff_docs.select(F.col("doc_id").alias("doc_a")), "doc_a", "left_semi"
+    ).join(
+        aff_docs.select(F.col("doc_id").alias("doc_b")), "doc_b", "left_semi"
+    )
+    reclosed = neardup_components(aff_docs, aff_pairs).select(
+        "doc_id", "component"
+    )
+    lbl1 = local_checkpoint(keep.unionByName(reclosed), eager=False)
+    # phase 2: contraction closure under the fresh edges
+    la = lbl1.select(
+        F.col("doc_id").alias("doc_a"), F.col("component").alias("ca")
+    )
+    lb = lbl1.select(
+        F.col("doc_id").alias("doc_b"), F.col("component").alias("cb")
+    )
+    cedges = (
+        fresh.join(la, "doc_a")
+        .join(lb, "doc_b")
+        .filter(F.col("ca") != F.col("cb"))
+        .select(F.col("ca").alias("doc_a"), F.col("cb").alias("doc_b"))
+        .distinct()
+    )
+    cnodes = lbl1.select(F.col("component").alias("doc_id")).distinct()
+    merged = neardup_components(cnodes, cedges, id_col="doc_id").select(
+        F.col("doc_id").alias("component"),
+        F.col("component").alias("new_comp"),
+    )
+    out = lbl1.join(merged, "component").select(
+        "doc_id", F.col("new_comp").alias("component")
+    )
+    return out.select(
+        "doc_id",
+        "component",
+        F.count("*")
+        .over(Window.partitionBy("component"))
+        .cast("long")
+        .alias("csize"),
+    )
+
+
+def upsert_aware_components_sql(threshold: float) -> str:
+    """DuckDB twin: the FULL recursive closure over the t1 pair set —
+    the identity the two-phase maintenance must reproduce."""
+    pairs = (
+        f"SELECT doc_a, doc_b FROM ({upsert_aware_lsh_pairs_sql(threshold)})"
+    )
+    return neardup_components_sql(pairs, table="documents")
+
+
 INCR_DEL_BUCKETS = 10  # doc_id hash bucket 0 (salt "idel") = deleted
 
 

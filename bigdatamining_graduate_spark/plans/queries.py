@@ -12105,6 +12105,33 @@ def q231_upsert_aware_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.upsert_aware_lsh_pairs(docs, 0.5)
 
 
+@register(
+    "q232_upsert_aware_components",
+    oracle=DD.upsert_aware_components_sql(0.5),
+)
+def q232_upsert_aware_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Component maintenance under content change — the GENERAL
+    maintenance step, since an update is delete-then-insert on the pair
+    graph: a changed doc's component may SPLIT (stale edges dropped,
+    q229's case) and the same doc may MERGE into any other component
+    (fresh edges, q228's case). Two bounded phases: (1) components
+    containing a changed doc re-close over their carried edges
+    (changed docs as edge-less singletons; untouched components keep
+    labels verbatim); (2) fresh pairs map through the phase-1 labeling
+    and CC runs on the contraction graph. Oracle = FULL recursive
+    closure over the t1 pair set, so the driver hash-match proves
+    two-phase maintenance == full recompute, every round. Split+merge
+    semantics and the persisted-store roundtrip are pinned in
+    ``tests/test_incremental_lsh.py``.
+
+    Scale: phase 1 bounded by |components touching a change|, phase 2
+    by |labels| + |fresh| — the corpus-sized CC loop never re-runs on
+    refresh. Reference parity: extension; anchors
+    ``hw3/hw3.py:125-172``."""
+    docs = load_table(spark, sf_dir, "documents")
+    return DD.upsert_aware_components(docs, 0.5)
+
+
 # --------------------------------------------------------------------------
 # Driver-window rotation
 # --------------------------------------------------------------------------
@@ -12179,8 +12206,8 @@ _DRIVER_VERIFIED = frozenset(
 # end-to-end), whose green re-verification is the round's top directive
 # — followed by the stalest greens: q01-q13 (never re-checked since
 # r2), the q14-q23 band and q41-q46 (r6 re-checks the judge named for
-# rotation), q56-q59 and the 11 stalest r5-era greens (q51-q83 band).
-# 5 new (q227-q231) + q212 + 29 r1/r2-era + 15 r5-era = 50 exactly;
+# rotation), q56-q59 and the 10 stalest r5-era greens (q51-q82 band).
+# 6 new (q227-q232) + q212 + 29 r1/r2-era + 14 r5-era = 50 exactly;
 # >=20 r1/r2-era rows as directed.
 _DEFERRED = [
     # -- the fix re-verification (VERDICT r7 #1) --
@@ -12231,7 +12258,6 @@ _DEFERRED = [
     "q72_thumbnail_payloads",
     "q75_rep_ngram_quality",
     "q82_onehot_langs",
-    "q83_table_profile",
 ]
 
 

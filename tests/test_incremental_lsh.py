@@ -218,6 +218,85 @@ def test_upsert_aware_store_roundtrip(spark, tmp_path):
     )
 
 
+def test_upsert_components_split_and_merge(spark):
+    """The general maintenance case BOTH simpler shapes miss: one
+    changed doc simultaneously SPLITS its old component and MERGES into
+    another.  Crafted t0: {1,2,3} chained via bridge 2, {4,5}, {6};
+    doc 2's content changes — its stale edges (1,2),(2,3) drop and a
+    fresh edge (2,4) appears.  Expected t1: {1}, {3}, {2,4,5}, {6}."""
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [(i,) for i in (1, 2, 3, 4, 5, 6)], "doc_id: long"
+    )
+    prev = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (4, 4), (5, 4), (6, 6)],
+        "doc_id: long, component: long",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (4, 5)], "doc_a: long, doc_b: long"
+    )
+    fresh = spark.createDataFrame([(2, 4)], "doc_a: long, doc_b: long")
+    out = DD.upsert_aware_components(
+        docs,
+        THRESH,
+        prev_labels=prev,
+        pair_store=pairs,
+        fresh_pairs=fresh,
+        changed_flag=F.col("doc_id") == 2,
+    )
+    got = sorted((r.doc_id, r.component, r.csize) for r in out.collect())
+    assert got == [
+        (1, 1, 1),  # split off the old bridge component
+        (2, 2, 3),  # the changed doc, merged into {4,5}
+        (3, 3, 1),  # split off, relabeled
+        (4, 2, 3),
+        (5, 2, 3),
+        (6, 6, 1),  # untouched singleton
+    ]
+
+
+def test_upsert_components_store_roundtrip(spark, tmp_path):
+    """q232's persisted-store path: t0 labels + t0 pairs from parquet,
+    advanced through the content-change slice — equal to a full CC
+    recompute over the t1 pair graph."""
+    from pyspark.sql import functions as F
+
+    docs = _docs(spark)
+    pairs = DD.lsh_candidate_pairs(
+        DD.minhash_signatures(docs), THRESH
+    ).select("doc_a", "doc_b")
+    prev = DD.neardup_components(docs, pairs).select("doc_id", "component")
+    lbl_store = str(tmp_path / "labels")
+    pair_store = str(tmp_path / "pairs")
+    prev.write.mode("overwrite").parquet(lbl_store)
+    pairs.write.mode("overwrite").parquet(pair_store)
+
+    inc = DD.upsert_aware_components(
+        docs,
+        THRESH,
+        prev_labels=spark.read.parquet(lbl_store),
+        pair_store=spark.read.parquet(pair_store),
+    )
+    t1 = docs.withColumn(
+        "text",
+        F.when(
+            DD._incr_updated_flag(),
+            F.concat(F.col("text"), F.lit(DD.INCR_UPD_SUFFIX)),
+        ).otherwise(F.col("text")),
+    )
+    full = DD.neardup_components(
+        t1, DD.lsh_candidate_pairs(DD.minhash_signatures(t1), THRESH)
+    )
+
+    def key(df):
+        return sorted(
+            (r.doc_id, r.component, r.csize) for r in df.collect()
+        )
+
+    assert key(inc) == key(full)
+
+
 def test_incremental_components_label_store_roundtrip(spark, tmp_path):
     """q228's persisted-store path: the base labeling written to
     parquet (the 'previous run'), read back, and advanced with the

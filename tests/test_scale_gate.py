@@ -168,6 +168,13 @@ def test_upsert_aware_lsh_hash_match_at_10x(spark, synth_dir):
     assert_matches(QUERIES[name](spark, synth_dir), ORACLE[name], synth_dir)
 
 
+def test_upsert_components_hash_match_at_10x(spark, synth_dir):
+    """q232 at 10x: the two-phase reclose+contract labeling must equal
+    the FULL t1 closure as affected-component counts grow 10x."""
+    name = "q232_upsert_aware_components"
+    assert_matches(QUERIES[name](spark, synth_dir), ORACLE[name], synth_dir)
+
+
 def test_hll_rollup_epsilon_at_10x(spark, synth_dir):
     check_hll_accuracy(spark, synth_dir)
 

@@ -39,6 +39,7 @@ SKIP_PREFIXES = (
     "q228",  # incremental CC: base labeling + contraction loop run at plan-build
     "q229",  # delete-aware CC: prev labeling + bounded reclose run at plan-build
     "q230",  # streaming LSH maintenance: the stream drains at plan-build
+    "q232",  # upsert CC: two-phase reclose+contract loops run at plan-build
 )
 
 
