@@ -156,3 +156,40 @@ def tracked_count() -> int:
     """How many checkpointed RDD ids the ledger currently owns (tests)."""
     with _lock:
         return len(_tracked)
+
+
+def tracked_ids() -> frozenset[int]:
+    """Snapshot of the ledger — a token for :func:`release_new_since`.
+
+    The scoped-release pattern for code that runs INSIDE someone else's
+    query (a ``foreachBatch`` handler, a library operator): the global
+    :func:`release_checkpoints` would unpersist blocks the CALLER still
+    owns (ADVICE r8), so such code snapshots the ledger on entry and
+    releases only its own delta on exit."""
+    with _lock:
+        return frozenset(_tracked)
+
+
+def release_new_since(before: frozenset[int]) -> int:
+    """Unpersist only the checkpoints tracked AFTER ``before`` was
+    snapshotted (non-blocking) and drop them from the ledger; entries in
+    ``before`` — the caller's blocks — are left untouched.  Returns how
+    many resident RDDs were released."""
+    with _lock:
+        mine = [rid for rid in _tracked if rid not in before]
+        _tracked[:] = [rid for rid in _tracked if rid in before]
+    if not mine:
+        return 0
+    live = _persistent_rdds()
+    if live is None:
+        return 0
+    n = 0
+    for rid in mine:
+        try:
+            jrdd = live.get(rid)
+            if jrdd is not None:
+                jrdd.unpersist(False)
+                n += 1
+        except Exception:
+            pass
+    return n

@@ -453,11 +453,12 @@ def incremental_lsh_pairs(
     ``base_sig`` / ``carried_pairs`` inject a PERSISTED store (the
     roundtrip test); by default both are derived in-plan from ``docs``.
     """
-    sig_all = local_checkpoint(
-        minhash_signatures(docs).withColumn("is_delta", _incr_delta_flag()),
-        eager=False,
-    )
     if base_sig is not None:
+        # persisted-store path: sign ONLY the batch; the store is read,
+        # never re-signed (and the full-corpus plan is never built —
+        # ADVICE r8: the old unconditional construction checkpointed a
+        # plan the branch below then discarded, leaving a dangling
+        # ledger entry)
         sig_all = (
             base_sig.withColumn("is_delta", F.lit(False))
             .unionByName(
@@ -466,6 +467,13 @@ def incremental_lsh_pairs(
                     eager=False,
                 ).withColumn("is_delta", F.lit(True))
             )
+        )
+    else:
+        sig_all = local_checkpoint(
+            minhash_signatures(docs).withColumn(
+                "is_delta", _incr_delta_flag()
+            ),
+            eager=False,
         )
     bands = sig_all.select(
         "doc_id",

@@ -714,7 +714,11 @@ def stream_incremental_lsh_pairs(
     in three hash-sliced micro-batches (staged files,
     ``maxFilesPerTrigger=1``, arrival order pinned by mtime), and a
     ``foreachBatch`` handler maintains the persisted state a production
-    refresh would — a parquet SIGNATURE STORE appended per batch — and
+    refresh would — a parquet SIGNATURE STORE grown by one
+    batch-id-keyed subdirectory per trigger (mode=overwrite, so a
+    replayed micro-batch overwrites its own previous attempt: the
+    idempotent-sink shape Spark's foreachBatch contract requires for
+    exactly-once) — and
     emits each batch's FRESH pairs (>=1 endpoint in the batch: the
     batch's bands equi-joined against store ∪ batch bands).  Every pair
     is emitted exactly once, in the micro-batch where its LATER endpoint
@@ -760,15 +764,28 @@ def stream_incremental_lsh_pairs(
         os.utime(dst, (1_700_000_000 + i * 100, 1_700_000_000 + i * 100))
 
     def handle(batch_df: DataFrame, bid: int) -> None:
+        # Scoped checkpoint lifetime (ADVICE r8): the handler runs inside
+        # the caller's session, so a global release_checkpoints() here
+        # would unpersist blocks the CALLER still owns.  Snapshot the
+        # ledger on entry, release only this handler's delta on exit.
+        from ..checkpoints import (
+            local_checkpoint,
+            release_new_since,
+            tracked_ids,
+        )
+
+        ledger_before = tracked_ids()
         sig_new = DD.minhash_signatures(batch_df)
-        if glob.glob(os.path.join(sig_store, "*.parquet")):
-            all_sig = spark.read.parquet(sig_store).unionByName(sig_new)
+        if glob.glob(os.path.join(sig_store, "*", "*.parquet")):
+            all_sig = (
+                spark.read.option("recursiveFileLookup", "true")
+                .parquet(sig_store)
+                .unionByName(sig_new)
+            )
         else:
             all_sig = sig_new
         # the two band joins + the signature filter all read these twice
         # — materialize once per batch, release before the next trigger
-        from ..checkpoints import local_checkpoint, release_checkpoints
-
         all_sig = local_checkpoint(all_sig, eager=False)
         bands_new = DD.signature_bands(
             local_checkpoint(sig_new, eager=False)
@@ -801,9 +818,19 @@ def stream_incremental_lsh_pairs(
                 "endpoint is not in this batch — emission is not "
                 "exactly-once"
             )
-        pairs.write.mode("append").parquet(out_dir)
-        sig_new.write.mode("append").parquet(sig_store)
-        release_checkpoints()
+        # Idempotent sink (ADVICE r8 / Spark's foreachBatch exactly-once
+        # contract): each batch lands in its OWN batch-id-keyed
+        # subdirectory with mode=overwrite, so a replayed micro-batch
+        # overwrites its previous attempt instead of double-appending.
+        # Readers use recursiveFileLookup (plain subdirs, no partition
+        # inference — schema unchanged).
+        pairs.write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"batch{bid}")
+        )
+        sig_new.write.mode("overwrite").parquet(
+            os.path.join(sig_store, f"batch{bid}")
+        )
+        release_new_since(ledger_before)
 
     q = (
         spark.readStream.schema(docs.schema)
@@ -817,7 +844,7 @@ def stream_incremental_lsh_pairs(
         .start()
     )
     q.awaitTermination()
-    return spark.read.parquet(out_dir)
+    return spark.read.option("recursiveFileLookup", "true").parquet(out_dir)
 
 
 def _stream_lsh_batch_sql(col: str) -> str:

@@ -1,8 +1,9 @@
 """Local mirror of the driver's DuckDB-oracle comparison.
 
 Collects the Spark result and the DuckDB oracle result, aligns columns by
-sorted name, sorts rows, and compares (exact for ints/strings, tiny
-tolerance for floats so genuinely-broken queries still fail loudly).
+sorted name, sorts rows, and compares — exact for ints/strings AND floats
+(strict by default since round 9; ``TOLERANT_FLOATS`` queries opt out
+explicitly at the call site).
 """
 
 from __future__ import annotations
@@ -43,15 +44,18 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
     return df
 
 
-def assert_matches(spark_df, sql: str, sf_dir: str, float_tol: float = 1e-9) -> None:
+def assert_matches(spark_df, sql: str, sf_dir: str, float_tol: float = 0.0) -> None:
     """Compare a Spark result to its DuckDB oracle.
 
-    ``float_tol=0.0`` is the strict mode (driver-equivalent): floats
-    must match bit-for-bit — use it for queries in
-    ``plans.queries.EXACT_FLOATS``, whose float columns are derived
-    from exact decimals/integers so ANY divergence is a real
-    cross-engine disagreement (the class of bug the blanket 1e-9
-    tolerance masked in q212, VERDICT r7)."""
+    STRICT BY DEFAULT (``float_tol=0.0``, driver-equivalent): floats
+    must match bit-for-bit.  Every registered float column is derived
+    from exact decimals/integers with identical expression trees on
+    both engines, so ANY divergence is a real cross-engine
+    disagreement (the class of bug the old blanket 1e-9 default masked
+    in q212, VERDICT r7).  Call sites for queries in
+    ``plans.queries.TOLERANT_FLOATS`` must OPT OUT by passing a
+    tolerance explicitly (ADVICE r8: the scale-gate and workload call
+    sites now inherit the strict contract instead of a silent 1e-9)."""
     got = _canon(spark_df.toPandas())
     exp = _canon(run_oracle(sql, sf_dir))
     assert list(got.columns) == list(exp.columns), (

@@ -79,3 +79,23 @@ def test_bench_has_no_gc_fallback():
     src = (pathlib.Path(__file__).resolve().parent.parent / "bench.py").read_text()
     assert "gc.collect" not in src
     assert "release_checkpoints" in src
+
+
+def test_scoped_release_spares_callers_blocks(spark):
+    """The token API (ADVICE r8): code running inside someone else's
+    query — a foreachBatch handler, a library operator — snapshots the
+    ledger with ``tracked_ids()`` and releases only its own delta with
+    ``release_new_since``; the caller's blocks stay resident."""
+    CK.release_checkpoints()
+    callers = CK.local_checkpoint(spark.range(500))
+    callers.count()
+    before = CK.tracked_ids()
+    inner = CK.local_checkpoint(spark.range(300))
+    inner.count()
+    assert CK.tracked_count() == 2
+    assert CK.release_new_since(before) == 1
+    assert CK.tracked_count() == 1  # caller's entry survives
+    assert callers.count() == 500  # caller's blocks untouched
+    # releasing an empty delta is a no-op
+    assert CK.release_new_since(CK.tracked_ids()) == 0
+    CK.release_checkpoints()

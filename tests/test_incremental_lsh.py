@@ -325,3 +325,38 @@ def test_incremental_components_label_store_roundtrip(spark, tmp_path):
         )
 
     assert key(inc) == key(full)
+
+
+def test_stream_store_replay_idempotent(spark, tmp_path):
+    """The q230 sink contract (ADVICE r8): every micro-batch lands in its
+    own batch-id-keyed subdirectory with mode=overwrite, so a REPLAYED
+    batch (Spark may retry a foreachBatch micro-batch after failure)
+    overwrites its previous attempt instead of double-appending.  This
+    pins the pattern itself — write the same batch twice, read the store
+    back, exactly one copy — and that the drained stream's emission is
+    deterministic across full re-runs."""
+    import os
+
+    store = str(tmp_path / "pairs_out")
+    batch = spark.range(100).select(
+        F.col("id").alias("doc_a"), (F.col("id") + 1).alias("doc_b")
+    )
+    batch.write.mode("overwrite").parquet(os.path.join(store, "batch0"))
+    # the retry: same batch id, same payload — must overwrite, not add
+    batch.write.mode("overwrite").parquet(os.path.join(store, "batch0"))
+    back = spark.read.option("recursiveFileLookup", "true").parquet(store)
+    assert back.count() == 100
+    # a second batch lands beside it, both visible to the reader
+    batch.write.mode("overwrite").parquet(os.path.join(store, "batch1"))
+    assert (
+        spark.read.option("recursiveFileLookup", "true").parquet(store).count()
+        == 200
+    )
+
+    from bigdatamining_graduate_spark.streaming.jobs import (
+        stream_incremental_lsh_pairs,
+    )
+
+    r1 = stream_incremental_lsh_pairs(spark, SF_SMOKE, THRESH)
+    r2 = stream_incremental_lsh_pairs(spark, SF_SMOKE, THRESH)
+    assert _pairs_key(r1) == _pairs_key(r2)
