@@ -106,6 +106,9 @@ HEADLINE = [
     "q230_stream_incremental_lsh",  # foreachBatch LSH maintenance (stream == batch)
     "q231_upsert_aware_lsh",    # content-change maintenance (stale drop + re-band)
     "q232_upsert_aware_components",  # two-phase split+merge label maintenance
+    "q233_incremental_ivf_assign",  # frozen-quantizer IVF index maintenance
+    "q234_ivf_retrain_trigger", # exact-integer drift/overload retrain audit
+    "q235_store_vacuum_refresh",  # tombstone GC + compaction + refresh read-back
 ]
 
 

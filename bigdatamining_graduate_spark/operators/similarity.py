@@ -560,3 +560,478 @@ def hard_negatives_sql(query_pred_sql: str, k: int = 3) -> str:
       FROM scored)
     WHERE rnk <= {k}
     """
+
+
+# -- Portable IVF: deterministic coarse quantizer + incremental maintenance --
+#
+# The MLlib-KMeans IVF (``ivf_knn`` above, q55) has float centroids and no
+# DuckDB twin, so its index-maintenance step could only ever be gate-checked.
+# This family re-derives the IVF shape from PORTABLE primitives so the
+# maintenance identity is VALUE-ORACLED the way q227-q232 are:
+#
+# * per-dimension int8 scalar quantization (q111's proven-exact codes),
+#   with the min/max stats FROZEN from the base corpus — the stats are
+#   part of the index, exactly as a trained FAISS ScalarQuantizer is;
+# * centroids are SEED VECTORS (k-medoid-style: the ``IVF_P_CELLS`` base
+#   vectors with the smallest salted portable hash) rather than Lloyd
+#   means — integer code-space distances need no float averaging, so
+#   assignment is exact in BOTH engines (KMeans++ initialization without
+#   the float iterations; recall parity vs the refit index is measured,
+#   see tests/test_incremental_ivf.py and SCALE.md §6s);
+# * cell assignment = argmin over seeds of the integer code-space L2,
+#   tie-broken toward the smaller cell id.
+#
+# Reference anchor: ``hw3/hw3.py:125-172`` (the pipeline whose LSH half
+# q227 scales); extension — the reference has no vector index at all.
+
+IVF_P_CELLS = 8       #: coarse cells (→ ~sqrt(corpus) at scale)
+IVF_P_LEVELS = 256    #: int8 codebook, codes 0..255 (q111's geometry)
+IVF_P_BUCKETS = 10    #: vec_id hash buckets; 8-9 = incoming batch (20%)
+IVF_P_HIST = 8
+_IVF_SEED_SALT = "iivfs"
+_IVF_DELTA_SALT = "iivfd"
+
+
+def _ivf_delta_flag(id_col: str = "vec_id"):
+    """True for vectors in the INCOMING batch (deterministic 20% hash
+    slice — the q227 arrival convention on the embeddings table)."""
+    from ..functions.hashing import portable_hash64
+
+    return (
+        portable_hash64(F.col(id_col).cast("string"), salt=_IVF_DELTA_SALT)
+        % IVF_P_BUCKETS
+        >= IVF_P_HIST
+    )
+
+
+def _ivf_delta_sql(col: str = "vec_id") -> str:
+    from ..functions.hashing import portable_hash64_sql
+
+    return (
+        f"(({portable_hash64_sql(f'cast({col} as varchar)', _IVF_DELTA_SALT)}"
+        f" % {IVF_P_BUCKETS}) >= {IVF_P_HIST})"
+    )
+
+
+def ivf_quant_stats(base_emb: DataFrame) -> DataFrame:
+    """The frozen quantizer stats: ONE row (mns, mxs) of per-dimension
+    min/max over the BASE corpus (q111's stats pass — |dim|-row
+    aggregate, map-side combine, then packed into broadcastable arrays).
+    Persisting this row IS persisting the scalar quantizer."""
+    ex = base_emb.select(
+        "vec_id", F.posexplode(_as_double("embedding")).alias("dim", "v")
+    )
+    return (
+        ex.groupBy("dim")
+        .agg(F.min("v").alias("mn"), F.max("v").alias("mx"))
+        .groupBy()
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "mn"))),
+                lambda s: s.mn,
+            ).alias("mns"),
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "mx"))),
+                lambda s: s.mx,
+            ).alias("mxs"),
+        )
+    )
+
+
+def ivf_codes(emb: DataFrame, stats: DataFrame) -> DataFrame:
+    """(vec_id, codes array<int>): int8 scalar quantization under the
+    FROZEN stats — a zero-shuffle map (stats ride as a 1-row broadcast).
+    Batch values outside the frozen [mn, mx] clamp to the edge codes
+    (new data can exceed the trained range; the quantizer must not
+    change on refresh)."""
+    L = IVF_P_LEVELS
+    code = lambda x, i: (  # noqa: E731
+        F.when(
+            F.element_at(F.col("mxs"), i + 1)
+            == F.element_at(F.col("mns"), i + 1),
+            F.lit(0),
+        ).otherwise(
+            F.least(
+                F.lit(L - 1),
+                F.greatest(
+                    F.lit(0),
+                    F.floor(
+                        (x.cast("double") - F.element_at(F.col("mns"), i + 1))
+                        / (
+                            F.element_at(F.col("mxs"), i + 1)
+                            - F.element_at(F.col("mns"), i + 1)
+                        )
+                        * L
+                    ).cast("int"),
+                ),
+            )
+        )
+    )
+    return emb.crossJoin(F.broadcast(stats)).select(
+        "vec_id", F.transform(_as_double("embedding"), code).alias("codes")
+    )
+
+
+def ivf_seeds(base_emb: DataFrame, stats: DataFrame) -> DataFrame:
+    """The centroid table: (cell, scode array<int>) — the IVF_P_CELLS
+    base vectors with the smallest salted hash, quantized under the
+    frozen stats.  Selection is a TakeOrdered top-k (per-partition
+    heads, no global sort); cell ids are the hash rank."""
+    from ..functions.hashing import portable_hash64
+
+    h = portable_hash64(F.col("vec_id").cast("string"), salt=_IVF_SEED_SALT)
+    picked = (
+        base_emb.select("vec_id", "embedding", h.alias("h"))
+        .orderBy("h", "vec_id")
+        .limit(IVF_P_CELLS)
+    )
+    ranked = picked.select(
+        "vec_id",
+        "embedding",
+        (
+            F.row_number().over(Window.orderBy("h", "vec_id")) - 1
+        ).cast("int").alias("cell"),
+    )
+    return (
+        ivf_codes(ranked.select("vec_id", "embedding"), stats)
+        .join(ranked.select("vec_id", "cell"), "vec_id")
+        .select("cell", F.col("codes").alias("scode"))
+    )
+
+
+def ivf_assign(emb: DataFrame, stats: DataFrame, seeds: DataFrame) -> DataFrame:
+    """(vec_id, cell, d2): nearest-seed assignment in integer code
+    space, ties to the smaller cell id.  The seed table collapses to a
+    ONE-ROW broadcast array and the argmin runs as an in-row
+    ``aggregate`` over it — assignment is a pure map over the corpus,
+    zero shuffles (the O(|batch|·k) broadcast shape a 100 TB refresh
+    needs; at larger k the same plan holds, only the broadcast grows)."""
+    seed_row = seeds.groupBy().agg(
+        F.array_sort(
+            F.collect_list(F.struct("cell", "scode"))
+        ).alias("seed_arr")
+    )
+    coded = ivf_codes(emb, stats).crossJoin(F.broadcast(seed_row))
+    init = F.struct(
+        F.lit(-1).cast("int").alias("cell"),
+        F.lit(1 << 62).cast("bigint").alias("d2"),
+    )
+
+    def step(acc, s):
+        d2 = F.aggregate(
+            F.zip_with(
+                F.col("codes"),
+                s["scode"],
+                lambda a, b: ((a - b) * (a - b)).cast("bigint"),
+            ),
+            F.lit(0).cast("bigint"),
+            lambda ac, x: ac + x,
+        )
+        return F.when(
+            d2 < acc["d2"],
+            F.struct(s["cell"].alias("cell"), d2.alias("d2")),
+        ).otherwise(acc)
+
+    best = F.aggregate("seed_arr", init, step)
+    return coded.select(
+        "vec_id", best["cell"].alias("cell"), best["d2"].alias("d2")
+    )
+
+
+def incremental_ivf_assign(
+    embeddings: DataFrame,
+    stats_store: DataFrame | None = None,
+    seed_store: DataFrame | None = None,
+    base_assign: DataFrame | None = None,
+) -> DataFrame:
+    """Incremental IVF index maintenance — the q227 discipline reaching
+    the vector store (VERDICT r8 missing #1): an incoming batch (20%
+    hash slice) arrives against an EXISTING index.  The quantizer
+    (frozen stats + seed centroids) is READ from the persisted store,
+    never refit; base assignments are CARRIED verbatim; only the batch
+    is quantized and assigned — O(|batch|·k) with the centroids as a
+    broadcast, zero full-corpus work.
+
+    carried ∪ fresh provably equals assigning the WHOLE corpus under
+    the frozen quantizer — and the DuckDB oracle IS that full
+    assignment, so the driver hash-match re-proves maintained ==
+    rebuild-with-frozen-quantizer every round.  Whether the frozen
+    quantizer is still GOOD is a separate, measured question:
+    :func:`ivf_retrain_trigger` (q234) flags drift, and the recall
+    gate in ``tests/test_incremental_ivf.py`` proves maintained-index
+    recall ≥ refit-index recall − ε against brute-force ground truth.
+
+    ``stats_store`` / ``seed_store`` / ``base_assign`` inject the
+    persisted index (roundtrip test); defaults derive in-plan from the
+    base slice.  Output: (vec_id, cell, d2, src)."""
+    from ..checkpoints import local_checkpoint
+
+    delta = _ivf_delta_flag()
+    base = embeddings.filter(~delta)
+    # the quantizer frames are tiny (1 row / n_cells rows) but feed BOTH
+    # the carried and fresh assignment subtrees — checkpoint them so the
+    # corpus is scanned once per side, not once per reference (the q63
+    # recomputed-subtree trap; the persisted-store path reads parquet
+    # and needs no checkpoint)
+    stats = (
+        stats_store
+        if stats_store is not None
+        else local_checkpoint(ivf_quant_stats(base), eager=False)
+    )
+    seeds = (
+        seed_store
+        if seed_store is not None
+        else local_checkpoint(ivf_seeds(base, stats), eager=False)
+    )
+    carried = (
+        base_assign
+        if base_assign is not None
+        else ivf_assign(base, stats, seeds)
+    ).select("vec_id", "cell", "d2")
+    fresh = ivf_assign(embeddings.filter(delta), stats, seeds).select(
+        "vec_id", "cell", "d2"
+    )
+    return carried.withColumn("src", F.lit("carried")).unionByName(
+        fresh.withColumn("src", F.lit("fresh"))
+    )
+
+
+def _ivf_sql_core() -> str:
+    """Shared CTE prefix: frozen stats from the base slice, clamped
+    codes for ALL vectors, seed selection, integer d2 per (vec, cell)."""
+    from ..functions.hashing import portable_hash64_sql
+
+    L = IVF_P_LEVELS
+    seedh = portable_hash64_sql("cast(vec_id as varchar)", _IVF_SEED_SALT)
+    return f"""
+    ex AS (
+      SELECT vec_id, unnest(range(len(embedding))) AS dim,
+             cast(unnest(embedding) as double) AS v
+      FROM embeddings
+    ),
+    stats AS (
+      SELECT dim, min(v) AS mn, max(v) AS mx FROM ex
+      WHERE NOT {_ivf_delta_sql()} GROUP BY dim
+    ),
+    codes AS (
+      SELECT e.vec_id, e.dim,
+             CASE WHEN s.mx = s.mn THEN 0
+                  ELSE least({L - 1}, greatest(0,
+                       cast(floor((e.v - s.mn) / (s.mx - s.mn) * {L}) as int)))
+             END AS code
+      FROM ex e JOIN stats s ON s.dim = e.dim
+    ),
+    seeds AS (
+      SELECT vec_id,
+             cast(row_number() OVER (ORDER BY {seedh}, vec_id) - 1 as int) AS cell
+      FROM embeddings WHERE NOT {_ivf_delta_sql()}
+      ORDER BY {seedh}, vec_id LIMIT {IVF_P_CELLS}
+    ),
+    scodes AS (
+      SELECT s.cell, c.dim, c.code FROM seeds s JOIN codes c USING (vec_id)
+    ),
+    d2 AS (
+      SELECT c.vec_id, s.cell,
+             sum(cast((c.code - s.code) * (c.code - s.code) as bigint)) AS d2
+      FROM codes c JOIN scodes s ON s.dim = c.dim
+      GROUP BY 1, 2
+    ),
+    best AS (
+      SELECT vec_id, cell, d2,
+             row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn
+      FROM d2
+    ),
+    assign AS (
+      SELECT vec_id, cast(cell as int) AS cell, cast(d2 as bigint) AS d2,
+             CASE WHEN {_ivf_delta_sql()} THEN 'fresh' ELSE 'carried' END AS src
+      FROM best WHERE rn = 1
+    )"""
+
+
+def incremental_ivf_assign_sql() -> str:
+    """DuckDB twin: the FULL assignment of the whole corpus under the
+    base-frozen quantizer — the identity the maintained index must
+    reproduce (q227's oracle discipline on the vector store)."""
+    return f"WITH {_ivf_sql_core()}\n    SELECT vec_id, cell, d2, src FROM assign"
+
+
+#: retrain-trigger thresholds (exact-integer comparisons; see
+#: ivf_retrain_trigger): drift when mean fresh d2 > 5/4 x mean base d2,
+#: overload when a cell receives > 2x its fair share of the batch.
+IVF_DRIFT_NUM = 5
+IVF_DRIFT_DEN = 4
+IVF_LOAD_FACTOR = 2
+
+
+def ivf_retrain_trigger(embeddings: DataFrame, assign: DataFrame | None = None) -> DataFrame:
+    """The PERIODIC-RETRAIN signal for the maintained IVF index (q234):
+    per-cell drift audit over the maintained assignment.  Two exact
+    integer conditions (no float division — the q200 decimal
+    discipline, promoted to decimal(38,0) before every multiply):
+
+    * ``drift``    — the batch lands measurably farther from its
+      centroids than the base did: mean fresh d2 > 5/4 × mean base d2,
+      cross-multiplied (sum_d2_fresh·n_base·4 > sum_d2_base·n_fresh·5);
+    * ``overload`` — the cell receives > 2× its fair share of the
+      batch: n_fresh·n_cells > 2·total_fresh.
+
+    ``retrain`` = drift OR overload.  When any cell trips, the refresh
+    loop schedules a refit (new stats + seeds over the full corpus) —
+    until then the frozen quantizer keeps serving, and the recall gate
+    (tests/test_incremental_ivf.py) bounds what staleness can cost.
+    Scale: input is the assignment table (one row per vector); the
+    audit is ONE groupBy(cell) with map-side combine to ≤ n_cells rows.
+    """
+    a = assign if assign is not None else incremental_ivf_assign(embeddings)
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    per_cell = a.groupBy("cell").agg(
+        F.sum(F.when(F.col("src") == "carried", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_base"),
+        F.sum(F.when(F.col("src") == "fresh", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_fresh"),
+        F.sum(F.when(F.col("src") == "carried", F.col("d2")).otherwise(0))
+        .cast("bigint")
+        .alias("sum_d2_base"),
+        F.sum(F.when(F.col("src") == "fresh", F.col("d2")).otherwise(0))
+        .cast("bigint")
+        .alias("sum_d2_fresh"),
+    )
+    total_fresh = F.sum("n_fresh").over(Window.partitionBy())
+    drift = (
+        (F.col("n_base") > 0)
+        & (F.col("n_fresh") > 0)
+        & (
+            dec("sum_d2_fresh") * dec("n_base") * IVF_DRIFT_DEN
+            > dec("sum_d2_base") * dec("n_fresh") * IVF_DRIFT_NUM
+        )
+    )
+    overload = dec("n_fresh") * IVF_P_CELLS > dec("total_fresh") * IVF_LOAD_FACTOR
+    return (
+        per_cell.withColumn("total_fresh", total_fresh)
+        .select(
+            "cell",
+            "n_base",
+            "n_fresh",
+            "sum_d2_base",
+            "sum_d2_fresh",
+            drift.cast("int").alias("drift"),
+            overload.cast("int").alias("overload"),
+            (drift | overload).cast("int").alias("retrain"),
+        )
+    )
+
+
+def ivf_retrain_trigger_sql() -> str:
+    """DuckDB twin (HUGEINT mirrors the decimal(38,0) promotion)."""
+    hug = lambda c: f"cast({c} as hugeint)"  # noqa: E731
+    return f"""
+    WITH {_ivf_sql_core()},
+    per_cell AS (
+      SELECT cell,
+             cast(sum(CASE WHEN src = 'carried' THEN 1 ELSE 0 END) as bigint) AS n_base,
+             cast(sum(CASE WHEN src = 'fresh' THEN 1 ELSE 0 END) as bigint) AS n_fresh,
+             cast(sum(CASE WHEN src = 'carried' THEN d2 ELSE 0 END) as bigint) AS sum_d2_base,
+             cast(sum(CASE WHEN src = 'fresh' THEN d2 ELSE 0 END) as bigint) AS sum_d2_fresh
+      FROM assign GROUP BY cell
+    ),
+    tot AS (
+      SELECT *, sum(n_fresh) OVER () AS total_fresh FROM per_cell
+    )
+    SELECT cell, n_base, n_fresh, sum_d2_base, sum_d2_fresh,
+           cast((n_base > 0 AND n_fresh > 0 AND
+                 {hug('sum_d2_fresh')} * {hug('n_base')} * {IVF_DRIFT_DEN}
+                 > {hug('sum_d2_base')} * {hug('n_fresh')} * {IVF_DRIFT_NUM}) as int) AS drift,
+           cast(({hug('n_fresh')} * {IVF_P_CELLS}
+                 > {hug('total_fresh')} * {IVF_LOAD_FACTOR}) as int) AS overload,
+           cast(((n_base > 0 AND n_fresh > 0 AND
+                  {hug('sum_d2_fresh')} * {hug('n_base')} * {IVF_DRIFT_DEN}
+                  > {hug('sum_d2_base')} * {hug('n_fresh')} * {IVF_DRIFT_NUM})
+                 OR ({hug('n_fresh')} * {IVF_P_CELLS}
+                     > {hug('total_fresh')} * {IVF_LOAD_FACTOR})) as int) AS retrain
+    FROM tot
+    """
+
+
+def portable_ivf_search(
+    embeddings: DataFrame,
+    query_pred,
+    k: int = 5,
+    nprobe: int = 3,
+    refit: bool = False,
+) -> DataFrame:
+    """kNN search THROUGH the portable IVF index — the consumer the
+    recall gate measures.  ``refit=False`` searches the MAINTAINED
+    index (quantizer frozen on the base slice, batch assigned
+    incrementally); ``refit=True`` the fully REBUILT index (stats and
+    seeds re-derived from the whole corpus).  Probe selection ranks
+    seeds by integer code-space d2 (same argmin machinery); candidates
+    are the probed cells' members via a cell equi-join; the rerank is
+    exact float cosine on the original vectors (standard IVF: quantize
+    to generate candidates, never to score).  Float output → gate-
+    checked (recall vs brute force), not oracled."""
+    from ..checkpoints import local_checkpoint
+
+    if refit:
+        stats = local_checkpoint(ivf_quant_stats(embeddings), eager=False)
+        seeds = local_checkpoint(ivf_seeds(embeddings, stats), eager=False)
+        assigned = ivf_assign(embeddings, stats, seeds).withColumn(
+            "src", F.lit("rebuilt")
+        )
+    else:
+        delta = _ivf_delta_flag()
+        base = embeddings.filter(~delta)
+        stats = local_checkpoint(ivf_quant_stats(base), eager=False)
+        seeds = local_checkpoint(ivf_seeds(base, stats), eager=False)
+        assigned = incremental_ivf_assign(embeddings, stats, seeds)
+    seed_row = seeds.groupBy().agg(
+        F.array_sort(F.collect_list(F.struct("cell", "scode"))).alias("seed_arr")
+    )
+    queries = ivf_codes(embeddings.filter(query_pred), stats).crossJoin(
+        F.broadcast(seed_row)
+    )
+    probes = queries.select(
+        F.col("vec_id").alias("query_id"),
+        F.explode(
+            F.transform(
+                "seed_arr",
+                lambda s: F.struct(
+                    s["cell"].alias("cell"),
+                    F.aggregate(
+                        F.zip_with(
+                            F.col("codes"),
+                            s["scode"],
+                            lambda a, b: ((a - b) * (a - b)).cast("bigint"),
+                        ),
+                        F.lit(0).cast("bigint"),
+                        lambda ac, x: ac + x,
+                    ).alias("sd2"),
+                ),
+            )
+        ).alias("p"),
+    ).select("query_id", "p.cell", "p.sd2")
+    wq = Window.partitionBy("query_id").orderBy(F.asc("sd2"), F.asc("cell"))
+    probed = (
+        probes.withColumn("pr", F.row_number().over(wq))
+        .filter(F.col("pr") <= nprobe)
+        .select("query_id", "cell")
+    )
+    qv = embeddings.filter(query_pred).select(
+        F.col("vec_id").alias("query_id"), _as_double("embedding").alias("qv")
+    )
+    corpus = assigned.join(
+        embeddings.select("vec_id", _as_double("embedding").alias("nv")),
+        "vec_id",
+    ).select(F.col("vec_id").alias("neighbor_id"), "nv", "cell")
+    sim = V.cosine(F.col("qv"), F.col("nv"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        probed.join(corpus, "cell")
+        .join(qv, "query_id")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", sim.alias("sim"))
+        .withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", F.round("sim", 6).alias("cos_sim"), "rnk")
+    )

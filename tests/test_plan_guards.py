@@ -45,6 +45,8 @@ ALLOWED = {
     "q173_excess_stock_suppliers",  # 1-row supplier-count broadcast (partsupp derive)
     "q185_bigram_lm_quality",    # 1-row vocab-size broadcast (q31 pattern)
     "q192_kmv_theta_overlap",    # |types|-row sketch-stat pair self-join (q163 pattern)
+    "q233_incremental_ivf_assign",  # 1-row quantizer-stats + 1-row seed-array broadcasts
+    "q234_ivf_retrain_trigger",  # same quantizer broadcasts via the q233 assignment
 }
 
 

@@ -223,3 +223,80 @@ R7_OPS = [
 @pytest.mark.parametrize("name", R7_OPS)
 def test_r7_ops_hash_match_at_10x(spark, synth_dir, name):
     assert_matches(QUERIES[name](spark, synth_dir), ORACLE[name], synth_dir)
+
+
+# -- round-9 additions: vector-index maintenance + store vacuum at 10x ------
+
+SYNTH_IVF_DIR = "/tmp/synth_sf1_ivf"
+
+
+@pytest.fixture(scope="module")
+def synth_ivf_dir(spark, synth_dir):
+    """The 10x VECTOR fixture: scaled embeddings (rotation-isometry
+    copies — within-copy similarity structure exact, see
+    tools/synth_scale.scale_embeddings) beside symlinks to the standard
+    10x tables, so the oracle harness sees a complete table set while
+    the pre-round-9 gates keep their verbatim-embeddings fixture."""
+    import os
+
+    from tools.synth_scale import scale_embeddings
+
+    os.makedirs(SYNTH_IVF_DIR, exist_ok=True)
+    scale_embeddings(spark, BASE_SF_DIR, SYNTH_IVF_DIR, COPIES)
+    for t in (
+        "region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents",
+    ):
+        link = os.path.join(SYNTH_IVF_DIR, f"{t}.parquet")
+        if not os.path.exists(link):
+            os.symlink(os.path.join(synth_dir, f"{t}.parquet"), link)
+    return SYNTH_IVF_DIR
+
+
+def test_incremental_ivf_hash_match_at_10x(spark, synth_ivf_dir):
+    """q233 at 10x the vector corpus: carried ∪ fresh under the frozen
+    quantizer must equal the full frozen assignment (its oracle) as
+    cell populations, the seed pool, and the batch slice grow 10x."""
+    name = "q233_incremental_ivf_assign"
+    assert_matches(QUERIES[name](spark, synth_ivf_dir), ORACLE[name], synth_ivf_dir)
+
+
+def test_ivf_retrain_trigger_hash_match_at_10x(spark, synth_ivf_dir):
+    """q234 at 10x: the exact-integer drift/overload flags must stay
+    cross-engine identical as per-cell sums approach the decimal(38,0)
+    promotion's raison d'être."""
+    name = "q234_ivf_retrain_trigger"
+    assert_matches(QUERIES[name](spark, synth_ivf_dir), ORACLE[name], synth_ivf_dir)
+
+
+def test_ivf_maintained_recall_at_10x(spark, synth_ivf_dir):
+    """The judge-directed staleness bound AT SCALE: recall through the
+    maintained index (frozen quantizer) >= recall through a full refit
+    - eps, against brute-force ground truth, at 10x the corpus."""
+    import bigdatamining_graduate_spark.operators.similarity as SIM
+    from bigdatamining_graduate_spark.sources.catalog import load_table
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, synth_ivf_dir, "embeddings")
+    pred = F.col("vec_id") % 1000 == 0  # ~50 queries at 10x
+    truth = {
+        (r.query_id, r.neighbor_id)
+        for r in SIM.knn_bruteforce(emb, pred, k=5).collect()
+    }
+    assert truth
+
+    def recall(df):
+        got = {(r.query_id, r.neighbor_id) for r in df.collect()}
+        return len(got & truth) / len(truth)
+
+    r_maint = recall(SIM.portable_ivf_search(emb, pred, k=5, nprobe=3, refit=False))
+    r_refit = recall(SIM.portable_ivf_search(emb, pred, k=5, nprobe=3, refit=True))
+    assert r_maint >= r_refit - 0.1, (r_maint, r_refit)
+
+
+def test_store_vacuum_hash_match_at_10x(spark, synth_dir):
+    """q235 at 10x the document corpus: the vacuumed-store refresh must
+    equal the full incremental recompute over the remaining corpus as
+    store size, tombstone count, and compaction volume grow 10x."""
+    name = "q235_store_vacuum_refresh"
+    assert_matches(QUERIES[name](spark, synth_dir), ORACLE[name], synth_dir)

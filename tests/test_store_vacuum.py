@@ -1,0 +1,110 @@
+"""Store vacuum / compaction (q235) — tombstone GC for the persisted
+signature/pair/label stores the incremental family (q227-q232) accretes
+(VERDICT r8 missing #2).
+
+Invariants:
+
+* vacuum physically SHRINKS the store: tombstoned rows gone, small
+  files rewritten to the compaction target;
+* the next refresh through the VACUUMED stores == the same refresh
+  through the UNVACUUMED stores (where tombstones are filtered at read
+  time) == the full recompute over the remaining corpus;
+* the post-q229 label store compacts losslessly (it already excludes
+  deleted docs, so its vacuum is pure file rewrite).
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+from pyspark.sql import functions as F
+
+from bigdatamining_graduate_spark.operators import dedup as DD
+
+from .conftest import SF_SMOKE
+
+THRESH = 0.5
+
+
+def _docs(spark):
+    from bigdatamining_graduate_spark.sources.catalog import load_table
+
+    return load_table(spark, SF_SMOKE, "documents")
+
+
+def _pairs_key(df):
+    rows = df.select("doc_a", "doc_b", "sig_match", "src").collect()
+    return sorted((r.doc_a, r.doc_b, round(r.sig_match, 9), r.src) for r in rows)
+
+
+def _n_files(d):
+    return len(glob.glob(os.path.join(d, "**", "*.parquet"), recursive=True))
+
+
+def test_vacuum_shrinks_and_preserves(spark, tmp_path):
+    """File count drops to the target, tombstoned rows are physically
+    gone, surviving rows are byte-identical."""
+    docs = _docs(spark)
+    sig = DD.minhash_signatures(docs.filter(~DD._incr_delta_flag()))
+    store = str(tmp_path / "sig_store")
+    sig.repartition(8).write.parquet(store)
+    before_files = _n_files(store)
+    assert before_files >= 8
+    tomb = docs.filter(DD._incr_deleted_flag()).select("doc_id")
+    n_tomb_in_store = sig.join(tomb, "doc_id", "left_semi").count()
+    assert n_tomb_in_store > 0  # the fixture genuinely tombstones rows
+    expected = sorted(
+        r.doc_id for r in sig.join(tomb, "doc_id", "left_anti").collect()
+    )
+    audit = DD.vacuum_parquet_store(spark, store, tomb, ("doc_id",))
+    assert audit["files_before"] == before_files
+    assert audit["files_after"] == 1
+    assert audit["rows_after"] == audit["rows_before"] - n_tomb_in_store
+    back = spark.read.parquet(store)
+    assert sorted(r.doc_id for r in back.collect()) == expected
+    assert back.join(tomb, "doc_id", "left_semi").count() == 0
+
+
+def test_vacuumed_refresh_equals_unvacuumed_and_recompute(spark, tmp_path):
+    """The three-way identity: refresh(vacuumed stores) ==
+    refresh(unvacuumed stores with read-time tombstone filtering) ==
+    full incremental recompute over the remaining corpus."""
+    docs = _docs(spark)
+    remaining = docs.filter(~DD._incr_deleted_flag())
+    vac = DD.vacuumed_refresh_pairs(
+        spark, docs, THRESH, stage_dir=str(tmp_path / "stage")
+    )
+    # unvacuumed path: same stores, tombstones filtered at read time
+    t0 = docs.filter(~DD._incr_delta_flag())
+    sig_t0 = DD.minhash_signatures(t0)
+    pairs_t0 = DD.lsh_candidate_pairs(sig_t0, THRESH).select("doc_a", "doc_b")
+    deleted = DD._incr_deleted_flag()
+    unvac = DD.incremental_lsh_pairs(
+        remaining,
+        THRESH,
+        base_sig=sig_t0.filter(~deleted),
+        carried_pairs=pairs_t0.filter(
+            ~DD._incr_deleted_flag("doc_a") & ~DD._incr_deleted_flag("doc_b")
+        ),
+    )
+    # in-plan recompute over the remaining corpus
+    recompute = DD.incremental_lsh_pairs(remaining, THRESH)
+    assert _pairs_key(vac) == _pairs_key(unvac) == _pairs_key(recompute)
+
+
+def test_label_store_compaction_lossless(spark, tmp_path):
+    """The post-q229 label store holds no deleted rows — its vacuum is
+    pure small-file compaction and must be a byte-identical rewrite."""
+    docs = _docs(spark)
+    labels = DD.delete_aware_components(docs, THRESH)
+    store = str(tmp_path / "label_store")
+    labels.repartition(8).write.parquet(store)
+    expected = sorted(
+        (r.doc_id, r.component, r.csize) for r in labels.collect()
+    )
+    audit = DD.vacuum_parquet_store(spark, store)
+    assert audit["files_after"] == 1
+    assert audit["rows_after"] == audit["rows_before"]
+    back = spark.read.parquet(store)
+    assert sorted((r.doc_id, r.component, r.csize) for r in back.collect()) == expected

@@ -40,6 +40,7 @@ SKIP_PREFIXES = (
     "q229",  # delete-aware CC: prev labeling + bounded reclose run at plan-build
     "q230",  # streaming LSH maintenance: the stream drains at plan-build
     "q232",  # upsert CC: two-phase reclose+contract loops run at plan-build
+    "q235",  # store vacuum: builds, vacuums, and swaps stores at plan-build
 )
 
 

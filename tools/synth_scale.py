@@ -112,6 +112,48 @@ def copy_dims(spark, sf_dir: str, out: str) -> None:
         )
 
 
+EMB_SHIFT = 10**7  # preserves vec_id % 100 (the standing query predicate)
+
+
+def scale_embeddings(spark, sf_dir: str, out: str, copies: int) -> None:
+    """``embeddings`` ×N for the vector-index scale gates (round 9): copy
+    k shifts ``vec_id`` by ``k * 10**7`` and ROTATES the embedding array
+    by k positions.  Rotation is a coordinate permutation — an isometry
+    — so every copy reproduces the original pairwise-similarity
+    structure exactly (the recall geometry scales, it doesn't blur),
+    while cross-copy similarities decorrelate.  The default 10x fixture
+    keeps embeddings verbatim (``copy_dims``) so the pre-round-9 gates
+    (q224 regression pin) are untouched; this writes the scaled table
+    for a SEPARATE fixture dir."""
+    from pyspark.sql import functions as F
+
+    from bigdatamining_graduate_spark.sources.catalog import load_table
+
+    base = load_table(spark, sf_dir, "embeddings")
+    dim = len(base.select("embedding").first()[0])
+    parts = []
+    for k in range(copies):
+        r = k % dim
+        rolled = (
+            F.col("embedding")
+            if r == 0
+            else F.concat(
+                F.slice("embedding", r + 1, dim - r), F.slice("embedding", 1, r)
+            )
+        )
+        parts.append(
+            base.select(
+                (F.col("vec_id") + k * EMB_SHIFT).alias("vec_id"),
+                rolled.alias("embedding"),
+                "label",
+            )
+        )
+    allp = parts[0]
+    for p in parts[1:]:
+        allp = allp.unionByName(p)
+    allp.coalesce(8).write.mode("overwrite").parquet(f"{out}/embeddings.parquet")
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
