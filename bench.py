@@ -109,6 +109,10 @@ HEADLINE = [
     "q233_incremental_ivf_assign",  # frozen-quantizer IVF index maintenance
     "q234_ivf_retrain_trigger", # exact-integer drift/overload retrain audit
     "q235_store_vacuum_refresh",  # tombstone GC + compaction + refresh read-back
+    "q236_delete_aware_ivf",    # postings tombstone filter + occupancy audit
+    "q237_upsert_aware_ivf",    # re-embedded slice reassign under frozen quantizer
+    "q238_stream_incremental_ivf",  # foreachBatch IVF maintenance (stream == batch)
+    "q239_ivf_store_vacuum",    # postings GC + compaction + refresh read-back
 ]
 
 

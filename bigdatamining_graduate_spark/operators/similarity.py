@@ -796,13 +796,27 @@ def incremental_ivf_assign(
     )
 
 
-def _ivf_sql_core() -> str:
+def _ivf_sql_core(
+    base_pred: str | None = None, src_item: str | None = None
+) -> str:
     """Shared CTE prefix: frozen stats from the base slice, clamped
-    codes for ALL vectors, seed selection, integer d2 per (vec, cell)."""
+    codes for ALL vectors, seed selection, integer d2 per (vec, cell).
+
+    ``base_pred`` overrides WHICH slice the quantizer is frozen on
+    (default: the q233 non-delta base); ``src_item`` overrides the
+    provenance select-item of the final ``assign`` CTE (default:
+    'fresh'/'carried' by the delta flag).  Defaults reproduce the
+    original q233/q234 oracle text byte-for-byte."""
     from ..functions.hashing import portable_hash64_sql
 
     L = IVF_P_LEVELS
     seedh = portable_hash64_sql("cast(vec_id as varchar)", _IVF_SEED_SALT)
+    base = base_pred if base_pred is not None else f"NOT {_ivf_delta_sql()}"
+    src = (
+        src_item
+        if src_item is not None
+        else f"CASE WHEN {_ivf_delta_sql()} THEN 'fresh' ELSE 'carried' END AS src"
+    )
     return f"""
     ex AS (
       SELECT vec_id, unnest(range(len(embedding))) AS dim,
@@ -811,7 +825,7 @@ def _ivf_sql_core() -> str:
     ),
     stats AS (
       SELECT dim, min(v) AS mn, max(v) AS mx FROM ex
-      WHERE NOT {_ivf_delta_sql()} GROUP BY dim
+      WHERE {base} GROUP BY dim
     ),
     codes AS (
       SELECT e.vec_id, e.dim,
@@ -824,7 +838,7 @@ def _ivf_sql_core() -> str:
     seeds AS (
       SELECT vec_id,
              cast(row_number() OVER (ORDER BY {seedh}, vec_id) - 1 as int) AS cell
-      FROM embeddings WHERE NOT {_ivf_delta_sql()}
+      FROM embeddings WHERE {base}
       ORDER BY {seedh}, vec_id LIMIT {IVF_P_CELLS}
     ),
     scodes AS (
@@ -843,7 +857,7 @@ def _ivf_sql_core() -> str:
     ),
     assign AS (
       SELECT vec_id, cast(cell as int) AS cell, cast(d2 as bigint) AS d2,
-             CASE WHEN {_ivf_delta_sql()} THEN 'fresh' ELSE 'carried' END AS src
+             {src}
       FROM best WHERE rn = 1
     )"""
 
@@ -1034,4 +1048,330 @@ def portable_ivf_search(
         .withColumn("rnk", F.row_number().over(w).cast("long"))
         .filter(F.col("rnk") <= k)
         .select("query_id", "neighbor_id", F.round("sim", 6).alias("cos_sim"), "rnk")
+    )
+
+
+# -- IVF arrival-shape closure: delete / upsert / vacuum ----------------------
+#
+# q233 gave the vector store the INSERT shape of the incremental-maintenance
+# discipline; the dedup family is additionally closed under delete (q229),
+# upsert (q231/q232), streaming arrival (q230), and store GC (q235).  The
+# functions below close the IVF index under the same arrival shapes.  The
+# invariant throughout: the coarse quantizer (frozen stats + seed centroids)
+# is INDEX METADATA frozen at build time — corpus mutations tombstone or
+# reassign rows in the assignment (postings) table but never silently
+# retrain the quantizer; q234's measured trigger decides retraining.
+# Reference anchor: ``hw3/hw3.py:125-172`` (extension — the reference has
+# no vector index and never deletes).
+
+IVF_DEL_BUCKETS = 10  #: vec_id hash bucket 0 (salt below) = deleted (10%)
+_IVF_DEL_SALT = "iivfx"
+IVF_UPD_BUCKETS = 10  #: vec_id hash bucket 0 (salt below) = re-embedded (10%)
+_IVF_UPD_SALT = "iivfu"
+
+
+def _ivf_deleted_flag(id_col: str = "vec_id"):
+    """True for vectors DELETED from the corpus (deterministic 10% hash
+    slice, own salt — independent of the q233 batch split)."""
+    from ..functions.hashing import portable_hash64
+
+    return (
+        portable_hash64(F.col(id_col).cast("string"), salt=_IVF_DEL_SALT)
+        % IVF_DEL_BUCKETS
+        == 0
+    )
+
+
+def _ivf_deleted_sql(col: str = "vec_id") -> str:
+    from ..functions.hashing import portable_hash64_sql
+
+    return (
+        f"(({portable_hash64_sql(f'cast({col} as varchar)', _IVF_DEL_SALT)}"
+        f" % {IVF_DEL_BUCKETS}) = 0)"
+    )
+
+
+def _ivf_updated_flag(id_col: str = "vec_id"):
+    """True for vectors whose EMBEDDING changed between snapshots (a
+    re-embedding run over a 10% slice — deterministic hash, own salt)."""
+    from ..functions.hashing import portable_hash64
+
+    return (
+        portable_hash64(F.col(id_col).cast("string"), salt=_IVF_UPD_SALT)
+        % IVF_UPD_BUCKETS
+        == 0
+    )
+
+
+def _ivf_updated_sql(col: str = "vec_id") -> str:
+    from ..functions.hashing import portable_hash64_sql
+
+    return (
+        f"(({portable_hash64_sql(f'cast({col} as varchar)', _IVF_UPD_SALT)}"
+        f" % {IVF_UPD_BUCKETS}) = 0)"
+    )
+
+
+def delete_aware_ivf_assign(
+    embeddings: DataFrame,
+    assign_store: DataFrame | None = None,
+) -> DataFrame:
+    """Deletion-side IVF index maintenance — the tombstone / takedown
+    shape (q229's discipline on the vector store): a deterministic 10%
+    slice of vectors is erased from the corpus.  Because assignment is
+    a PER-ROW property of the frozen quantizer, deletion never
+    reassigns anything: the maintained postings table is the previous
+    assignment store minus the tombstoned rows (one anti-filter — at
+    scale an anti-join against the tombstone set), and the quantizer is
+    untouched even when a seed vector's SOURCE row is deleted (the
+    centroid is index metadata frozen at build time, not corpus data).
+    What deletion DOES change is per-cell occupancy — the postings-list
+    size the search planner reads — so the output carries ``cell_n``.
+
+    The DuckDB oracle is the full frozen assignment of the REMAINING
+    corpus, so the driver hash-match proves tombstone-filter == full
+    recompute every round.  ``assign_store`` injects the persisted
+    postings table (roundtrip test); default derives it in-plan via
+    :func:`incremental_ivf_assign`.  Output: (vec_id, cell, d2, src,
+    cell_n).
+
+    Scale: one anti-filter over the postings table; zero vector math,
+    zero shuffles beyond the cell_n window (n_cells-bounded per
+    partition)."""
+    maintained = (
+        assign_store
+        if assign_store is not None
+        else incremental_ivf_assign(embeddings)
+    ).select("vec_id", "cell", "d2", "src")
+    survivors = maintained.filter(~_ivf_deleted_flag())
+    return survivors.select(
+        "vec_id",
+        "cell",
+        "d2",
+        "src",
+        F.count("*")
+        .over(Window.partitionBy("cell"))
+        .cast("long")
+        .alias("cell_n"),
+    )
+
+
+def delete_aware_ivf_assign_sql() -> str:
+    """DuckDB twin: the FULL frozen assignment over the remaining
+    corpus + per-cell occupancy — the identity the tombstone filter
+    must reproduce."""
+    return (
+        f"WITH {_ivf_sql_core()}\n"
+        "    SELECT vec_id, cell, d2, src,\n"
+        "           count(*) OVER (PARTITION BY cell) AS cell_n\n"
+        f"    FROM assign WHERE NOT {_ivf_deleted_sql()}"
+    )
+
+
+def ivf_t1_embeddings(embeddings: DataFrame) -> DataFrame:
+    """The t1 snapshot for the upsert scenario: the changed slice's
+    vectors are deterministically RE-EMBEDDED (array reversed — a real
+    value-level move in code space, exactly mirrored by DuckDB's
+    ``list_reverse``), everything else byte-identical to t0."""
+    return embeddings.withColumn(
+        "embedding",
+        F.when(_ivf_updated_flag(), F.reverse("embedding")).otherwise(
+            F.col("embedding")
+        ),
+    )
+
+
+def upsert_aware_ivf_assign(
+    embeddings: DataFrame,
+    stats_store: DataFrame | None = None,
+    seed_store: DataFrame | None = None,
+    assign_store: DataFrame | None = None,
+) -> DataFrame:
+    """Upsert-side IVF index maintenance — the RE-EMBEDDING refresh
+    shape (q231's discipline on the vector store): an embedding-model
+    update re-encodes a deterministic 10% slice of vectors between
+    snapshots.  The maintenance step:
+
+    * UNCHANGED vectors keep their stored assignments verbatim
+      (assignment is per-row, so the unchanged subset is identical in
+      both snapshots);
+    * the changed slice is re-quantized and re-assigned under the
+      FROZEN quantizer — O(|changed|·k) with the centroid table as a
+      one-row broadcast, zero full-corpus work.  Here the quantizer is
+      frozen on the FULL t0 corpus (this is a snapshot refresh, not an
+      arrival batch), and seed centroids keep their t0 codes even when
+      their own source vector was re-embedded (index metadata).
+
+    carried ∪ refreshed provably equals assigning the whole t1 corpus
+    under the frozen quantizer, and the DuckDB oracle IS that full t1
+    assignment — the driver hash-match is the proof.  Out-of-range t1
+    values clamp to the frozen codebook edges (the same contract new
+    arrivals get); whether accumulated re-embedding drift warrants a
+    refit is q234's measured trigger, not an assumption.
+
+    ``stats_store`` / ``seed_store`` / ``assign_store`` inject the
+    persisted index (roundtrip test); defaults derive in-plan from the
+    t0 corpus.  Output: (vec_id, cell, d2, src ∈ {carried, refreshed}).
+    """
+    from ..checkpoints import local_checkpoint
+
+    stats = (
+        stats_store
+        if stats_store is not None
+        else local_checkpoint(ivf_quant_stats(embeddings), eager=False)
+    )
+    seeds = (
+        seed_store
+        if seed_store is not None
+        else local_checkpoint(ivf_seeds(embeddings, stats), eager=False)
+    )
+    carried = (
+        assign_store
+        if assign_store is not None
+        else ivf_assign(embeddings, stats, seeds)
+    ).select("vec_id", "cell", "d2")
+    changed_t1 = ivf_t1_embeddings(embeddings).filter(_ivf_updated_flag())
+    refreshed = ivf_assign(changed_t1, stats, seeds).select(
+        "vec_id", "cell", "d2"
+    )
+    return (
+        carried.filter(~_ivf_updated_flag())
+        .withColumn("src", F.lit("carried"))
+        .unionByName(refreshed.withColumn("src", F.lit("refreshed")))
+    )
+
+
+def upsert_aware_ivf_assign_sql() -> str:
+    """DuckDB twin: the FULL assignment of the t1 corpus (changed slice
+    re-embedded via list_reverse) under the t0-frozen quantizer — t0
+    stats, t0 seed codes, t1 vector codes."""
+    from ..functions.hashing import portable_hash64_sql
+
+    L = IVF_P_LEVELS
+    upd = _ivf_updated_sql()
+    seedh = portable_hash64_sql("cast(vec_id as varchar)", _IVF_SEED_SALT)
+    code_case = (
+        f"CASE WHEN s.mx = s.mn THEN 0\n"
+        f"                  ELSE least({L - 1}, greatest(0,\n"
+        f"                       cast(floor((e.v - s.mn) / (s.mx - s.mn) * {L}) as int)))\n"
+        f"             END AS code"
+    )
+    return f"""
+    WITH ex0 AS (
+      SELECT vec_id, unnest(range(len(embedding))) AS dim,
+             cast(unnest(embedding) as double) AS v
+      FROM embeddings
+    ),
+    stats AS (
+      SELECT dim, min(v) AS mn, max(v) AS mx FROM ex0 GROUP BY dim
+    ),
+    t1 AS (
+      SELECT vec_id,
+             CASE WHEN {upd} THEN list_reverse(embedding)
+                  ELSE embedding END AS embedding
+      FROM embeddings
+    ),
+    ex1 AS (
+      SELECT vec_id, unnest(range(len(embedding))) AS dim,
+             cast(unnest(embedding) as double) AS v
+      FROM t1
+    ),
+    codes1 AS (
+      SELECT e.vec_id, e.dim,
+             {code_case}
+      FROM ex1 e JOIN stats s ON s.dim = e.dim
+    ),
+    codes0 AS (
+      SELECT e.vec_id, e.dim,
+             {code_case}
+      FROM ex0 e JOIN stats s ON s.dim = e.dim
+    ),
+    seeds AS (
+      SELECT vec_id,
+             cast(row_number() OVER (ORDER BY {seedh}, vec_id) - 1 as int) AS cell
+      FROM embeddings
+      ORDER BY {seedh}, vec_id LIMIT {IVF_P_CELLS}
+    ),
+    scodes AS (
+      SELECT s.cell, c.dim, c.code FROM seeds s JOIN codes0 c USING (vec_id)
+    ),
+    d2 AS (
+      SELECT c.vec_id, s.cell,
+             sum(cast((c.code - s.code) * (c.code - s.code) as bigint)) AS d2
+      FROM codes1 c JOIN scodes s ON s.dim = c.dim
+      GROUP BY 1, 2
+    ),
+    best AS (
+      SELECT vec_id, cell, d2,
+             row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn
+      FROM d2
+    )
+    SELECT vec_id, cast(cell as int) AS cell, cast(d2 as bigint) AS d2,
+           CASE WHEN {upd} THEN 'refreshed' ELSE 'carried' END AS src
+    FROM best WHERE rn = 1
+    """
+
+
+def vacuumed_ivf_refresh(
+    spark, embeddings: DataFrame, stage_dir: str | None = None
+) -> DataFrame:
+    """The full VECTOR-store lifecycle in one query (q235's discipline
+    on the IVF index): the t0 index — quantizer stats, seed centroids,
+    and the postings/assignment table written as MANY small files (the
+    accretion a per-batch refresh loop produces) — takes a deletion
+    cycle (the 10% tombstone slice), the postings store is VACUUMED
+    (tombstoned rows physically dropped, files rewritten compacted via
+    :func:`..operators.dedup.vacuum_parquet_store`'s atomic
+    rename-swap), and the NEXT insert refresh (q233's incremental path)
+    runs reading the vacuumed index back from parquet.
+
+    The DuckDB oracle is the full frozen assignment over the remaining
+    corpus, so the driver hash-match proves vacuumed-index refresh ==
+    recompute — dead postings and file layout gone with zero semantic
+    drift.  (Same final identity as :func:`delete_aware_ivf_assign`'s
+    in-plan filter, DELIBERATELY: two independent code paths — in-plan
+    tombstone vs persisted-store vacuum + read-back — must land on the
+    one semantics; file/row shrinkage is pinned in
+    ``tests/test_incremental_ivf.py``.)
+
+    Scale: vacuum is one postings scan + anti-join + one write on the
+    compaction cadence; the refresh itself stays O(|batch|·k)."""
+    import os
+    import tempfile
+
+    from ..checkpoints import local_checkpoint
+    from .dedup import vacuum_parquet_store
+
+    stage = stage_dir or tempfile.mkdtemp(prefix="bdm_ivf_vacuum_")
+    stats_dir = os.path.join(stage, "stats_store")
+    seed_dir = os.path.join(stage, "seed_store")
+    assign_dir = os.path.join(stage, "assign_store")
+    base = embeddings.filter(~_ivf_delta_flag())
+    stats = local_checkpoint(ivf_quant_stats(base), eager=False)
+    seeds = local_checkpoint(ivf_seeds(base, stats), eager=False)
+    stats.write.mode("overwrite").parquet(stats_dir)
+    seeds.write.mode("overwrite").parquet(seed_dir)
+    # simulate refresh-loop accretion: the postings table as 8 small files
+    ivf_assign(base, stats, seeds).repartition(8).write.mode(
+        "overwrite"
+    ).parquet(assign_dir)
+    tombstones = embeddings.filter(_ivf_deleted_flag()).select("vec_id")
+    vacuum_parquet_store(spark, assign_dir, tombstones, ("vec_id",))
+    remaining = embeddings.filter(~_ivf_deleted_flag())
+    return incremental_ivf_assign(
+        remaining,
+        stats_store=spark.read.parquet(stats_dir),
+        seed_store=spark.read.parquet(seed_dir),
+        base_assign=spark.read.parquet(assign_dir),
+    )
+
+
+def vacuumed_ivf_refresh_sql() -> str:
+    """DuckDB twin: the full frozen assignment over the REMAINING
+    corpus (quantizer still frozen on the pre-delete base — index
+    metadata survives tombstoning)."""
+    return (
+        f"WITH {_ivf_sql_core()}\n"
+        "    SELECT vec_id, cell, d2, src FROM assign"
+        f" WHERE NOT {_ivf_deleted_sql()}"
     )

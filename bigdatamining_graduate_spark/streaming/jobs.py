@@ -868,3 +868,144 @@ def stream_incremental_lsh_pairs_sql(threshold: float = 0.5) -> str:
              AS first_seen
     FROM ({minhash_lsh_pairs_sql(threshold)})
     """
+
+
+STREAM_IVF_BATCHES = 3  # embeddings arrive as 3 hash-sliced micro-batches
+
+
+def _stream_ivf_batch_flag(id_col: str = "vec_id"):
+    from ..functions.hashing import portable_hash64
+
+    return (
+        portable_hash64(F.col(id_col).cast("string"), salt="sivf")
+        % STREAM_IVF_BATCHES
+    )
+
+
+def _stream_ivf_batch_sql(col: str) -> str:
+    from ..functions.hashing import portable_hash64_sql
+
+    return (
+        f"({portable_hash64_sql(f'cast({col} as varchar)', 'sivf')}"
+        f" % {STREAM_IVF_BATCHES})"
+    )
+
+
+def stream_incremental_ivf_assign(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """q233's IVF maintenance loop run as an ACTUAL stream (the q230
+    discipline on the vector store): embeddings arrive in three
+    hash-sliced micro-batches (staged files, ``maxFilesPerTrigger=1``,
+    arrival order pinned by mtime).  The FIRST batch bootstraps the
+    index — quantizer stats + seed centroids frozen on it and persisted
+    to parquet stores (deterministic content, so a replayed bootstrap
+    batch rewrites byte-identical stores: idempotent) — and EVERY batch
+    is assigned to the persisted centroids read back from the store:
+    O(|batch|·k) per trigger, the store never retrains mid-stream.
+    Each batch's assignments land in a batch-id-keyed subdirectory with
+    mode=overwrite (the idempotent-sink shape foreachBatch's
+    exactly-once contract requires); the handler ASSERTS each emitted
+    row's hash-slice equals its micro-batch id, making the plumbing
+    self-checking.
+
+    The accumulated emission across the drained stream equals the full
+    batch assignment of the whole corpus under the batch-0-frozen
+    quantizer — the DuckDB oracle is exactly that, so the driver
+    hash-match proves stream == batch (the q209/q230 discipline).
+    Output: (vec_id, cell, d2, arrived).
+
+    Scale: per-trigger work is O(|batch|·k) with the centroid store as
+    a broadcast-sized read; swap the staged-file source for Kafka and
+    the parquet stores for a Delta table and this IS the production
+    shape.  Reference anchor: ``hw3/hw3.py:125-172`` (extension — the
+    reference has zero streaming and no vector index)."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from ..operators import similarity as SIM
+
+    emb = spark.read.parquet(table_path(sf_dir, "embeddings")).select(
+        "vec_id", "embedding"
+    )
+    stage = tempfile.mkdtemp(prefix="bdm_stream_ivf_")
+    indir = os.path.join(stage, "in")
+    stats_dir = os.path.join(stage, "stats_store")
+    seed_dir = os.path.join(stage, "seed_store")
+    out_dir = os.path.join(stage, "assign_out")
+    os.makedirs(indir)
+    bflag = _stream_ivf_batch_flag()
+    for i in range(STREAM_IVF_BATCHES):
+        part_dir = os.path.join(stage, f"part{i}")
+        emb.filter(bflag == i).coalesce(1).write.parquet(part_dir)
+        dst = os.path.join(indir, f"batch{i}.parquet")
+        shutil.move(
+            glob.glob(os.path.join(part_dir, "part-*.parquet"))[0], dst
+        )
+        os.utime(dst, (1_700_000_000 + i * 100, 1_700_000_000 + i * 100))
+
+    def handle(batch_df: DataFrame, bid: int) -> None:
+        from ..checkpoints import (
+            local_checkpoint,
+            release_new_since,
+            tracked_ids,
+        )
+
+        ledger_before = tracked_ids()
+        if not glob.glob(os.path.join(stats_dir, "*.parquet")):
+            # bootstrap trigger: freeze the quantizer on THIS batch and
+            # persist it; the derivation is deterministic, so a replay
+            # rewrites identical stores (idempotent)
+            stats = local_checkpoint(
+                SIM.ivf_quant_stats(batch_df), eager=False
+            )
+            seeds = local_checkpoint(
+                SIM.ivf_seeds(batch_df, stats), eager=False
+            )
+            stats.write.mode("overwrite").parquet(stats_dir)
+            seeds.write.mode("overwrite").parquet(seed_dir)
+        assigned = SIM.ivf_assign(
+            batch_df,
+            spark.read.parquet(stats_dir),
+            spark.read.parquet(seed_dir),
+        ).withColumn("arrived", F.lit(int(bid)).cast("bigint"))
+        bad = assigned.filter(
+            _stream_ivf_batch_flag() != F.lit(int(bid))
+        ).count()
+        if bad:
+            raise AssertionError(
+                f"stream batch {bid} emitted {bad} assignments whose "
+                "hash slice is not this batch — emission is not "
+                "exactly-once"
+            )
+        assigned.write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"batch{bid}")
+        )
+        release_new_since(ledger_before)
+
+    q = (
+        spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(indir)
+        .writeStream.foreachBatch(handle)
+        .option("checkpointLocation", os.path.join(stage, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.option("recursiveFileLookup", "true").parquet(out_dir)
+
+
+def stream_incremental_ivf_assign_sql() -> str:
+    """Batch twin: the full corpus assigned under the batch-0-frozen
+    quantizer, ``arrived`` = the hash-slice batch id — stream emission
+    must equal it exactly."""
+    from ..operators.similarity import _ivf_sql_core
+
+    flag = _stream_ivf_batch_sql("vec_id")
+    return (
+        f"WITH {_ivf_sql_core(base_pred=f'{flag} = 0', src_item=f'cast({flag} as bigint) AS arrived')}\n"
+        "    SELECT vec_id, cell, d2, arrived FROM assign"
+    )

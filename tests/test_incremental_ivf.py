@@ -140,3 +140,159 @@ def test_retrain_trigger_fires_on_drifted_batch(spark):
     assert row0.overload == 1  # every fresh vector landed in cell 0
     assert row0.drift == 1  # and 3x the distance trips the 5/4 bar
     assert row0.retrain == 1
+
+
+# -- arrival-shape closure: delete (q236) / upsert (q237) / vacuum (q239) ----
+
+
+def test_delete_aware_equals_full_frozen_on_survivors(spark):
+    """q236: tombstone-filtering the maintained postings table must
+    equal the full frozen assignment of the remaining corpus — and no
+    tombstoned vec_id may survive."""
+    emb = _emb(spark)
+    out = S.delete_aware_ivf_assign(emb)
+    base = emb.filter(~S._ivf_delta_flag())
+    stats = S.ivf_quant_stats(base)
+    seeds = S.ivf_seeds(base, stats)
+    full = (
+        S.ivf_assign(emb, stats, seeds)
+        .withColumn(
+            "src",
+            F.when(S._ivf_delta_flag(), F.lit("fresh")).otherwise(
+                F.lit("carried")
+            ),
+        )
+        .filter(~S._ivf_deleted_flag())
+    )
+    assert _key(out) == _key(full)
+    assert out.filter(S._ivf_deleted_flag()).count() == 0
+    # deletion is a real slice at this fixture, and occupancy is exact
+    assert out.count() < emb.count()
+    occ = {
+        (r.cell, r.cell_n)
+        for r in out.select("cell", "cell_n").distinct().collect()
+    }
+    truth = {
+        (r.cell, r["count"]) for r in out.groupBy("cell").count().collect()
+    }
+    assert occ == truth
+
+
+def test_delete_aware_store_roundtrip(spark, tmp_path):
+    """q236 through a PERSISTED postings store: write the maintained
+    assignment, read it back, tombstone-filter — byte-equal to in-plan."""
+    emb = _emb(spark)
+    S.incremental_ivf_assign(emb).write.parquet(str(tmp_path / "assign"))
+    roundtrip = S.delete_aware_ivf_assign(
+        emb, assign_store=spark.read.parquet(str(tmp_path / "assign"))
+    )
+    assert _key(roundtrip) == _key(S.delete_aware_ivf_assign(emb))
+
+
+def test_upsert_aware_equals_full_t1_assignment(spark):
+    """q237: carried ∪ refreshed must equal assigning the whole t1
+    corpus (changed slice re-embedded) under the t0-frozen quantizer —
+    and the re-embedding must actually MOVE at least one vector's cell
+    (the update is real, not cosmetic)."""
+    emb = _emb(spark)
+    out = S.upsert_aware_ivf_assign(emb)
+    stats = S.ivf_quant_stats(emb)
+    seeds = S.ivf_seeds(emb, stats)
+    full = S.ivf_assign(S.ivf_t1_embeddings(emb), stats, seeds).withColumn(
+        "src",
+        F.when(S._ivf_updated_flag(), F.lit("refreshed")).otherwise(
+            F.lit("carried")
+        ),
+    )
+    assert _key(out) == _key(full)
+    assert out.count() == emb.count()  # every vector assigned exactly once
+    # the refreshed slice exists, and reversal moved >= 1 vector's cell
+    t0 = S.ivf_assign(emb, stats, seeds).select(
+        "vec_id", F.col("cell").alias("cell_t0")
+    )
+    moved = (
+        out.filter(F.col("src") == "refreshed")
+        .join(t0, "vec_id")
+        .filter(F.col("cell") != F.col("cell_t0"))
+        .count()
+    )
+    assert moved > 0
+
+
+def test_upsert_aware_store_roundtrip(spark, tmp_path):
+    """q237 through the PERSISTED index: stats, seeds, and t0 postings
+    written, read back, merged with the re-assigned changed slice —
+    byte-equal to the in-plan maintenance."""
+    emb = _emb(spark)
+    stats = S.ivf_quant_stats(emb)
+    seeds = S.ivf_seeds(emb, stats)
+    stats.write.parquet(str(tmp_path / "stats"))
+    seeds.write.parquet(str(tmp_path / "seeds"))
+    S.ivf_assign(emb, stats, seeds).write.parquet(str(tmp_path / "assign"))
+    roundtrip = S.upsert_aware_ivf_assign(
+        emb,
+        stats_store=spark.read.parquet(str(tmp_path / "stats")),
+        seed_store=spark.read.parquet(str(tmp_path / "seeds")),
+        assign_store=spark.read.parquet(str(tmp_path / "assign")),
+    )
+    assert _key(roundtrip) == _key(S.upsert_aware_ivf_assign(emb))
+
+
+def test_ivf_vacuum_shrinks_store_and_preserves_semantics(spark, tmp_path):
+    """q239: vacuuming the postings store (a) physically compacts the
+    8-file accretion to 1, (b) drops exactly the tombstoned rows, and
+    (c) the next refresh reading the vacuumed index back equals the
+    in-plan delete-aware identity (q236 minus the occupancy column) —
+    two independent code paths, one semantics."""
+    import glob
+    import os
+
+    from bigdatamining_graduate_spark.operators.dedup import (
+        vacuum_parquet_store,
+    )
+
+    emb = _emb(spark)
+    base = emb.filter(~S._ivf_delta_flag())
+    stats = S.ivf_quant_stats(base)
+    seeds = S.ivf_seeds(base, stats)
+    assign_dir = str(tmp_path / "assign_store")
+    S.ivf_assign(base, stats, seeds).repartition(8).write.parquet(assign_dir)
+    tomb = emb.filter(S._ivf_deleted_flag()).select("vec_id")
+    audit = vacuum_parquet_store(spark, assign_dir, tomb, ("vec_id",))
+    assert audit["files_before"] == 8 and audit["files_after"] == 1
+    assert audit["rows_after"] < audit["rows_before"]
+    # no tombstoned vec_id survives the vacuum
+    survivors = spark.read.parquet(assign_dir)
+    assert survivors.filter(S._ivf_deleted_flag()).count() == 0
+    # the full lifecycle == the in-plan delete-aware assignment
+    vac = S.vacuumed_ivf_refresh(spark, emb, stage_dir=str(tmp_path / "st"))
+    inplan = S.delete_aware_ivf_assign(emb).drop("cell_n")
+    assert _key(vac) == _key(inplan)
+
+
+def test_stream_ivf_equals_batch_assignment(spark):
+    """q238: the drained stream's accumulated emission must equal the
+    batch assignment of the whole corpus under the batch-0-frozen
+    quantizer, with arrived = the hash-slice batch id."""
+    import bigdatamining_graduate_spark.streaming.jobs as SJ
+
+    streamed = SJ.stream_incremental_ivf_assign(spark, SF_SMOKE)
+    emb = _emb(spark).select("vec_id", "embedding")
+    b0 = emb.filter(SJ._stream_ivf_batch_flag() == 0)
+    stats = S.ivf_quant_stats(b0)
+    seeds = S.ivf_seeds(b0, stats)
+    batch = S.ivf_assign(emb, stats, seeds).withColumn(
+        "arrived", SJ._stream_ivf_batch_flag().cast("bigint")
+    )
+    got = sorted(
+        (r.vec_id, r.cell, r.d2, r.arrived)
+        for r in streamed.select("vec_id", "cell", "d2", "arrived").collect()
+    )
+    exp = sorted(
+        (r.vec_id, r.cell, r.d2, r.arrived)
+        for r in batch.select("vec_id", "cell", "d2", "arrived").collect()
+    )
+    assert got == exp
+    # all three micro-batches actually emitted
+    arrived = {r.arrived for r in streamed.select("arrived").distinct().collect()}
+    assert arrived == {0, 1, 2}

@@ -47,6 +47,9 @@ ALLOWED = {
     "q192_kmv_theta_overlap",    # |types|-row sketch-stat pair self-join (q163 pattern)
     "q233_incremental_ivf_assign",  # 1-row quantizer-stats + 1-row seed-array broadcasts
     "q234_ivf_retrain_trigger",  # same quantizer broadcasts via the q233 assignment
+    "q236_delete_aware_ivf",     # same quantizer broadcasts via the q233 assignment
+    "q237_upsert_aware_ivf",     # 1-row stats + 1-row seed-array broadcasts (t0-frozen)
+    "q239_ivf_store_vacuum",     # 1-row stats + seed-array broadcasts on the fresh side
 }
 
 

@@ -300,3 +300,35 @@ def test_store_vacuum_hash_match_at_10x(spark, synth_dir):
     store size, tombstone count, and compaction volume grow 10x."""
     name = "q235_store_vacuum_refresh"
     assert_matches(QUERIES[name](spark, synth_dir), ORACLE[name], synth_dir)
+
+
+def test_delete_aware_ivf_hash_match_at_10x(spark, synth_ivf_dir):
+    """q236 at 10x: the tombstone-filtered postings table must equal
+    the full frozen assignment of the remaining corpus as cell
+    occupancy and tombstone volume grow 10x."""
+    name = "q236_delete_aware_ivf"
+    assert_matches(QUERIES[name](spark, synth_ivf_dir), ORACLE[name], synth_ivf_dir)
+
+
+def test_upsert_aware_ivf_hash_match_at_10x(spark, synth_ivf_dir):
+    """q237 at 10x: carried ∪ refreshed under the t0-frozen quantizer
+    must equal the full t1 assignment as the re-embedded slice grows
+    10x (clamping included — more t1 values leave the frozen range)."""
+    name = "q237_upsert_aware_ivf"
+    assert_matches(QUERIES[name](spark, synth_ivf_dir), ORACLE[name], synth_ivf_dir)
+
+
+def test_stream_ivf_hash_match_at_10x(spark, synth_ivf_dir):
+    """q238 at 10x: three 10x-sized micro-batches against the persisted
+    centroid store — stream emission must still equal the batch
+    assignment under the batch-0-frozen quantizer."""
+    name = "q238_stream_incremental_ivf"
+    assert_matches(QUERIES[name](spark, synth_ivf_dir), ORACLE[name], synth_ivf_dir)
+
+
+def test_ivf_store_vacuum_hash_match_at_10x(spark, synth_ivf_dir):
+    """q239 at 10x: the vacuumed-index refresh must equal the full
+    frozen assignment over the remaining corpus as postings volume,
+    tombstone count, and compaction size grow 10x."""
+    name = "q239_ivf_store_vacuum"
+    assert_matches(QUERIES[name](spark, synth_ivf_dir), ORACLE[name], synth_ivf_dir)

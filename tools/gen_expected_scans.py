@@ -41,6 +41,8 @@ SKIP_PREFIXES = (
     "q230",  # streaming LSH maintenance: the stream drains at plan-build
     "q232",  # upsert CC: two-phase reclose+contract loops run at plan-build
     "q235",  # store vacuum: builds, vacuums, and swaps stores at plan-build
+    "q238",  # streaming IVF maintenance: the stream drains at plan-build
+    "q239",  # IVF store vacuum: builds, vacuums, and swaps stores at plan-build
 )
 
 
