@@ -113,6 +113,8 @@ HEADLINE = [
     "q237_upsert_aware_ivf",    # re-embedded slice reassign under frozen quantizer
     "q238_stream_incremental_ivf",  # foreachBatch IVF maintenance (stream == batch)
     "q239_ivf_store_vacuum",    # postings GC + compaction + refresh read-back
+    "q240_filtered_ann_topk",   # label-partitioned pre-filtered ANN
+    "q241_rrf_hybrid_search",   # BM25 + vector reciprocal-rank fusion
 ]
 
 

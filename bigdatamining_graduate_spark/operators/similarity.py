@@ -1375,3 +1375,119 @@ def vacuumed_ivf_refresh_sql() -> str:
         "    SELECT vec_id, cell, d2, src FROM assign"
         f" WHERE NOT {_ivf_deleted_sql()}"
     )
+
+
+def filtered_ann_topk(
+    embeddings: DataFrame, query_pred, k: int = 5
+) -> DataFrame:
+    """Metadata-FILTERED two-stage ANN — the vector-database shape
+    production retrieval actually runs (tenant / language / class
+    constrained search): each query's top-k cosine neighbors AMONG
+    CORPUS VECTORS SHARING ITS ``label``.  The filter is applied as a
+    PRE-filter by making label part of the bucket key — candidates come
+    from an equi-join on (band, band_value, label) — so candidate
+    generation never sees cross-label vectors at all.  This is the
+    partitioned-index design: post-filtering an unfiltered ANN result
+    collapses recall when the predicate is selective (most of the
+    unfiltered top-k gets filtered away); pre-filtering searches the
+    label's own index partition, preserving per-label recall at any
+    selectivity.  Stage 2 is the exact cosine re-rank of survivors with
+    the (cos DESC, neighbor_id) total-order tiebreak — fully
+    deterministic, fully value-oracled (q224's discipline plus the
+    filter dimension).
+
+    Scale: per-band bucket population shrinks by the label fan-out
+    (bucket key cardinality multiplies by |labels|), so the filtered
+    join is STRICTLY cheaper than the unfiltered one; the label column
+    rides the same scan — no extra join against a metadata table (at
+    100 TB: keep filterable metadata denormalized beside the vector,
+    exactly this layout).  Output: (query_id, label, neighbor_id, rnk,
+    cos_sim)."""
+    emb = embeddings.select(
+        "vec_id", "label", _as_double("embedding").alias("v")
+    )
+    bucketed = emb.select(
+        "vec_id",
+        "label",
+        "v",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("band"),
+                        _band_value_spark(F.col("v"), j).alias("bv"),
+                    )
+                    for j in range(ANN_BANDS)
+                ]
+            )
+        ).alias("b"),
+    ).select("vec_id", "label", "v", "b.band", "b.bv")
+    q = bucketed.filter(query_pred).select(
+        F.col("vec_id").alias("query_id"),
+        "label",
+        F.col("v").alias("qv"),
+        "band",
+        "bv",
+    )
+    cand = (
+        q.join(bucketed, ["band", "bv", "label"])
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .select(
+            "query_id",
+            "label",
+            "qv",
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("v").alias("nv"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("sim"), F.asc("neighbor_id")
+    )
+    return (
+        cand.select(
+            "query_id",
+            "label",
+            "neighbor_id",
+            V.cosine(F.col("qv"), F.col("nv")).alias("sim"),
+        )
+        .withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= k)
+        .select(
+            "query_id",
+            "label",
+            "neighbor_id",
+            "rnk",
+            F.round("sim", 6).alias("cos_sim"),
+        )
+    )
+
+
+def filtered_ann_topk_sql(query_pred_sql: str, k: int = 5) -> str:
+    """DuckDB twin of :func:`filtered_ann_topk` (label in the bucket
+    key, shared hyperplane literals and tiebreak)."""
+    cos = V.cosine_sql("qv", "nv")
+    band_selects = "\n      UNION ALL ".join(
+        f"SELECT vec_id, label, v, {j} AS band, {_band_value_sql('v', j)} AS bv FROM emb"
+        for j in range(ANN_BANDS)
+    )
+    return f"""
+    WITH emb AS (
+      SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+    ),
+    bucketed AS ({band_selects}),
+    qb AS (SELECT vec_id AS query_id, label, v AS qv, band, bv FROM bucketed
+           WHERE {query_pred_sql}),
+    cand AS (
+      SELECT DISTINCT query_id, qb.label, b.vec_id AS neighbor_id, qv, b.v AS nv
+      FROM qb JOIN bucketed b ON qb.band = b.band AND qb.bv = b.bv
+                             AND qb.label = b.label
+                             AND query_id <> b.vec_id
+    )
+    SELECT query_id, label, neighbor_id, rnk, round(sim, 6) AS cos_sim FROM (
+      SELECT query_id, label, neighbor_id, {cos} AS sim,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY {cos} DESC, neighbor_id) AS rnk
+      FROM cand)
+    WHERE rnk <= {k}
+    """

@@ -12347,6 +12347,199 @@ def q239_ivf_store_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.vacuumed_ivf_refresh(spark, emb)
 
 
+@register(
+    "q240_filtered_ann_topk",
+    oracle=SIM.filtered_ann_topk_sql("vec_id % 50 = 0", k=5),
+)
+def q240_filtered_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-FILTERED ANN — the vector-database query shape
+    production retrieval runs (tenant / language / class constrained):
+    each sampled query's top-5 cosine neighbors among corpus vectors
+    sharing its ``label``, with the filter applied as a PRE-filter by
+    making label part of the LSH bucket key (an equi-join on (band,
+    band_value, label)).  Post-filtering an unfiltered ANN top-k
+    collapses recall under selective predicates — most survivors get
+    filtered away; pre-filtering searches the label's own index
+    partition, preserving per-label recall at any selectivity (the
+    partitioned-index design).  Both stages are deterministic hashes +
+    exact cosine with a total-order tiebreak, so unlike recall-gated
+    IVF this is fully value-oracled (q224's discipline plus the filter
+    dimension).  See ``operators/similarity.filtered_ann_topk``.
+
+    Scale: the label multiplies bucket-key cardinality, so filtered
+    candidate generation is STRICTLY cheaper than unfiltered; metadata
+    rides the vector scan (denormalized beside the embedding — the
+    100 TB layout).  Reference anchor: ``hw4/hw4.py:102-151``
+    (extension — the reference's similarity join has no predicate
+    support)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return SIM.filtered_ann_topk(emb, F.col("vec_id") % 50 == 0, k=5)
+
+
+#: q241 hybrid-fusion constants (Cormack et al. 2009 rrf c=60, the
+#: OpenSearch/Vespa default; distinct from q195's _RRF_C/_RRF_K pair)
+_HYB_C = 60
+_HYB_TOP = 20
+_HYB_ANCHOR = 0  # the vector-side query: neighbors of vec_id 0
+
+
+@register(
+    "q241_rrf_hybrid_search",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({TX.tokenize_sql('text')}) AS token FROM documents
+    ),
+    dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
+    stats AS (SELECT avg(dl) AS avgdl, count(*) AS n_docs FROM dl),
+    tf AS (
+      SELECT doc_id, token, count(*) AS tf FROM tok
+      WHERE token IN {_BM25_TERMS_SQL} GROUP BY 1, 2
+    ),
+    df AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+    scored AS (
+      SELECT t.doc_id,
+             ln((s.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0)
+               * t.tf * ({_BM25_K1} + 1.0)
+               / (t.tf + {_BM25_K1} * (1.0 - {_BM25_B}
+                   + {_BM25_B} * l.dl / s.avgdl)) AS part
+      FROM tf t
+      JOIN df d ON d.token = t.token
+      JOIN dl l ON l.doc_id = t.doc_id
+      CROSS JOIN stats s
+    ),
+    lex AS (
+      SELECT doc_id, rnk AS lex_rnk FROM (
+        SELECT doc_id,
+               row_number() OVER (ORDER BY round(sum(part), 6) DESC,
+                                  doc_id) AS rnk
+        FROM scored GROUP BY doc_id
+      ) WHERE rnk <= {_HYB_TOP}
+    ),
+    emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    anchor AS (SELECT v AS qv FROM emb WHERE vec_id = {_HYB_ANCHOR}),
+    vec AS (
+      SELECT vec_id AS doc_id, rnk AS vec_rnk FROM (
+        SELECT e.vec_id,
+               row_number() OVER (
+                 ORDER BY {V.cosine_sql('a.qv', 'e.v')} DESC, e.vec_id
+               ) AS rnk
+        FROM emb e CROSS JOIN anchor a
+        WHERE e.vec_id <> {_HYB_ANCHOR}
+      ) WHERE rnk <= {_HYB_TOP}
+    )
+    SELECT doc_id, lex_rnk, vec_rnk,
+           round(coalesce(1.0 / ({_HYB_C} + lex_rnk), 0.0)
+                 + coalesce(1.0 / ({_HYB_C} + vec_rnk), 0.0), 6) AS rrf,
+           row_number() OVER (
+             ORDER BY coalesce(1.0 / ({_HYB_C} + lex_rnk), 0.0)
+                      + coalesce(1.0 / ({_HYB_C} + vec_rnk), 0.0) DESC,
+                      doc_id) AS fused_rnk
+    FROM lex FULL OUTER JOIN vec USING (doc_id)
+    """,
+)
+def q241_rrf_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HYBRID retrieval — reciprocal-rank fusion (RRF, Cormack et al.
+    2009; the OpenSearch/Vespa hybrid default, c=60) of the engine's
+    two retrieval modalities: the BM25 lexical ranking (q106's exact
+    pipeline, fixed term query, top-20) fused with a vector ranking
+    (exact cosine neighbors of an anchor embedding, top-20).  q195
+    already proves the RRF fusion PRIMITIVE on two same-partition
+    rankings of one table; this is the end-to-end hybrid-search shape
+    that primitive exists for — two genuinely heterogeneous arms
+    (inverted index vs vector scan, different tables, different row
+    sets) meeting in a FULL-OUTER fusion where a doc may carry a null
+    rank in either arm.  RRF
+    score = Σ 1/(k + rank) over the lists a document appears in —
+    rank-based, so the two incomparable score scales (BM25 vs cosine)
+    never need calibration, which is exactly why production hybrid
+    search uses it.  Ranks are exact integers with total-order
+    tiebreaks and 1/(60+r) is IEEE-identical across engines, so the
+    fusion is fully value-oracled end-to-end.  Output: (doc_id,
+    lex_rnk, vec_rnk, rrf, fused_rnk) — null lex/vec rank = the doc
+    surfaced in only one modality (the full-outer union shape).
+
+    Scale: the lexical side is posting-list bounded (q106); the vector
+    side is ONE anchor row broadcast against the corpus (a 1×n map,
+    no pair explosion); fusion joins two ≤top-N rankings — driver-size
+    relations.  At 100 TB per-query work is unchanged — both arms are
+    already index-shaped.  Reference anchor: ``hw4/hw4.py:102-151`` +
+    the reference's TF-IDF ranking (``FinalProject/BDM_Final.py``)
+    (extension — the reference never fuses modalities)."""
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    # lexical arm: q106's BM25, reduced to (doc_id, lex_rnk)
+    tok = docs.select("doc_id", F.explode(TX.tokenize("text")).alias("token"))
+    dl = tok.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    stats = dl.agg(F.avg("dl").alias("avgdl"), F.count("*").alias("n_docs"))
+    tf = (
+        tok.filter(F.col("token").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").alias("tf"))
+    )
+    df_ = tf.groupBy("token").agg(F.count("*").alias("df"))
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    part = idf * F.col("tf") * (_BM25_K1 + 1.0) / (
+        F.col("tf")
+        + _BM25_K1 * (1.0 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl"))
+    )
+    lex = (
+        tf.join(F.broadcast(df_), "token")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", part.alias("part"))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("part"), 6).alias("bm25"))
+        .withColumn(
+            "lex_rnk",
+            F.row_number().over(
+                Window.orderBy(F.desc("bm25"), F.asc("doc_id"))
+            ).cast("long"),
+        )
+        .filter(F.col("lex_rnk") <= _HYB_TOP)
+        .select("doc_id", "lex_rnk")
+    )
+    # vector arm: exact cosine to the anchor (1-row broadcast x corpus)
+    ev = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    anchor = ev.filter(F.col("vec_id") == _HYB_ANCHOR).select(
+        F.col("v").alias("qv")
+    )
+    vec = (
+        ev.filter(F.col("vec_id") != _HYB_ANCHOR)
+        .crossJoin(F.broadcast(anchor))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            V.cosine(F.col("qv"), F.col("v")).alias("sim"),
+        )
+        .withColumn(
+            "vec_rnk",
+            F.row_number().over(
+                Window.orderBy(F.desc("sim"), F.asc("doc_id"))
+            ).cast("long"),
+        )
+        .filter(F.col("vec_rnk") <= _HYB_TOP)
+        .select("doc_id", "vec_rnk")
+    )
+    rrf = F.coalesce(1.0 / (_HYB_C + F.col("lex_rnk")), F.lit(0.0)) + F.coalesce(
+        1.0 / (_HYB_C + F.col("vec_rnk")), F.lit(0.0)
+    )
+    return (
+        lex.join(vec, "doc_id", "full_outer")
+        .select("doc_id", "lex_rnk", "vec_rnk", rrf.alias("rrf_raw"))
+        .select(
+            "doc_id",
+            "lex_rnk",
+            "vec_rnk",
+            F.round("rrf_raw", 6).alias("rrf"),
+            F.row_number()
+            .over(Window.orderBy(F.desc("rrf_raw"), F.asc("doc_id")))
+            .cast("long")
+            .alias("fused_rnk"),
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # Driver-window rotation
 # --------------------------------------------------------------------------
@@ -12427,10 +12620,10 @@ _DRIVER_VERIFIED = frozenset(
 # stale rows deliberately NOT rotated are rows-only by design
 # (q91 lang-classifier, q55 IVF recall gate, q139/q162/q163 sketch
 # ε-gates) — re-running them cannot upgrade their check, their gates
-# live in tests/test_ml_quality.py.  7 new (q233-q239) + 32 r3-era +
-# 11 r4-era = 50 exactly; 43 rows with last check <= r4 (directive
-# asks >= 30).  q141-q144 (r4-era) were displaced by the four new
-# IVF arrival-shape queries and rotate in round 10.
+# live in tests/test_ml_quality.py.  9 new (q233-q241) + 32 r3-era +
+# 9 r4-era = 50 exactly; 41 rows with last check <= r4 (directive
+# asks >= 30).  q138/q140-q144 (r4-era) were displaced by the six new
+# round-9 capabilities and rotate in round 10.
 _DEFERRED = [
     # -- r3-era greens (last driver check: CORRECTNESS_r03) --
     "q68_frame_samples",
@@ -12475,8 +12668,6 @@ _DEFERRED = [
     "q135_status_priority_sets",
     "q136_stream_dedup_watermarked",
     "q137_stream_daily_peak_rate",
-    "q138_gram_novelty",
-    "q140_source_kl_divergence",
 ]
 
 

@@ -50,6 +50,7 @@ ALLOWED = {
     "q236_delete_aware_ivf",     # same quantizer broadcasts via the q233 assignment
     "q237_upsert_aware_ivf",     # 1-row stats + 1-row seed-array broadcasts (t0-frozen)
     "q239_ivf_store_vacuum",     # 1-row stats + seed-array broadcasts on the fresh side
+    "q241_rrf_hybrid_search",    # 1-row corpus-stats + 1-row anchor-vector broadcasts
 }
 
 

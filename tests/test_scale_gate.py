@@ -332,3 +332,18 @@ def test_ivf_store_vacuum_hash_match_at_10x(spark, synth_ivf_dir):
     tombstone count, and compaction size grow 10x."""
     name = "q239_ivf_store_vacuum"
     assert_matches(QUERIES[name](spark, synth_ivf_dir), ORACLE[name], synth_ivf_dir)
+
+
+def test_filtered_ann_hash_match_at_10x(spark, synth_ivf_dir):
+    """q240 at 10x: the label-partitioned pre-filtered ANN must stay
+    cross-engine exact as per-(band,bv,label) bucket populations grow."""
+    name = "q240_filtered_ann_topk"
+    assert_matches(QUERIES[name](spark, synth_ivf_dir), ORACLE[name], synth_ivf_dir)
+
+
+def test_rrf_hybrid_hash_match_at_10x(spark, synth_ivf_dir):
+    """q241 at 10x: both retrieval arms (posting-list-bounded BM25 and
+    the 1xN anchor cosine scan) and the rank fusion must stay exact as
+    corpus and posting lists grow 10x."""
+    name = "q241_rrf_hybrid_search"
+    assert_matches(QUERIES[name](spark, synth_ivf_dir), ORACLE[name], synth_ivf_dir)

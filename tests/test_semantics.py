@@ -2496,3 +2496,71 @@ def test_q226_prefixspan_matches_python_recompute(spark):
         for r in QUERIES["q226_prefixspan_patterns"](spark, SF_SMOKE).collect()
     }
     assert got == want
+
+
+def test_q240_filtered_ann_prefilter_semantics(spark):
+    """q240 invariants: (1) every returned neighbor shares its query's
+    label (the filter is structural, not best-effort); (2) ranks are
+    1..k with non-increasing similarity; (3) the pre-filter finds
+    same-label neighbors that POST-filtering the unfiltered q224 top-k
+    would lose — the recall argument for making label part of the
+    bucket key."""
+    import bigdatamining_graduate_spark.operators.similarity as SIM
+    from bigdatamining_graduate_spark.plans.queries import QUERIES
+    from bigdatamining_graduate_spark.sources.catalog import load_table
+    from pyspark.sql import functions as F
+
+    rows = QUERIES["q240_filtered_ann_topk"](spark, SF_SMOKE).collect()
+    assert rows, "no filtered neighbors returned"
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    labels = {r["vec_id"]: r["label"] for r in emb.select("vec_id", "label").collect()}
+    per = {}
+    for r in rows:
+        assert labels[r["neighbor_id"]] == r["label"] == labels[r["query_id"]], r
+        per.setdefault(r["query_id"], []).append(r)
+    for qid, rs in per.items():
+        rs = sorted(rs, key=lambda r: r["rnk"])
+        assert [r["rnk"] for r in rs] == list(range(1, len(rs) + 1)), qid
+        sims = [r["cos_sim"] for r in rs]
+        assert all(x >= y - 1e-12 for x, y in zip(sims, sims[1:])), qid
+    # post-filtering the UNFILTERED top-k keeps strictly fewer same-label
+    # results than the pre-filtered search returns (recall collapse)
+    unfiltered = SIM.lsh_rerank_topk(
+        emb, F.col("vec_id") % 50 == 0, k=5
+    ).collect()
+    post = sum(
+        1 for r in unfiltered if labels[r["neighbor_id"]] == labels[r["query_id"]]
+    )
+    assert len(rows) > post, (len(rows), post)
+
+
+def test_q241_rrf_python_recompute(spark):
+    """q241: the fused ranking must equal a pure-Python RRF recompute
+    from the two arm rankings the engine itself reports (lex_rnk /
+    vec_rnk are the arms' positions) — and both arms must actually
+    contribute docs the other misses (the fusion is real)."""
+    from bigdatamining_graduate_spark.plans.queries import QUERIES, _HYB_C as _RRF_K
+
+    rows = QUERIES["q241_rrf_hybrid_search"](spark, SF_SMOKE).collect()
+    assert rows
+    only_lex = [r for r in rows if r["vec_rnk"] is None]
+    only_vec = [r for r in rows if r["lex_rnk"] is None]
+    both = [r for r in rows if r["lex_rnk"] is not None and r["vec_rnk"] is not None]
+    assert only_lex and only_vec, "one arm subsumed the other at this fixture"
+    # pure-Python RRF over the reported arm positions
+    def rrf(r):
+        s = 0.0
+        if r["lex_rnk"] is not None:
+            s += 1.0 / (_RRF_K + r["lex_rnk"])
+        if r["vec_rnk"] is not None:
+            s += 1.0 / (_RRF_K + r["vec_rnk"])
+        return s
+    expect = sorted(rows, key=lambda r: (-rrf(r), r["doc_id"]))
+    got = sorted(rows, key=lambda r: r["fused_rnk"])
+    assert [r["doc_id"] for r in got] == [r["doc_id"] for r in expect]
+    for r in rows:
+        assert abs(r["rrf"] - round(rrf(r), 6)) < 1e-12, r
+    # a doc in both lists outranks a doc seen once at the same positions
+    if both:
+        best_single = min(rrf(r) for r in only_lex + only_vec)
+        assert max(rrf(r) for r in both) > best_single
