@@ -115,6 +115,8 @@ HEADLINE = [
     "q239_ivf_store_vacuum",    # postings GC + compaction + refresh read-back
     "q240_filtered_ann_topk",   # label-partitioned pre-filtered ANN
     "q241_rrf_hybrid_search",   # BM25 + vector reciprocal-rank fusion
+    "q242_incremental_bm25",    # inverted-index insert maintenance
+    "q243_delete_aware_bm25",   # inverted-index tombstone + rescore
 ]
 
 

@@ -1,0 +1,264 @@
+"""Incrementally maintained INVERTED INDEX (BM25 lexical retrieval).
+
+q106 established BM25 as the engine's lexical-retrieval operator; this
+module gives its index the same maintenance discipline the LSH
+signature store (q227), the component label store (q228/q229), and the
+IVF postings table (q233/q236) already have: a persisted index —
+per-document length table ``dl(doc_id, dl)`` and per-term postings
+``tf(doc_id, token, tf)`` — that refreshes under insert and delete
+arrival WITHOUT re-tokenizing the corpus.
+
+The load-bearing design decision: the stores hold POSTINGS (per-doc
+term counts — stable under corpus growth), never SCORES.  BM25 scores
+depend on corpus-global statistics (N, avgdl, per-term df), every one
+of which moves on EVERY insert or delete — so a cached score is stale
+the moment the corpus changes, while a cached posting is exact forever
+(a document's term counts never change unless the document does).
+Maintenance therefore appends/tombstones postings in O(|batch| tokens)
+and recomputes scores from the merged stores at query time, where the
+fixed-term filter prunes the postings read to the query terms' lists.
+``tests/test_semantics.py`` pins the corollary: after a deletion the
+surviving documents' scores CHANGE (idf/avgdl shift), so a
+carry-the-scores design would be provably wrong, not just slower.
+
+Arrival slices reuse the corpus-wide conventions (``dedup`` salts
+"ilsh" / "idel"): one crawl-batch event refreshes the LSH store, the
+label store, AND the inverted index consistently.
+
+Reference anchor: the reference ranks documents with TF-IDF built from
+scratch per run (``FinalProject/BDM_Final.py``); extension — it has no
+persisted index and no refresh path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..checkpoints import local_checkpoint
+from ..functions import text as TX
+from .dedup import _incr_deleted_flag, _incr_delta_flag
+
+#: BM25 constants — shared with q106 (Robertson; Lucene idf variant)
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOP = 20
+BM25_TERMS = ("spark", "table", "query")
+
+
+def _doc_tokens(docs: DataFrame) -> DataFrame:
+    """The shared tokenized projection (doc_id, tokens) BOTH stores
+    derive from — checkpointed by the callers so indexing a slice costs
+    ONE documents scan, not one per store (the q63 single-scan
+    discipline)."""
+    return docs.select("doc_id", TX.tokenize("text").alias("tokens"))
+
+
+def _dl_from_tokens(tok: DataFrame) -> DataFrame:
+    """(doc_id, dl) off the tokenized projection.  Zero explode: token
+    count is the array length.  Zero-token docs are excluded to match
+    the explode-derived dl of the oracle (and q106): a doc with no
+    tokens has no postings and contributes to neither n_docs nor
+    avgdl."""
+    return tok.select(
+        "doc_id", F.size("tokens").cast("long").alias("dl")
+    ).filter(F.col("dl") > 0)
+
+
+def _tf_from_tokens(tok: DataFrame, terms=BM25_TERMS) -> DataFrame:
+    """(doc_id, token, tf) for the query vocabulary, off the tokenized
+    projection.  A full production index stores ALL tokens; restricting
+    the build to ``terms`` keeps fixtures small without changing the
+    plan shape — the explode+filter+groupBy is identical, the filter
+    just prunes the exploded stream earlier."""
+    ex = tok.select("doc_id", F.explode("tokens").alias("token"))
+    return (
+        ex.filter(F.col("token").isin(*terms))
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").cast("long").alias("tf"))
+    )
+
+
+def doc_lengths(docs: DataFrame) -> DataFrame:
+    """dl store rows straight from documents (store-build entry point)."""
+    return _dl_from_tokens(_doc_tokens(docs))
+
+
+def term_postings(docs: DataFrame, terms=BM25_TERMS) -> DataFrame:
+    """tf store rows straight from documents (store-build entry point)."""
+    return _tf_from_tokens(_doc_tokens(docs), terms)
+
+
+def _bm25_from_stores(dl: DataFrame, tf: DataFrame) -> DataFrame:
+    """Score the fixed-term query from (possibly merged) stores — the
+    q106 arithmetic verbatim, reading postings instead of raw text.
+    Global stats (N, avgdl, df) derive from the CURRENT stores, never
+    cached: they move on every refresh, postings don't."""
+    stats = dl.agg(F.avg("dl").alias("avgdl"), F.count("*").alias("n_docs"))
+    df_ = tf.groupBy("token").agg(F.count("*").alias("df"))
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    part = idf * F.col("tf") * (BM25_K1 + 1.0) / (
+        F.col("tf")
+        + BM25_K1 * (1.0 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
+    )
+    return (
+        tf.join(F.broadcast(df_), "token")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", part.alias("part"))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("part"), 6).alias("bm25"))
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(BM25_TOP)
+    )
+
+
+def incremental_bm25(
+    docs: DataFrame,
+    dl_store: DataFrame | None = None,
+    tf_store: DataFrame | None = None,
+) -> DataFrame:
+    """INSERT-side inverted-index maintenance (q242): the q227 arrival
+    batch (20% hash slice, salt "ilsh" — the same crawl event that
+    refreshes the LSH store) lands against a persisted dl/tf index.
+    Only the batch is tokenized; base postings are read from the store
+    verbatim (insert-only batches have disjoint doc_ids, so the merge
+    is a pure union — no per-key reconciliation).  Scores then derive
+    from the MERGED stores, so the corpus-global statistics every
+    document's score depends on (N, avgdl, df) are exact for the new
+    corpus — the reason the stores hold postings, not scores.
+
+    The DuckDB oracle is the FULL BM25 recompute over store ∪ batch
+    (q106's pipeline on the whole corpus), so the driver hash-match
+    proves maintained-index search == full-rebuild search every round.
+
+    ``dl_store`` / ``tf_store`` inject the persisted index (roundtrip
+    test); defaults derive in-plan from the base slice.
+
+    Scale: refresh is O(|batch| tokens); query-time work is the query
+    terms' posting lists + one avgdl aggregate over the dl store (a
+    per-doc stat table, materialized once per snapshot)."""
+    delta = _incr_delta_flag()
+    # one documents scan per slice: dl and tf derive from a shared
+    # checkpointed token projection (the q63 single-scan discipline);
+    # on the persisted-store path only the batch is ever tokenized
+    batch_tok = local_checkpoint(
+        _doc_tokens(docs.filter(delta)), eager=False
+    )
+    if dl_store is None or tf_store is None:
+        base_tok = local_checkpoint(
+            _doc_tokens(docs.filter(~delta)), eager=False
+        )
+    dl = (
+        dl_store if dl_store is not None else _dl_from_tokens(base_tok)
+    ).unionByName(_dl_from_tokens(batch_tok))
+    tf = (
+        tf_store if tf_store is not None else _tf_from_tokens(base_tok)
+    ).unionByName(_tf_from_tokens(batch_tok))
+    return _bm25_from_stores(dl, tf).select(
+        "doc_id",
+        "bm25",
+        F.when(delta, F.lit("batch")).otherwise(F.lit("store")).alias("src"),
+    )
+
+
+def delete_aware_bm25(
+    docs: DataFrame,
+    dl_store: DataFrame | None = None,
+    tf_store: DataFrame | None = None,
+) -> DataFrame:
+    """DELETE-side inverted-index maintenance (q243): the q229
+    tombstone slice (10%, salt "idel") is erased.  Postings are
+    tombstoned by one anti-filter per store (at scale: anti-joins
+    against the tombstone set, or the q235/q239 vacuum on the
+    compaction cadence) — nothing is re-tokenized.  But deletion moves
+    EVERY survivor's score: N and avgdl shrink, df loses the deleted
+    docs' contributions — so scores recompute from the shrunk stores
+    while postings carry.  (Count stores are SUBTRACTABLE — unlike the
+    HLL registers of q191, which can only grow; this is why the
+    inverted index tombstones cleanly while distinct-count sketches
+    need rebuild-on-delete.)
+
+    The DuckDB oracle is the full BM25 recompute over the remaining
+    corpus — the driver hash-match proves tombstoned-index search ==
+    full-rebuild search.
+
+    Scale: two anti-filters + the same query-time work as q242."""
+    deleted = _incr_deleted_flag()
+    if dl_store is None or tf_store is None:
+        tok = local_checkpoint(_doc_tokens(docs), eager=False)
+    dl = (
+        dl_store if dl_store is not None else _dl_from_tokens(tok)
+    ).filter(~deleted)
+    tf = (
+        tf_store if tf_store is not None else _tf_from_tokens(tok)
+    ).filter(~deleted)
+    return _bm25_from_stores(dl, tf)
+
+
+def _bm25_sql(where: str) -> str:
+    """q106's oracle parameterized by a corpus predicate — the full
+    recompute both maintenance identities are proven against."""
+    terms_sql = "(" + ", ".join(f"'{t}'" for t in BM25_TERMS) + ")"
+    return f"""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents WHERE {where}
+    ),
+    tok AS (
+      SELECT doc_id, unnest({TX.tokenize_sql('text')}) AS token FROM corpus
+    ),
+    dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
+    stats AS (SELECT avg(dl) AS avgdl, count(*) AS n_docs FROM dl),
+    tf AS (
+      SELECT doc_id, token, count(*) AS tf FROM tok
+      WHERE token IN {terms_sql} GROUP BY 1, 2
+    ),
+    df AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+    scored AS (
+      SELECT t.doc_id,
+             ln((s.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0)
+               * t.tf * ({BM25_K1} + 1.0)
+               / (t.tf + {BM25_K1} * (1.0 - {BM25_B}
+                   + {BM25_B} * l.dl / s.avgdl)) AS part
+      FROM tf t
+      JOIN df d ON d.token = t.token
+      JOIN dl l ON l.doc_id = t.doc_id
+      CROSS JOIN stats s
+    )
+    SELECT doc_id, round(sum(part), 6) AS bm25
+    FROM scored GROUP BY doc_id
+    ORDER BY bm25 DESC, doc_id ASC LIMIT {BM25_TOP}
+    """
+
+
+def incremental_bm25_sql() -> str:
+    """Full recompute over the whole corpus (store ∪ batch) + the same
+    store/batch provenance column."""
+    from ..functions.hashing import portable_hash64_sql
+
+    from .dedup import INCR_LSH_BUCKETS, INCR_LSH_HIST
+
+    delta = (
+        f"({portable_hash64_sql('cast(doc_id as varchar)', 'ilsh')}"
+        f" % {INCR_LSH_BUCKETS}) >= {INCR_LSH_HIST}"
+    )
+    return (
+        f"SELECT doc_id, bm25,"
+        f" CASE WHEN {delta} THEN 'batch' ELSE 'store' END AS src"
+        f" FROM ({_bm25_sql('TRUE')})"
+    )
+
+
+def delete_aware_bm25_sql() -> str:
+    """Full recompute over the remaining corpus."""
+    from ..functions.hashing import portable_hash64_sql
+
+    from .dedup import INCR_DEL_BUCKETS
+
+    deleted = (
+        f"({portable_hash64_sql('cast(doc_id as varchar)', 'idel')}"
+        f" % {INCR_DEL_BUCKETS}) = 0"
+    )
+    return _bm25_sql(f"NOT {deleted}")

@@ -12540,6 +12540,65 @@ def q241_rrf_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+from ..operators import lexical as LX  # noqa: E402
+
+
+@register(
+    "q242_incremental_bm25",
+    oracle=LX.incremental_bm25_sql(),
+)
+def q242_incremental_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INSERT-side INVERTED-INDEX maintenance — the q227 discipline on
+    the lexical index, so every index the engine serves (LSH signature
+    store q227, component labels q228, IVF postings q233, and now the
+    BM25 dl/tf stores) refreshes incrementally off the same crawl-batch
+    event (the shared "ilsh" arrival slice).  Only the batch is
+    tokenized; base postings are read from the persisted store verbatim
+    (insert batches have disjoint doc_ids → the merge is a pure union).
+    The load-bearing design decision: the stores hold POSTINGS, never
+    SCORES — BM25's corpus-global stats (N, avgdl, df) move on every
+    arrival, so scores recompute from the merged stores at query time
+    while postings carry forever.  Output: top-20 (doc_id, bm25, src)
+    with store/batch provenance.  The DuckDB oracle is the FULL BM25
+    recompute over store ∪ batch, so the driver hash-match proves
+    maintained-index search == full-rebuild search every round.  Store
+    roundtrip pinned in ``tests/test_lexical_index.py``.
+
+    Scale: refresh is O(|batch| tokens); query-time work is the query
+    terms' posting lists + one aggregate over the dl table.  Reference
+    anchor: ``FinalProject/BDM_Final.py`` TF-IDF ranking (extension —
+    the reference rebuilds from scratch per run)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return LX.incremental_bm25(docs)
+
+
+@register(
+    "q243_delete_aware_bm25",
+    oracle=LX.delete_aware_bm25_sql(),
+)
+def q243_delete_aware_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DELETE-side inverted-index maintenance — q229's tombstone slice
+    erased from the lexical index: postings are tombstoned by one
+    anti-filter per store (or the q235 vacuum on the compaction
+    cadence, pinned in ``tests/test_lexical_index.py``), nothing is
+    re-tokenized — but every SURVIVOR'S score changes (N and avgdl
+    shrink, df loses the deleted contributions), so scores recompute
+    from the shrunk stores while postings carry.  The test suite pins
+    the corollary: at least one surviving doc's BM25 moves after the
+    delete, so a carry-the-scores design would be provably WRONG, not
+    just stale — the reason the stores hold postings.  (Count stores
+    are subtractable; HLL registers (q191) are not — this is exactly
+    why the inverted index tombstones cleanly while distinct-count
+    sketches rebuild on delete.)  The DuckDB oracle is the full BM25
+    recompute over the remaining corpus.
+
+    Scale: two anti-filters + q242's query-time work.  Reference
+    anchor: ``FinalProject/BDM_Final.py`` (extension — the reference
+    never deletes)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return LX.delete_aware_bm25(docs)
+
+
 # --------------------------------------------------------------------------
 # Driver-window rotation
 # --------------------------------------------------------------------------
@@ -12620,10 +12679,10 @@ _DRIVER_VERIFIED = frozenset(
 # stale rows deliberately NOT rotated are rows-only by design
 # (q91 lang-classifier, q55 IVF recall gate, q139/q162/q163 sketch
 # ε-gates) — re-running them cannot upgrade their check, their gates
-# live in tests/test_ml_quality.py.  9 new (q233-q241) + 32 r3-era +
-# 9 r4-era = 50 exactly; 41 rows with last check <= r4 (directive
-# asks >= 30).  q138/q140-q144 (r4-era) were displaced by the six new
-# round-9 capabilities and rotate in round 10.
+# live in tests/test_ml_quality.py.  11 new (q233-q243) + 32 r3-era +
+# 7 r4-era = 50 exactly; 39 rows with last check <= r4 (directive
+# asks >= 30).  q136-q138/q140-q144 (r4-era) were displaced by the
+# eight new round-9 capabilities and rotate in round 10.
 _DEFERRED = [
     # -- r3-era greens (last driver check: CORRECTNESS_r03) --
     "q68_frame_samples",
@@ -12666,8 +12725,6 @@ _DEFERRED = [
     "q131_doclen_cdf",
     "q132_peak_concurrency",
     "q135_status_priority_sets",
-    "q136_stream_dedup_watermarked",
-    "q137_stream_daily_peak_rate",
 ]
 
 

@@ -51,6 +51,8 @@ ALLOWED = {
     "q237_upsert_aware_ivf",     # 1-row stats + 1-row seed-array broadcasts (t0-frozen)
     "q239_ivf_store_vacuum",     # 1-row stats + seed-array broadcasts on the fresh side
     "q241_rrf_hybrid_search",    # 1-row corpus-stats + 1-row anchor-vector broadcasts
+    "q242_incremental_bm25",     # 1-row avgdl/n_docs-stats broadcast (q106 pattern)
+    "q243_delete_aware_bm25",    # 1-row avgdl/n_docs-stats broadcast (q106 pattern)
 }
 
 

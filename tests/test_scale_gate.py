@@ -347,3 +347,19 @@ def test_rrf_hybrid_hash_match_at_10x(spark, synth_ivf_dir):
     corpus and posting lists grow 10x."""
     name = "q241_rrf_hybrid_search"
     assert_matches(QUERIES[name](spark, synth_ivf_dir), ORACLE[name], synth_ivf_dir)
+
+
+def test_incremental_bm25_hash_match_at_10x(spark, synth_dir):
+    """q242 at 10x the document corpus: merged-store search must equal
+    the full-rebuild search as posting lists, dl table, and the global
+    stats every score depends on grow 10x."""
+    name = "q242_incremental_bm25"
+    assert_matches(QUERIES[name](spark, synth_dir), ORACLE[name], synth_dir)
+
+
+def test_delete_aware_bm25_hash_match_at_10x(spark, synth_dir):
+    """q243 at 10x: tombstoned-store search must equal the full rebuild
+    over the remaining corpus — survivor scores shift exactly as the
+    shrunk N/avgdl/df dictate."""
+    name = "q243_delete_aware_bm25"
+    assert_matches(QUERIES[name](spark, synth_dir), ORACLE[name], synth_dir)
