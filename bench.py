@@ -117,6 +117,8 @@ HEADLINE = [
     "q241_rrf_hybrid_search",   # BM25 + vector reciprocal-rank fusion
     "q242_incremental_bm25",    # inverted-index insert maintenance
     "q243_delete_aware_bm25",   # inverted-index tombstone + rescore
+    "q244_upsert_aware_bm25",   # inverted-index stale-drop + re-index changed
+    "q245_stream_incremental_bm25",  # foreachBatch index accretion (stream == batch)
 ]
 
 

@@ -5,8 +5,12 @@ module gives its index the same maintenance discipline the LSH
 signature store (q227), the component label store (q228/q229), and the
 IVF postings table (q233/q236) already have: a persisted index —
 per-document length table ``dl(doc_id, dl)`` and per-term postings
-``tf(doc_id, token, tf)`` — that refreshes under insert and delete
-arrival WITHOUT re-tokenizing the corpus.
+``tf(doc_id, token, tf)`` — that refreshes under insert (q242), delete
+(q243), upsert (q244), and streaming (q245, ``streaming/jobs.py``)
+arrival WITHOUT re-tokenizing the corpus, with store vacuum pinned in
+``tests/test_lexical_index.py`` — completing the engine's maintenance
+matrix: three index families × five arrival shapes, every cell
+oracle-proven against the full recompute.
 
 The load-bearing design decision: the stores hold POSTINGS (per-doc
 term counts — stable under corpus growth), never SCORES.  BM25 scores
@@ -262,3 +266,83 @@ def delete_aware_bm25_sql() -> str:
         f" % {INCR_DEL_BUCKETS}) = 0"
     )
     return _bm25_sql(f"NOT {deleted}")
+
+
+def upsert_aware_bm25(
+    docs: DataFrame,
+    dl_store: DataFrame | None = None,
+    tf_store: DataFrame | None = None,
+) -> DataFrame:
+    """UPSERT-side inverted-index maintenance (q244) — q231's
+    content-change shape on the lexical index: the deterministic 10%
+    revision slice (salt "iupd"; suffix sentence appended, the same t1
+    corpus the LSH upsert family maintains against).  Every t0 posting
+    touching a changed doc is dropped (stale — computed from content
+    that no longer exists); only the changed docs' v2 text is
+    re-tokenized; unchanged postings carry verbatim.  The revision's
+    fine print makes this a sharp test: the suffix contains NO query
+    term, so changed docs' tf postings are value-identical across
+    snapshots — but their dl grows, avgdl moves, and every score in
+    the corpus shifts.  A maintenance design that skipped "docs whose
+    query-term counts didn't change" would be provably wrong; postings
+    must refresh on ANY content change because dl is part of the
+    posting.
+
+    The DuckDB oracle is the full BM25 recompute over the t1 corpus.
+    Output: top-20 (doc_id, bm25, src ∈ {carried, refreshed}).
+
+    Scale: re-tokenizing is O(|changed|); the stale drop is one
+    hash-slice anti-filter per store."""
+    from .dedup import INCR_UPD_SUFFIX, _incr_updated_flag
+
+    changed = _incr_updated_flag()
+    t1_changed = docs.filter(changed).withColumn(
+        "text", F.concat(F.col("text"), F.lit(INCR_UPD_SUFFIX))
+    )
+    chg_tok = local_checkpoint(_doc_tokens(t1_changed), eager=False)
+    if dl_store is None or tf_store is None:
+        base_tok = local_checkpoint(
+            _doc_tokens(docs.filter(~changed)), eager=False
+        )
+    dl = (
+        dl_store.filter(~changed)
+        if dl_store is not None
+        else _dl_from_tokens(base_tok)
+    ).unionByName(_dl_from_tokens(chg_tok))
+    tf = (
+        tf_store.filter(~changed)
+        if tf_store is not None
+        else _tf_from_tokens(base_tok)
+    ).unionByName(_tf_from_tokens(chg_tok))
+    return _bm25_from_stores(dl, tf).select(
+        "doc_id",
+        "bm25",
+        F.when(changed, F.lit("refreshed"))
+        .otherwise(F.lit("carried"))
+        .alias("src"),
+    )
+
+
+def upsert_aware_bm25_sql() -> str:
+    """Full recompute over the t1 corpus (revised texts in place) + the
+    carried/refreshed provenance column."""
+    from ..functions.hashing import portable_hash64_sql
+
+    from .dedup import INCR_UPD_BUCKETS, INCR_UPD_SUFFIX
+
+    flag = (
+        lambda c: f"({portable_hash64_sql(f'cast({c} as varchar)', 'iupd')}"
+        f" % {INCR_UPD_BUCKETS}) = 0"
+    )
+    t1 = (
+        f"SELECT doc_id, CASE WHEN {flag('doc_id')} THEN text ||"
+        f" '{INCR_UPD_SUFFIX}' ELSE text END AS text FROM documents"
+    )
+    inner = _bm25_sql("TRUE").replace(
+        "SELECT doc_id, text FROM documents WHERE TRUE", t1
+    )
+    return (
+        f"SELECT doc_id, bm25,"
+        f" CASE WHEN {flag('doc_id')} THEN 'refreshed' ELSE 'carried' END AS src"
+        f" FROM ({inner})"
+    )

@@ -12599,6 +12599,58 @@ def q243_delete_aware_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     return LX.delete_aware_bm25(docs)
 
 
+@register(
+    "q244_upsert_aware_bm25",
+    oracle=LX.upsert_aware_bm25_sql(),
+)
+def q244_upsert_aware_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UPSERT-side inverted-index maintenance — q231's content-change
+    shape on the lexical index (the same deterministic 10% revision
+    slice and t1 corpus the LSH upsert family maintains against):
+    every t0 posting touching a changed doc is dropped as stale, only
+    the changed docs' v2 text is re-tokenized, unchanged postings
+    carry verbatim.  The revision's fine print makes this sharp: the
+    suffix sentence contains NO query term, so changed docs' tf
+    postings are value-identical across snapshots — but their dl
+    grows, avgdl moves, and every score in the corpus shifts; a design
+    that skipped "docs whose query-term counts didn't change" would be
+    provably wrong, because dl is part of the posting.  The DuckDB
+    oracle is the full BM25 recompute over the t1 corpus.  Output:
+    top-20 (doc_id, bm25, src ∈ {carried, refreshed}).
+
+    Scale: re-tokenizing is O(|changed|); the stale drop is one
+    hash-slice anti-filter per store.  Reference anchor:
+    ``FinalProject/BDM_Final.py`` (extension)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return LX.upsert_aware_bm25(docs)
+
+
+@register(
+    "q245_stream_incremental_bm25",
+    oracle=ST.stream_incremental_bm25_sql(),
+)
+def q245_stream_incremental_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q242's inverted-index maintenance run as an ACTUAL stream —
+    completing the lexical index's arrival-shape matrix (insert q242 /
+    delete q243 / upsert q244 / stream q245 / vacuum in
+    tests/test_lexical_index.py): documents arrive in the SAME three
+    mtime-pinned micro-batches as the streaming LSH job (salt "slsh" —
+    one stream event feeds both index families), a foreachBatch
+    handler appends each batch's dl rows and term postings to
+    persisted stores (batch-id-keyed overwrite subdirectories —
+    idempotent under replay; per-row slice == batch id asserted), and
+    after the drain the fixed-term query runs off the accumulated
+    stores.  The DuckDB oracle is the full batch BM25 over the whole
+    corpus + the arrived provenance column, so the driver hash-match
+    proves stream == batch (the q209/q230/q238 discipline).
+
+    Scale: per-trigger O(|batch| tokens); stores never re-derived;
+    Kafka + Delta is the same shape.  Reference anchor:
+    ``FinalProject/BDM_Final.py`` (extension — the reference has zero
+    streaming)."""
+    return ST.stream_incremental_bm25(spark, sf_dir)
+
+
 # --------------------------------------------------------------------------
 # Driver-window rotation
 # --------------------------------------------------------------------------
@@ -12679,10 +12731,10 @@ _DRIVER_VERIFIED = frozenset(
 # stale rows deliberately NOT rotated are rows-only by design
 # (q91 lang-classifier, q55 IVF recall gate, q139/q162/q163 sketch
 # ε-gates) — re-running them cannot upgrade their check, their gates
-# live in tests/test_ml_quality.py.  11 new (q233-q243) + 32 r3-era +
-# 7 r4-era = 50 exactly; 39 rows with last check <= r4 (directive
-# asks >= 30).  q136-q138/q140-q144 (r4-era) were displaced by the
-# eight new round-9 capabilities and rotate in round 10.
+# live in tests/test_ml_quality.py.  13 new (q233-q245) + 32 r3-era +
+# 5 r4-era = 50 exactly; 37 rows with last check <= r4 (directive
+# asks >= 30).  q132/q135-q138/q140-q144 (r4-era) were displaced by
+# the ten new round-9 capabilities and rotate in round 10.
 _DEFERRED = [
     # -- r3-era greens (last driver check: CORRECTNESS_r03) --
     "q68_frame_samples",
@@ -12723,8 +12775,6 @@ _DEFERRED = [
     "q128_dormant_prospects",
     "q129_semdedup_discards",
     "q131_doclen_cdf",
-    "q132_peak_concurrency",
-    "q135_status_priority_sets",
 ]
 
 

@@ -1009,3 +1009,109 @@ def stream_incremental_ivf_assign_sql() -> str:
         f"WITH {_ivf_sql_core(base_pred=f'{flag} = 0', src_item=f'cast({flag} as bigint) AS arrived')}\n"
         "    SELECT vec_id, cell, d2, arrived FROM assign"
     )
+
+
+def stream_incremental_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q242's inverted-index maintenance run as an ACTUAL stream — the
+    q230/q238 discipline on the lexical index, completing its
+    arrival-shape matrix: documents arrive in the SAME three
+    hash-sliced micro-batches as the streaming LSH job (salt "slsh" —
+    one stream event feeds both index families), and a foreachBatch
+    handler appends each batch's dl rows and term postings to persisted
+    parquet stores, each batch in its own batch-id-keyed subdirectory
+    with mode=overwrite (idempotent under micro-batch replay).  Only
+    the arriving batch is ever tokenized; the handler ASSERTS each
+    emitted posting's hash slice equals its micro-batch id.  After the
+    drain, the fixed-term query runs off the accumulated stores — and
+    must equal the full batch BM25 over the whole corpus, which is
+    exactly the DuckDB oracle (+ an ``arrived`` provenance column =
+    the doc's batch id).  Output: top-20 (doc_id, bm25, arrived).
+
+    Scale: per-trigger work is O(|batch| tokens); the stores grow by
+    |batch| rows per trigger and are never re-derived.  Kafka source +
+    Delta stores is the same shape.  Reference anchor:
+    ``FinalProject/BDM_Final.py`` TF-IDF (extension — the reference
+    has zero streaming and no persisted index)."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from ..operators import lexical as LX
+
+    docs = spark.read.parquet(table_path(sf_dir, "documents")).select(
+        "doc_id", "text"
+    )
+    stage = tempfile.mkdtemp(prefix="bdm_stream_bm25_")
+    indir = os.path.join(stage, "in")
+    dl_store = os.path.join(stage, "dl_store")
+    tf_store = os.path.join(stage, "tf_store")
+    os.makedirs(indir)
+    bflag = _stream_lsh_batch_flag()
+    for i in range(STREAM_LSH_BATCHES):
+        part_dir = os.path.join(stage, f"part{i}")
+        docs.filter(bflag == i).coalesce(1).write.parquet(part_dir)
+        dst = os.path.join(indir, f"batch{i}.parquet")
+        shutil.move(
+            glob.glob(os.path.join(part_dir, "part-*.parquet"))[0], dst
+        )
+        os.utime(dst, (1_700_000_000 + i * 100, 1_700_000_000 + i * 100))
+
+    def handle(batch_df: DataFrame, bid: int) -> None:
+        from ..checkpoints import (
+            local_checkpoint,
+            release_new_since,
+            tracked_ids,
+        )
+
+        ledger_before = tracked_ids()
+        tok = local_checkpoint(LX._doc_tokens(batch_df), eager=False)
+        dl = LX._dl_from_tokens(tok)
+        tf = LX._tf_from_tokens(tok)
+        bad = (
+            dl.filter(_stream_lsh_batch_flag() != F.lit(int(bid))).count()
+            + tf.filter(_stream_lsh_batch_flag() != F.lit(int(bid))).count()
+        )
+        if bad:
+            raise AssertionError(
+                f"stream batch {bid} emitted {bad} index rows whose hash "
+                "slice is not this batch — emission is not exactly-once"
+            )
+        dl.write.mode("overwrite").parquet(
+            os.path.join(dl_store, f"batch{bid}")
+        )
+        tf.write.mode("overwrite").parquet(
+            os.path.join(tf_store, f"batch{bid}")
+        )
+        release_new_since(ledger_before)
+
+    q = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(indir)
+        .writeStream.foreachBatch(handle)
+        .option("checkpointLocation", os.path.join(stage, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rd = lambda p: spark.read.option(  # noqa: E731
+        "recursiveFileLookup", "true"
+    ).parquet(p)
+    return LX._bm25_from_stores(rd(dl_store), rd(tf_store)).select(
+        "doc_id",
+        "bm25",
+        _stream_lsh_batch_flag().cast("bigint").alias("arrived"),
+    )
+
+
+def stream_incremental_bm25_sql() -> str:
+    """Batch twin: the full BM25 over the whole corpus + the same
+    arrived provenance — accumulated-store search must equal it."""
+    from ..operators.lexical import _bm25_sql
+
+    return (
+        f"SELECT doc_id, bm25,"
+        f" cast({_stream_lsh_batch_sql('doc_id')} as bigint) AS arrived"
+        f" FROM ({_bm25_sql('TRUE')})"
+    )

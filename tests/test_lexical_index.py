@@ -105,3 +105,70 @@ def test_store_vacuum_preserves_search(spark, tmp_path):
         spark.read.parquet(dl_dir), spark.read.parquet(tf_dir)
     )
     assert _key(vacuumed) == _key(LX.delete_aware_bm25(docs))
+
+
+def test_upsert_rescores_and_tf_identical_but_dl_moves(spark, tmp_path):
+    """q244's sharp edge: the revision suffix contains no query term,
+    so the changed docs' tf postings are VALUE-IDENTICAL across
+    snapshots — yet scores must still move because dl grew.  Pins (a)
+    maintained == full t1 rebuild, (b) the tf-identity, (c) the store
+    roundtrip, (d) at least one score moved vs t0."""
+    from bigdatamining_graduate_spark.operators.dedup import (
+        INCR_UPD_SUFFIX,
+        _incr_updated_flag,
+    )
+
+    docs = _docs(spark)
+    out = LX.upsert_aware_bm25(docs)
+    t1 = docs.withColumn(
+        "text",
+        F.when(
+            _incr_updated_flag(), F.concat(F.col("text"), F.lit(INCR_UPD_SUFFIX))
+        ).otherwise(F.col("text")),
+    )
+    full_t1 = LX._bm25_from_stores(LX.doc_lengths(t1), LX.term_postings(t1))
+    assert _key(out) == _key(full_t1)
+    # (b) tf postings of changed docs identical t0 vs t1
+    tf0 = {(r.doc_id, r.token): r.tf for r in LX.term_postings(
+        docs.filter(_incr_updated_flag())
+    ).collect()}
+    tf1 = {(r.doc_id, r.token): r.tf for r in LX.term_postings(
+        t1.filter(_incr_updated_flag())
+    ).collect()}
+    assert tf0 == tf1, "suffix leaked a query term — fixture invalid"
+    # (c) persisted-store roundtrip
+    LX.doc_lengths(docs).write.parquet(str(tmp_path / "dl"))
+    LX.term_postings(docs).write.parquet(str(tmp_path / "tf"))
+    roundtrip = LX.upsert_aware_bm25(
+        docs,
+        dl_store=spark.read.parquet(str(tmp_path / "dl")),
+        tf_store=spark.read.parquet(str(tmp_path / "tf")),
+    )
+    assert _key(roundtrip) == _key(out)
+    # (d) the dl-only change moved at least one score
+    before = {r.doc_id: r.bm25 for r in LX._bm25_from_stores(
+        LX.doc_lengths(docs), LX.term_postings(docs)
+    ).collect()}
+    assert any(
+        r.doc_id in before and r.bm25 != before[r.doc_id]
+        for r in out.collect()
+    ), "upsert moved no score — fixture degenerate"
+
+
+def test_stream_bm25_equals_batch(spark):
+    """q245: the drained stream's accumulated stores must answer the
+    fixed-term query exactly as the batch pipeline over the whole
+    corpus, with arrived = the doc's micro-batch id."""
+    import bigdatamining_graduate_spark.streaming.jobs as SJ
+
+    streamed = SJ.stream_incremental_bm25(spark, SF_SMOKE)
+    docs = _docs(spark)
+    batch = LX._bm25_from_stores(
+        LX.doc_lengths(docs), LX.term_postings(docs)
+    ).select(
+        "doc_id", "bm25", SJ._stream_lsh_batch_flag().cast("bigint").alias("arrived")
+    )
+    got = sorted((r.doc_id, r.bm25, r.arrived) for r in streamed.collect())
+    exp = sorted((r.doc_id, r.bm25, r.arrived) for r in batch.collect())
+    assert got == exp
+    assert {r[2] for r in got} <= {0, 1, 2} and len({r[2] for r in got}) > 1

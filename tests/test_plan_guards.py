@@ -53,6 +53,8 @@ ALLOWED = {
     "q241_rrf_hybrid_search",    # 1-row corpus-stats + 1-row anchor-vector broadcasts
     "q242_incremental_bm25",     # 1-row avgdl/n_docs-stats broadcast (q106 pattern)
     "q243_delete_aware_bm25",    # 1-row avgdl/n_docs-stats broadcast (q106 pattern)
+    "q244_upsert_aware_bm25",    # 1-row avgdl/n_docs-stats broadcast (q106 pattern)
+    "q245_stream_incremental_bm25",  # same 1-row stats broadcast on the post-drain read
 }
 
 

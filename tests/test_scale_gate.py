@@ -363,3 +363,17 @@ def test_delete_aware_bm25_hash_match_at_10x(spark, synth_dir):
     shrunk N/avgdl/df dictate."""
     name = "q243_delete_aware_bm25"
     assert_matches(QUERIES[name](spark, synth_dir), ORACLE[name], synth_dir)
+
+
+def test_upsert_aware_bm25_hash_match_at_10x(spark, synth_dir):
+    """q244 at 10x: stale-drop + re-tokenize-the-changed-slice must
+    equal the full t1 rebuild as revision volume grows 10x."""
+    name = "q244_upsert_aware_bm25"
+    assert_matches(QUERIES[name](spark, synth_dir), ORACLE[name], synth_dir)
+
+
+def test_stream_bm25_hash_match_at_10x(spark, synth_dir):
+    """q245 at 10x: three 10x micro-batches accreting the dl/tf stores
+    — accumulated-store search must still equal the batch recompute."""
+    name = "q245_stream_incremental_bm25"
+    assert_matches(QUERIES[name](spark, synth_dir), ORACLE[name], synth_dir)

@@ -43,6 +43,7 @@ SKIP_PREFIXES = (
     "q235",  # store vacuum: builds, vacuums, and swaps stores at plan-build
     "q238",  # streaming IVF maintenance: the stream drains at plan-build
     "q239",  # IVF store vacuum: builds, vacuums, and swaps stores at plan-build
+    "q245",  # streaming BM25 maintenance: the stream drains at plan-build
 )
 
 
