@@ -119,6 +119,7 @@ HEADLINE = [
     "q243_delete_aware_bm25",   # inverted-index tombstone + rescore
     "q244_upsert_aware_bm25",   # inverted-index stale-drop + re-index changed
     "q245_stream_incremental_bm25",  # foreachBatch index accretion (stream == batch)
+    "q246_incremental_triangles",  # graph-family delta maintenance (carried + attributed)
 ]
 
 

@@ -612,3 +612,252 @@ def bfs_hops_sql(
     WITH {joined}
     SELECT node, hop FROM v{max_hops}
     """
+
+
+# -- Incremental triangle maintenance (edge arrival) --------------------------
+#
+# The maintenance discipline (q227's identity: carried + delta == full
+# recompute, oracle = the full recompute) reaching the GRAPH family — the
+# last family whose refresh still meant a full re-run.  New ORDERS arrive
+# (a deterministic 20% l_orderkey slice); their co-purchases add edges; the
+# maintained state is the persisted EDGE store + per-node triangle counts.
+# Only triangles touching a new edge are counted: O(|new edges| · avg
+# degree) wedge work instead of re-closing the whole graph.
+
+INCR_TRI_BUCKETS = 10
+INCR_TRI_HIST = 8  # l_orderkey hash buckets 0-7 = base orders, 8-9 = batch
+
+
+def _tri_delta_flag(col: str = "l_orderkey"):
+    from ..functions.hashing import portable_hash64
+
+    return (
+        portable_hash64(F.col(col).cast("string"), salt="itri")
+        % INCR_TRI_BUCKETS
+        >= INCR_TRI_HIST
+    )
+
+
+def _tri_delta_sql(col: str = "l_orderkey") -> str:
+    from ..functions.hashing import portable_hash64_sql
+
+    return (
+        f"(({portable_hash64_sql(f'cast({col} as varchar)', 'itri')}"
+        f" % {INCR_TRI_BUCKETS}) >= {INCR_TRI_HIST})"
+    )
+
+
+def _copurchase_pairs(lineitem: DataFrame) -> DataFrame:
+    """Canonical (pa < pb) distinct co-purchase edges at support 1 —
+    the edge-store row format (mirrors triangle_counts' inline pair
+    derivation)."""
+    op = lineitem.select("l_orderkey", "l_partkey").distinct()
+    a = op.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pa"))
+    b = op.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pb"))
+    return (
+        a.join(b, "k")
+        .filter(F.col("pa") < F.col("pb"))
+        .select("pa", "pb")
+        .distinct()
+    )
+
+
+def incremental_triangles(
+    lineitem: DataFrame,
+    edge_store: DataFrame | None = None,
+    tri_store: DataFrame | None = None,
+) -> DataFrame:
+    """Incremental per-node TRIANGLE-count maintenance under edge
+    arrival (q246): a 20% slice of orders arrives against a persisted
+    edge store and per-node triangle-count store.  At support 1 the
+    arrival algebra is exact: every co-purchase edge comes from some
+    order, and each order is base xor batch, so the new-edge set is
+    pairs(batch orders) ∖ edge-store — one anti-join, and full edges =
+    store ∪ new.  (Support > 1 would additionally merge per-edge order
+    counts — additive, the q243 subtractability class — not modeled
+    here.)
+
+    Delta counting: a new triangle is one containing ≥ 1 new edge.
+    Each is counted EXACTLY ONCE by attributing it to its
+    lexicographically-smallest new edge: wedges grow only from the
+    lower-full-degree endpoint of each new edge (the q110 orientation
+    trick applied to the delta — hub endpoints contribute no wedges),
+    close against the full edge set, then drop any closure one of
+    whose other two edges is a new edge that sorts smaller.  Per-node
+    ``tri_new`` explodes the kept triangles' corners; ``tri_cnt`` =
+    carried + tri_new.  Degrees re-derive from the merged edge store
+    (one count pass — degree is a store-sized stat, not quadratic
+    work).
+
+    The DuckDB oracle runs the FULL q110 pipeline over the whole
+    lineitem AND over the base slice, emitting tri_new = full − base
+    per node — so the driver hash-match proves both the maintained
+    totals and the delta attribution itself, every round.  Output:
+    (node, deg, tri_cnt, tri_new).
+
+    Scale: wedge work is O(|new edges| · min-endpoint degree);
+    everything else is store-sized scans and anti-joins.  Reference
+    anchor: extension of q110 (``hw0``'s reference has no graphs);
+    algorithm per Suri & Vassilvitskii WWW'11 adapted to deltas."""
+    delta = _tri_delta_flag()
+    base_li = lineitem.filter(~delta)
+    batch_li = lineitem.filter(delta)
+    base_pairs = local_checkpoint(
+        edge_store if edge_store is not None else _copurchase_pairs(base_li),
+        eager=False,
+    )
+    carried = (
+        tri_store
+        if tri_store is not None
+        else triangle_counts(base_li).select("node", "tri_cnt")
+    ).select("node", F.col("tri_cnt").alias("tri_base"))
+    e_new = local_checkpoint(
+        _copurchase_pairs(batch_li).join(
+            base_pairs, ["pa", "pb"], "left_anti"
+        ),
+        eager=False,
+    )
+    full_edges = local_checkpoint(
+        base_pairs.unionByName(e_new), eager=False
+    )
+    # q110's measured closure strategy applied to the delta: aggregate
+    # each node's full UNDIRECTED neighborhood once into a sorted array,
+    # and each NEW edge emits its triangles via
+    # explode(array_intersect(adj(u), adj(v))) — intersection work stays
+    # row-local in the JVM and the only exploded rows are true closures,
+    # never open wedges (the wedge-join draft of this operator
+    # materialized Σ min-endpoint-degree wedge rows and measured 4× per
+    # triangle; see SCALE.md §6s).  At extreme hub degree the undirected
+    # array is the size bound to watch — shard or fall back to the
+    # oriented wedge join if a hub exceeds array limits.
+    dir_edges = full_edges.select(
+        F.col("pa").alias("s"), F.col("pb").alias("t")
+    ).unionByName(
+        full_edges.select(F.col("pb").alias("s"), F.col("pa").alias("t"))
+    )
+    adj = local_checkpoint(
+        dir_edges.groupBy("s").agg(
+            F.sort_array(F.collect_list("t")).alias("nbrs")
+        ),
+        eager=False,
+    )
+    deg = adj.select(
+        F.col("s").alias("node"), F.size("nbrs").cast("long").alias("deg")
+    )
+    au = adj.select(F.col("s").alias("pa"), F.col("nbrs").alias("nu"))
+    av = adj.select(F.col("s").alias("pb"), F.col("nbrs").alias("nv"))
+    closed = (
+        e_new.join(au, "pa")
+        .join(av, "pb")
+        .select(
+            F.col("pa").alias("u"),
+            F.col("pb").alias("v"),
+            F.explode(F.array_intersect("nu", "nv")).alias("w"),
+        )
+    )
+    # exactly-once attribution: drop the closure if one of its OTHER two
+    # edges is also new and sorts lexicographically before (u, v).
+    # e_new is |batch|-sized BY DEFINITION, so both probes broadcast —
+    # the wedge-sized stream never shuffles for attribution
+    def flag(ea, eb, name):
+        return F.broadcast(
+            e_new.select(
+                F.col("pa").alias(ea), F.col("pb").alias(eb), F.lit(1).alias(name)
+            )
+        )
+
+    t = (
+        closed.withColumn("e1a", F.least("u", "w"))
+        .withColumn("e1b", F.greatest("u", "w"))
+        .withColumn("e2a", F.least("v", "w"))
+        .withColumn("e2b", F.greatest("v", "w"))
+        .join(flag("e1a", "e1b", "n1"), ["e1a", "e1b"], "left")
+        .join(flag("e2a", "e2b", "n2"), ["e2a", "e2b"], "left")
+    )
+    smaller = lambda a, b: (F.col(a) < F.col("u")) | (  # noqa: E731
+        (F.col(a) == F.col("u")) & (F.col(b) < F.col("v"))
+    )
+    kept = t.filter(
+        ~(
+            (F.col("n1").isNotNull() & smaller("e1a", "e1b"))
+            | (F.col("n2").isNotNull() & smaller("e2a", "e2b"))
+        )
+    ).select("u", "v", "w")
+    kept = local_checkpoint(kept, eager=False)
+    tri_new = (
+        kept.select(F.col("u").alias("node"))
+        .unionByName(kept.select(F.col("v").alias("node")))
+        .unionByName(kept.select(F.col("w").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("tri_new"))
+    )
+    out = (
+        carried.join(tri_new, "node", "full_outer")
+        .select(
+            "node",
+            (
+                F.coalesce(F.col("tri_base"), F.lit(0))
+                + F.coalesce(F.col("tri_new"), F.lit(0))
+            ).cast("long").alias("tri_cnt"),
+            F.coalesce(F.col("tri_new"), F.lit(0)).cast("long").alias("tri_new"),
+        )
+        .filter(F.col("tri_cnt") > 0)
+    )
+    return out.join(deg, "node").select("node", "deg", "tri_cnt", "tri_new")
+
+
+def _tri_sql_pipeline(pred: str, sfx: str) -> str:
+    """One q110 triangle pipeline as suffixed CTEs over lineitem rows
+    matching ``pred`` — composed twice by the incremental oracle."""
+    return f"""
+    op{sfx} AS MATERIALIZED (
+      SELECT DISTINCT l_orderkey AS k, l_partkey AS p FROM lineitem
+      WHERE {pred}
+    ),
+    pairs{sfx} AS MATERIALIZED (
+      SELECT a.p AS pa, b.p AS pb
+      FROM op{sfx} a JOIN op{sfx} b ON a.k = b.k AND a.p < b.p
+      GROUP BY a.p, b.p
+    ),
+    deg{sfx} AS MATERIALIZED (
+      SELECT node, count(*) AS deg FROM (
+        SELECT pa AS node FROM pairs{sfx}
+        UNION ALL SELECT pb AS node FROM pairs{sfx}
+      ) GROUP BY node
+    ),
+    oriented{sfx} AS MATERIALIZED (
+      SELECT CASE WHEN (da.deg, pa) < (db.deg, pb) THEN pa ELSE pb END AS src,
+             CASE WHEN (da.deg, pa) < (db.deg, pb) THEN pb ELSE pa END AS dst,
+             CASE WHEN (da.deg, pa) < (db.deg, pb) THEN db.deg ELSE da.deg END AS dst_deg
+      FROM pairs{sfx}
+      JOIN deg{sfx} da ON da.node = pa JOIN deg{sfx} db ON db.node = pb
+    ),
+    tris{sfx} AS MATERIALIZED (
+      SELECT w.src, w.v, w.w FROM (
+        SELECT e1.src, e1.dst AS v, e2.dst AS w
+        FROM oriented{sfx} e1 JOIN oriented{sfx} e2 ON e1.src = e2.src
+        WHERE (e1.dst_deg, e1.dst) < (e2.dst_deg, e2.dst)
+      ) w JOIN oriented{sfx} c ON c.src = w.v AND c.dst = w.w
+    ),
+    per_node{sfx} AS (
+      SELECT node, count(*) AS tri_cnt FROM (
+        SELECT src AS node FROM tris{sfx}
+        UNION ALL SELECT v AS node FROM tris{sfx}
+        UNION ALL SELECT w AS node FROM tris{sfx}
+      ) GROUP BY node
+    )"""
+
+
+def incremental_triangles_sql() -> str:
+    """DuckDB twin: the FULL q110 pipeline over the whole graph AND
+    over the base slice; tri_new = full − base per node — proving both
+    the maintained totals and the delta attribution."""
+    return f"""
+    WITH {_tri_sql_pipeline("TRUE", "_f")},
+    {_tri_sql_pipeline(f"NOT {_tri_delta_sql()}", "_b")}
+    SELECT f.node, d.deg, f.tri_cnt,
+           cast(f.tri_cnt - coalesce(b.tri_cnt, 0) as bigint) AS tri_new
+    FROM per_node_f f
+    JOIN deg_f d ON d.node = f.node
+    LEFT JOIN per_node_b b ON b.node = f.node
+    """

@@ -12651,6 +12651,36 @@ def q245_stream_incremental_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ST.stream_incremental_bm25(spark, sf_dir)
 
 
+@register(
+    "q246_incremental_triangles",
+    oracle=GR.incremental_triangles_sql(),
+)
+def q246_incremental_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental TRIANGLE-count maintenance under edge arrival — the
+    maintenance discipline reaching the GRAPH family, the last family
+    whose refresh still meant a full re-run: a 20% order slice arrives
+    against a persisted edge store + per-node triangle-count store.
+    At support 1 the arrival algebra is exact (each order is base xor
+    batch, so new edges = pairs(batch) ∖ store and full = store ∪
+    new).  Only triangles touching a new edge are counted — wedges
+    grow from the lower-degree endpoint of each new edge (q110's
+    orientation bound applied to the delta) and each new triangle is
+    attributed to its lexicographically-smallest new edge, so a
+    triangle with 2 or 3 new edges is counted exactly once
+    (``tests/test_incremental_triangles.py`` plants both traps).
+
+    The DuckDB oracle runs the FULL q110 pipeline over the whole graph
+    AND over the base slice, emitting tri_new = full − base per node —
+    the driver hash-match proves the maintained totals AND the delta
+    attribution itself every round.  Output: (node, deg, tri_cnt,
+    tri_new).
+
+    Scale: wedge work is O(|new edges| · min-endpoint degree); the
+    corpus-sized closure never re-runs.  Reference anchor: extension
+    of q110 (Suri & Vassilvitskii WWW'11 adapted to deltas)."""
+    return GR.incremental_triangles(load_table(spark, sf_dir, "lineitem"))
+
+
 # --------------------------------------------------------------------------
 # Driver-window rotation
 # --------------------------------------------------------------------------
@@ -12731,10 +12761,10 @@ _DRIVER_VERIFIED = frozenset(
 # stale rows deliberately NOT rotated are rows-only by design
 # (q91 lang-classifier, q55 IVF recall gate, q139/q162/q163 sketch
 # ε-gates) — re-running them cannot upgrade their check, their gates
-# live in tests/test_ml_quality.py.  13 new (q233-q245) + 32 r3-era +
-# 5 r4-era = 50 exactly; 37 rows with last check <= r4 (directive
-# asks >= 30).  q132/q135-q138/q140-q144 (r4-era) were displaced by
-# the ten new round-9 capabilities and rotate in round 10.
+# live in tests/test_ml_quality.py.  14 new (q233-q246) + 32 r3-era +
+# 4 r4-era = 50 exactly; 36 rows with last check <= r4 (directive
+# asks >= 30).  q131-q132/q135-q138/q140-q144 (r4-era) were displaced
+# by the eleven new round-9 capabilities and rotate in round 10.
 _DEFERRED = [
     # -- r3-era greens (last driver check: CORRECTNESS_r03) --
     "q68_frame_samples",
@@ -12774,7 +12804,6 @@ _DEFERRED = [
     "q127_nation_market_share",
     "q128_dormant_prospects",
     "q129_semdedup_discards",
-    "q131_doclen_cdf",
 ]
 
 

@@ -377,3 +377,12 @@ def test_stream_bm25_hash_match_at_10x(spark, synth_dir):
     — accumulated-store search must still equal the batch recompute."""
     name = "q245_stream_incremental_bm25"
     assert_matches(QUERIES[name](spark, synth_dir), ORACLE[name], synth_dir)
+
+
+def test_incremental_triangles_hash_match_at_10x(spark, synth_dir):
+    """q246 at 10x the fact table: carried + attributed delta must
+    equal the full closure as edge count, degree, and the new-edge
+    slice all grow — the attribution rule is exercised hardest where
+    dense neighborhoods put many new edges in one triangle."""
+    name = "q246_incremental_triangles"
+    assert_matches(QUERIES[name](spark, synth_dir), ORACLE[name], synth_dir)

@@ -44,6 +44,7 @@ SKIP_PREFIXES = (
     "q238",  # streaming IVF maintenance: the stream drains at plan-build
     "q239",  # IVF store vacuum: builds, vacuums, and swaps stores at plan-build
     "q245",  # streaming BM25 maintenance: the stream drains at plan-build
+    "q246",  # incremental triangles: base closure + checkpoints run at plan-build
 )
 
 
