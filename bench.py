@@ -120,6 +120,7 @@ HEADLINE = [
     "q244_upsert_aware_bm25",   # inverted-index stale-drop + re-index changed
     "q245_stream_incremental_bm25",  # foreachBatch index accretion (stream == batch)
     "q246_incremental_triangles",  # graph-family delta maintenance (carried + attributed)
+    "q247_delete_aware_triangles",  # weighted-store edge death + destruction attribution
 ]
 
 

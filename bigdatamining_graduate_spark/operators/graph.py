@@ -861,3 +861,180 @@ def incremental_triangles_sql() -> str:
     JOIN deg_f d ON d.node = f.node
     LEFT JOIN per_node_b b ON b.node = f.node
     """
+
+
+INCR_TRD_BUCKETS = 10  # l_orderkey hash bucket 0 (salt below) = deleted
+
+
+def _tri_deleted_flag(col: str = "l_orderkey"):
+    from ..functions.hashing import portable_hash64
+
+    return (
+        portable_hash64(F.col(col).cast("string"), salt="itrd")
+        % INCR_TRD_BUCKETS
+        == 0
+    )
+
+
+def _tri_deleted_sql(col: str = "l_orderkey") -> str:
+    from ..functions.hashing import portable_hash64_sql
+
+    return (
+        f"(({portable_hash64_sql(f'cast({col} as varchar)', 'itrd')}"
+        f" % {INCR_TRD_BUCKETS}) = 0)"
+    )
+
+
+def _weighted_pairs(lineitem: DataFrame) -> DataFrame:
+    """(pa, pb, w): canonical co-purchase edges with their supporting-
+    order counts — the WEIGHTED edge-store row format deletion needs
+    (an edge dies only when its LAST supporting order does)."""
+    op = lineitem.select("l_orderkey", "l_partkey").distinct()
+    a = op.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pa"))
+    b = op.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pb"))
+    return (
+        a.join(b, "k")
+        .filter(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count("*").cast("long").alias("w"))
+    )
+
+
+def delete_aware_triangles(
+    lineitem: DataFrame,
+    edge_store: DataFrame | None = None,
+    tri_store: DataFrame | None = None,
+) -> DataFrame:
+    """Deletion-side triangle maintenance (q247) — the takedown shape
+    on the graph family (GDPR erasure of orders): a deterministic 10%
+    order slice is erased.  Unlike the vector/lexical stores, an edge
+    is NOT 1:1 with an arriving unit — it is supported by every order
+    that co-purchased the pair — so the edge store is WEIGHTED
+    (pa, pb, w = supporting-order count; the support>1 upgrade q246's
+    docstring flagged), and deletion kills an edge only when the
+    deleted orders account for ALL of its support: removed = deleted-
+    order pair counts equi-joined to the store WHERE cd == w — one
+    |deleted|-bounded aggregation + one store join, never a re-pairing
+    of the remaining corpus.  Destroyed triangles are the t0 triangles
+    touching ≥ 1 removed edge, counted exactly once by q246's
+    smallest-removed-edge attribution over the t0 adjacency arrays;
+    per-node tri_cnt = carried − destroyed, deg from the surviving
+    edges.
+
+    The DuckDB oracle runs the FULL q110 pipeline over the remaining
+    corpus AND over the whole corpus, emitting tri_removed = base −
+    remaining per node — the driver hash-match proves the maintained
+    totals and the destruction attribution every round.  Output:
+    (node, deg, tri_cnt, tri_removed), nodes still in ≥ 1 triangle.
+
+    Scale: O(|deleted-order pairs|) + store-sized joins + per-removed-
+    edge intersections; the corpus-sized closure never re-runs."""
+    deleted = _tri_deleted_flag()
+    store = local_checkpoint(
+        edge_store if edge_store is not None else _weighted_pairs(lineitem),
+        eager=False,
+    )
+    carried = (
+        tri_store
+        if tri_store is not None
+        else triangle_counts(lineitem).select("node", "tri_cnt")
+    ).select("node", F.col("tri_cnt").alias("tri_base"))
+    cd = (
+        _weighted_pairs(lineitem.filter(deleted))
+        .select("pa", "pb", F.col("w").alias("cd"))
+    )
+    removed = local_checkpoint(
+        store.join(cd, ["pa", "pb"]).filter(F.col("cd") == F.col("w")).select("pa", "pb"),
+        eager=False,
+    )
+    survivors = store.join(removed, ["pa", "pb"], "left_anti").select("pa", "pb")
+    survivors = local_checkpoint(survivors, eager=False)
+    deg = (
+        survivors.select(F.col("pa").alias("node"))
+        .unionByName(survivors.select(F.col("pb").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").cast("long").alias("deg"))
+    )
+    # t0 adjacency (the graph the destroyed triangles lived in)
+    t0_edges = store.select("pa", "pb")
+    dir_edges = t0_edges.select(
+        F.col("pa").alias("s"), F.col("pb").alias("t")
+    ).unionByName(
+        t0_edges.select(F.col("pb").alias("s"), F.col("pa").alias("t"))
+    )
+    adj = local_checkpoint(
+        dir_edges.groupBy("s").agg(
+            F.sort_array(F.collect_list("t")).alias("nbrs")
+        ),
+        eager=False,
+    )
+    au = adj.select(F.col("s").alias("pa"), F.col("nbrs").alias("nu"))
+    av = adj.select(F.col("s").alias("pb"), F.col("nbrs").alias("nv"))
+    closed = (
+        removed.join(au, "pa")
+        .join(av, "pb")
+        .select(
+            F.col("pa").alias("u"),
+            F.col("pb").alias("v"),
+            F.explode(F.array_intersect("nu", "nv")).alias("w"),
+        )
+    )
+
+    def flag(ea, eb, name):
+        return F.broadcast(
+            removed.select(
+                F.col("pa").alias(ea), F.col("pb").alias(eb), F.lit(1).alias(name)
+            )
+        )
+
+    t = (
+        closed.withColumn("e1a", F.least("u", "w"))
+        .withColumn("e1b", F.greatest("u", "w"))
+        .withColumn("e2a", F.least("v", "w"))
+        .withColumn("e2b", F.greatest("v", "w"))
+        .join(flag("e1a", "e1b", "n1"), ["e1a", "e1b"], "left")
+        .join(flag("e2a", "e2b", "n2"), ["e2a", "e2b"], "left")
+    )
+    smaller = lambda a, b: (F.col(a) < F.col("u")) | (  # noqa: E731
+        (F.col(a) == F.col("u")) & (F.col(b) < F.col("v"))
+    )
+    kept = t.filter(
+        ~(
+            (F.col("n1").isNotNull() & smaller("e1a", "e1b"))
+            | (F.col("n2").isNotNull() & smaller("e2a", "e2b"))
+        )
+    ).select("u", "v", "w")
+    kept = local_checkpoint(kept, eager=False)
+    destroyed = (
+        kept.select(F.col("u").alias("node"))
+        .unionByName(kept.select(F.col("v").alias("node")))
+        .unionByName(kept.select(F.col("w").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("td"))
+    )
+    out = (
+        carried.join(destroyed, "node", "left")
+        .select(
+            "node",
+            (
+                F.col("tri_base") - F.coalesce(F.col("td"), F.lit(0))
+            ).cast("long").alias("tri_cnt"),
+            F.coalesce(F.col("td"), F.lit(0)).cast("long").alias("tri_removed"),
+        )
+        .filter(F.col("tri_cnt") > 0)
+    )
+    return out.join(deg, "node").select("node", "deg", "tri_cnt", "tri_removed")
+
+
+def delete_aware_triangles_sql() -> str:
+    """DuckDB twin: the FULL q110 pipeline over the remaining corpus
+    AND the whole corpus; tri_removed = base − remaining per node."""
+    return f"""
+    WITH {_tri_sql_pipeline(f"NOT {_tri_deleted_sql()}", "_r")},
+    {_tri_sql_pipeline("TRUE", "_b")}
+    SELECT r.node, d.deg, r.tri_cnt,
+           cast(coalesce(b.tri_cnt, 0) - r.tri_cnt as bigint) AS tri_removed
+    FROM per_node_r r
+    JOIN deg_r d ON d.node = r.node
+    LEFT JOIN per_node_b b ON b.node = r.node
+    """

@@ -12681,6 +12681,36 @@ def q246_incremental_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return GR.incremental_triangles(load_table(spark, sf_dir, "lineitem"))
 
 
+@register(
+    "q247_delete_aware_triangles",
+    oracle=GR.delete_aware_triangles_sql(),
+)
+def q247_delete_aware_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deletion-side triangle maintenance — the takedown shape on the
+    graph family (GDPR erasure of a 10% order slice), closing the
+    graph family under both arrival directions (insert q246 / delete
+    q247).  The structural difference from every other store in the
+    matrix: an edge is NOT 1:1 with an arriving unit — it is supported
+    by every order that co-purchased the pair — so the edge store is
+    WEIGHTED (supporting-order counts, the support>1 upgrade q246
+    flagged) and deletion kills an edge only when the deleted orders
+    account for ALL of its support (one |deleted|-bounded aggregation
+    equi-joined to the store where cd == w; never a re-pairing of the
+    remaining corpus).  Destroyed triangles are counted exactly once
+    by q246's smallest-removed-edge attribution over the t0 adjacency;
+    tri_cnt = carried − destroyed, degrees from the surviving edges.
+    The DuckDB oracle runs the full q110 pipeline over BOTH the
+    remaining and the whole corpus, emitting tri_removed = base −
+    remaining per node — totals and destruction attribution both
+    hash-proven every round.  Output: (node, deg, tri_cnt,
+    tri_removed).
+
+    Scale: O(|deleted-order pairs|) + store joins + per-removed-edge
+    intersections; the corpus closure never re-runs.  Reference
+    anchor: extension of q110."""
+    return GR.delete_aware_triangles(load_table(spark, sf_dir, "lineitem"))
+
+
 # --------------------------------------------------------------------------
 # Driver-window rotation
 # --------------------------------------------------------------------------
@@ -12761,10 +12791,10 @@ _DRIVER_VERIFIED = frozenset(
 # stale rows deliberately NOT rotated are rows-only by design
 # (q91 lang-classifier, q55 IVF recall gate, q139/q162/q163 sketch
 # ε-gates) — re-running them cannot upgrade their check, their gates
-# live in tests/test_ml_quality.py.  14 new (q233-q246) + 32 r3-era +
-# 4 r4-era = 50 exactly; 36 rows with last check <= r4 (directive
-# asks >= 30).  q131-q132/q135-q138/q140-q144 (r4-era) were displaced
-# by the eleven new round-9 capabilities and rotate in round 10.
+# live in tests/test_ml_quality.py.  15 new (q233-q247) + 32 r3-era +
+# 3 r4-era = 50 exactly; 35 rows with last check <= r4 (directive
+# asks >= 30).  q129/q131-q132/q135-q138/q140-q144 (r4-era) were
+# displaced by the twelve new round-9 capabilities, rotate round 10.
 _DEFERRED = [
     # -- r3-era greens (last driver check: CORRECTNESS_r03) --
     "q68_frame_samples",
@@ -12803,7 +12833,6 @@ _DEFERRED = [
     "q126_promo_revenue_share",
     "q127_nation_market_share",
     "q128_dormant_prospects",
-    "q129_semdedup_discards",
 ]
 
 

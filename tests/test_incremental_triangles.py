@@ -99,3 +99,65 @@ def test_exactly_once_attribution_on_planted_multi_new_triangles(spark):
     for n in (1, 2, 3, 4, 5, 6):
         assert out[n].tri_cnt == 1 and out[n].tri_new == 1, out[n]
         assert out[n].deg == 2
+
+
+def test_delete_aware_equals_full_recompute(spark):
+    """q247: carried − destroyed must equal the full q110 recompute
+    over the remaining corpus, including the tri_removed attribution."""
+    li = _li(spark)
+    out = G.delete_aware_triangles(li)
+    remaining = G.triangle_counts(li.filter(~G._tri_deleted_flag())).select(
+        "node", "deg", "tri_cnt"
+    )
+    base = G.triangle_counts(li).select(
+        "node", F.col("tri_cnt").alias("tri_base")
+    )
+    exp = remaining.join(base, "node", "left").select(
+        "node",
+        "deg",
+        "tri_cnt",
+        (
+            F.coalesce(F.col("tri_base"), F.lit(0)) - F.col("tri_cnt")
+        ).cast("long").alias("tri_removed"),
+    )
+    got = sorted(
+        (r.node, r.deg, r.tri_cnt, r.tri_removed)
+        for r in out.collect()
+    )
+    want = sorted(
+        (r.node, r.deg, r.tri_cnt, r.tri_removed)
+        for r in exp.collect()
+    )
+    assert got == want
+    assert out.agg(F.sum("tri_removed")).collect()[0][0] > 0
+
+
+def test_delete_aware_store_roundtrip_weighted(spark, tmp_path):
+    """q247 through PERSISTED stores — the weighted edge store (an edge
+    survives while ANY supporting order survives, the cd == w
+    criterion) and the t0 count store."""
+    li = _li(spark)
+    G._weighted_pairs(li).write.parquet(str(tmp_path / "edges"))
+    G.triangle_counts(li).select("node", "tri_cnt").write.parquet(
+        str(tmp_path / "tris")
+    )
+    roundtrip = G.delete_aware_triangles(
+        li,
+        edge_store=spark.read.parquet(str(tmp_path / "edges")),
+        tri_store=spark.read.parquet(str(tmp_path / "tris")),
+    )
+    direct = G.delete_aware_triangles(li)
+    key = lambda df: sorted(  # noqa: E731
+        (r.node, r.deg, r.tri_cnt, r.tri_removed) for r in df.collect()
+    )
+    assert key(roundtrip) == key(direct)
+    # the weighted criterion is live: some deleted-order pair must
+    # survive because another order still supports it
+    cd = G._weighted_pairs(li.filter(G._tri_deleted_flag()))
+    store = G._weighted_pairs(li)
+    partially = (
+        store.join(cd.select("pa", "pb", F.col("w").alias("cd")), ["pa", "pb"])
+        .filter(F.col("cd") < F.col("w"))
+        .count()
+    )
+    assert partially > 0, "no partially-supported edge — fixture degenerate"

@@ -386,3 +386,11 @@ def test_incremental_triangles_hash_match_at_10x(spark, synth_dir):
     dense neighborhoods put many new edges in one triangle."""
     name = "q246_incremental_triangles"
     assert_matches(QUERIES[name](spark, synth_dir), ORACLE[name], synth_dir)
+
+
+def test_delete_aware_triangles_hash_match_at_10x(spark, synth_dir):
+    """q247 at 10x: the weighted-store cd == w edge-death criterion and
+    the destruction attribution must stay exact as support counts and
+    the deleted slice grow 10x."""
+    name = "q247_delete_aware_triangles"
+    assert_matches(QUERIES[name](spark, synth_dir), ORACLE[name], synth_dir)

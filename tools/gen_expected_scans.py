@@ -45,6 +45,7 @@ SKIP_PREFIXES = (
     "q239",  # IVF store vacuum: builds, vacuums, and swaps stores at plan-build
     "q245",  # streaming BM25 maintenance: the stream drains at plan-build
     "q246",  # incremental triangles: base closure + checkpoints run at plan-build
+    "q247",  # delete-aware triangles: t0 closure + checkpoints run at plan-build
 )
 
 
