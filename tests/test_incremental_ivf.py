@@ -296,3 +296,36 @@ def test_stream_ivf_equals_batch_assignment(spark):
     # all three micro-batches actually emitted
     arrived = {r.arrived for r in streamed.select("arrived").distinct().collect()}
     assert arrived == {0, 1, 2}
+
+
+def test_search_recall_after_delete_and_upsert(spark):
+    """The serving-path bound for the mutated index states: kNN recall
+    through the index AFTER a deletion cycle (tombstoned corpus) and
+    AFTER a re-embedding cycle (t1 corpus) stays within ε of the
+    brute-force ground truth computed on the SAME corpus state — i.e.
+    mutations tombstone/reassign postings without degrading the
+    index's serving quality beyond the frozen-quantizer bound."""
+    emb = _emb(spark)
+
+    def recall_on(corpus):
+        truth = {
+            (r.query_id, r.neighbor_id)
+            for r in S.knn_bruteforce(corpus, _query_pred(), k=K).collect()
+        }
+        assert truth
+        got = {
+            (r.query_id, r.neighbor_id)
+            for r in S.portable_ivf_search(
+                corpus, _query_pred(), k=K, nprobe=NPROBE, refit=False
+            ).collect()
+        }
+        return len(got & truth) / len(truth)
+
+    # post-delete corpus: survivors only (the q236 state)
+    r_del = recall_on(emb.filter(~S._ivf_deleted_flag()))
+    # post-upsert corpus: the t1 snapshot (the q237 state)
+    r_ups = recall_on(S.ivf_t1_embeddings(emb))
+    # the intact-corpus maintained recall is the reference point
+    r_base = recall_on(emb)
+    assert r_del >= r_base - RECALL_EPS, (r_del, r_base)
+    assert r_ups >= r_base - RECALL_EPS, (r_ups, r_base)
