@@ -121,6 +121,7 @@ HEADLINE = [
     "q245_stream_incremental_bm25",  # foreachBatch index accretion (stream == batch)
     "q246_incremental_triangles",  # graph-family delta maintenance (carried + attributed)
     "q247_delete_aware_triangles",  # weighted-store edge death + destruction attribution
+    "q248_stream_incremental_triangles",  # per-trigger delta attribution (stream == prefix recomputes)
 ]
 
 

@@ -662,6 +662,86 @@ def _copurchase_pairs(lineitem: DataFrame) -> DataFrame:
     )
 
 
+def _attributed_delta_counts(marked_edges, graph_edges):
+    """Per-node counts of the triangles in ``graph_edges`` touching ≥ 1
+    MARKED edge, each triangle counted exactly once by attribution to
+    its lexicographically-smallest marked edge — the shared delta
+    kernel of q246 (marked = newly-arrived), q247 (marked = removed),
+    and q248 (per-trigger arrivals).  Returns (td_df: (node, td),
+    deg_df: (node, deg) over ``graph_edges``).
+
+    Closure strategy is q110's measured one applied to the delta:
+    aggregate each node's UNDIRECTED neighborhood once into a sorted
+    array and emit each marked edge's triangles via
+    ``explode(array_intersect(adj(u), adj(v)))`` — intersection work
+    stays row-local in the JVM and only true closures ever explode,
+    never open wedges (the wedge-join draft materialized Σ min-
+    endpoint-degree wedge rows and measured 4× per triangle; SCALE.md
+    §6s).  At extreme hub degree the undirected array is the size
+    bound to watch — shard or fall back to the oriented wedge join.
+    The attribution probes broadcast: marked_edges is batch-sized by
+    definition."""
+    dir_edges = graph_edges.select(
+        F.col("pa").alias("s"), F.col("pb").alias("t")
+    ).unionByName(
+        graph_edges.select(F.col("pb").alias("s"), F.col("pa").alias("t"))
+    )
+    adj = local_checkpoint(
+        dir_edges.groupBy("s").agg(
+            F.sort_array(F.collect_list("t")).alias("nbrs")
+        ),
+        eager=False,
+    )
+    deg = adj.select(
+        F.col("s").alias("node"), F.size("nbrs").cast("long").alias("deg")
+    )
+    au = adj.select(F.col("s").alias("pa"), F.col("nbrs").alias("nu"))
+    av = adj.select(F.col("s").alias("pb"), F.col("nbrs").alias("nv"))
+    closed = (
+        marked_edges.join(au, "pa")
+        .join(av, "pb")
+        .select(
+            F.col("pa").alias("u"),
+            F.col("pb").alias("v"),
+            F.explode(F.array_intersect("nu", "nv")).alias("w"),
+        )
+    )
+
+    def flag(ea, eb, name):
+        return F.broadcast(
+            marked_edges.select(
+                F.col("pa").alias(ea), F.col("pb").alias(eb), F.lit(1).alias(name)
+            )
+        )
+
+    t = (
+        closed.withColumn("e1a", F.least("u", "w"))
+        .withColumn("e1b", F.greatest("u", "w"))
+        .withColumn("e2a", F.least("v", "w"))
+        .withColumn("e2b", F.greatest("v", "w"))
+        .join(flag("e1a", "e1b", "n1"), ["e1a", "e1b"], "left")
+        .join(flag("e2a", "e2b", "n2"), ["e2a", "e2b"], "left")
+    )
+    smaller = lambda a, b: (F.col(a) < F.col("u")) | (  # noqa: E731
+        (F.col(a) == F.col("u")) & (F.col(b) < F.col("v"))
+    )
+    kept = t.filter(
+        ~(
+            (F.col("n1").isNotNull() & smaller("e1a", "e1b"))
+            | (F.col("n2").isNotNull() & smaller("e2a", "e2b"))
+        )
+    ).select("u", "v", "w")
+    kept = local_checkpoint(kept, eager=False)
+    td = (
+        kept.select(F.col("u").alias("node"))
+        .unionByName(kept.select(F.col("v").alias("node")))
+        .unionByName(kept.select(F.col("w").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("td"))
+    )
+    return td, deg
+
+
 def incremental_triangles(
     lineitem: DataFrame,
     edge_store: DataFrame | None = None,
@@ -720,77 +800,8 @@ def incremental_triangles(
     full_edges = local_checkpoint(
         base_pairs.unionByName(e_new), eager=False
     )
-    # q110's measured closure strategy applied to the delta: aggregate
-    # each node's full UNDIRECTED neighborhood once into a sorted array,
-    # and each NEW edge emits its triangles via
-    # explode(array_intersect(adj(u), adj(v))) — intersection work stays
-    # row-local in the JVM and the only exploded rows are true closures,
-    # never open wedges (the wedge-join draft of this operator
-    # materialized Σ min-endpoint-degree wedge rows and measured 4× per
-    # triangle; see SCALE.md §6s).  At extreme hub degree the undirected
-    # array is the size bound to watch — shard or fall back to the
-    # oriented wedge join if a hub exceeds array limits.
-    dir_edges = full_edges.select(
-        F.col("pa").alias("s"), F.col("pb").alias("t")
-    ).unionByName(
-        full_edges.select(F.col("pb").alias("s"), F.col("pa").alias("t"))
-    )
-    adj = local_checkpoint(
-        dir_edges.groupBy("s").agg(
-            F.sort_array(F.collect_list("t")).alias("nbrs")
-        ),
-        eager=False,
-    )
-    deg = adj.select(
-        F.col("s").alias("node"), F.size("nbrs").cast("long").alias("deg")
-    )
-    au = adj.select(F.col("s").alias("pa"), F.col("nbrs").alias("nu"))
-    av = adj.select(F.col("s").alias("pb"), F.col("nbrs").alias("nv"))
-    closed = (
-        e_new.join(au, "pa")
-        .join(av, "pb")
-        .select(
-            F.col("pa").alias("u"),
-            F.col("pb").alias("v"),
-            F.explode(F.array_intersect("nu", "nv")).alias("w"),
-        )
-    )
-    # exactly-once attribution: drop the closure if one of its OTHER two
-    # edges is also new and sorts lexicographically before (u, v).
-    # e_new is |batch|-sized BY DEFINITION, so both probes broadcast —
-    # the wedge-sized stream never shuffles for attribution
-    def flag(ea, eb, name):
-        return F.broadcast(
-            e_new.select(
-                F.col("pa").alias(ea), F.col("pb").alias(eb), F.lit(1).alias(name)
-            )
-        )
-
-    t = (
-        closed.withColumn("e1a", F.least("u", "w"))
-        .withColumn("e1b", F.greatest("u", "w"))
-        .withColumn("e2a", F.least("v", "w"))
-        .withColumn("e2b", F.greatest("v", "w"))
-        .join(flag("e1a", "e1b", "n1"), ["e1a", "e1b"], "left")
-        .join(flag("e2a", "e2b", "n2"), ["e2a", "e2b"], "left")
-    )
-    smaller = lambda a, b: (F.col(a) < F.col("u")) | (  # noqa: E731
-        (F.col(a) == F.col("u")) & (F.col(b) < F.col("v"))
-    )
-    kept = t.filter(
-        ~(
-            (F.col("n1").isNotNull() & smaller("e1a", "e1b"))
-            | (F.col("n2").isNotNull() & smaller("e2a", "e2b"))
-        )
-    ).select("u", "v", "w")
-    kept = local_checkpoint(kept, eager=False)
-    tri_new = (
-        kept.select(F.col("u").alias("node"))
-        .unionByName(kept.select(F.col("v").alias("node")))
-        .unionByName(kept.select(F.col("w").alias("node")))
-        .groupBy("node")
-        .agg(F.count("*").alias("tri_new"))
-    )
+    tri_new, deg = _attributed_delta_counts(e_new, full_edges)
+    tri_new = tri_new.select("node", F.col("td").alias("tri_new"))
     out = (
         carried.join(tri_new, "node", "full_outer")
         .select(
@@ -955,62 +966,11 @@ def delete_aware_triangles(
         .groupBy("node")
         .agg(F.count("*").cast("long").alias("deg"))
     )
-    # t0 adjacency (the graph the destroyed triangles lived in)
-    t0_edges = store.select("pa", "pb")
-    dir_edges = t0_edges.select(
-        F.col("pa").alias("s"), F.col("pb").alias("t")
-    ).unionByName(
-        t0_edges.select(F.col("pb").alias("s"), F.col("pa").alias("t"))
-    )
-    adj = local_checkpoint(
-        dir_edges.groupBy("s").agg(
-            F.sort_array(F.collect_list("t")).alias("nbrs")
-        ),
-        eager=False,
-    )
-    au = adj.select(F.col("s").alias("pa"), F.col("nbrs").alias("nu"))
-    av = adj.select(F.col("s").alias("pb"), F.col("nbrs").alias("nv"))
-    closed = (
-        removed.join(au, "pa")
-        .join(av, "pb")
-        .select(
-            F.col("pa").alias("u"),
-            F.col("pb").alias("v"),
-            F.explode(F.array_intersect("nu", "nv")).alias("w"),
-        )
-    )
-
-    def flag(ea, eb, name):
-        return F.broadcast(
-            removed.select(
-                F.col("pa").alias(ea), F.col("pb").alias(eb), F.lit(1).alias(name)
-            )
-        )
-
-    t = (
-        closed.withColumn("e1a", F.least("u", "w"))
-        .withColumn("e1b", F.greatest("u", "w"))
-        .withColumn("e2a", F.least("v", "w"))
-        .withColumn("e2b", F.greatest("v", "w"))
-        .join(flag("e1a", "e1b", "n1"), ["e1a", "e1b"], "left")
-        .join(flag("e2a", "e2b", "n2"), ["e2a", "e2b"], "left")
-    )
-    smaller = lambda a, b: (F.col(a) < F.col("u")) | (  # noqa: E731
-        (F.col(a) == F.col("u")) & (F.col(b) < F.col("v"))
-    )
-    kept = t.filter(
-        ~(
-            (F.col("n1").isNotNull() & smaller("e1a", "e1b"))
-            | (F.col("n2").isNotNull() & smaller("e2a", "e2b"))
-        )
-    ).select("u", "v", "w")
-    kept = local_checkpoint(kept, eager=False)
-    destroyed = (
-        kept.select(F.col("u").alias("node"))
-        .unionByName(kept.select(F.col("v").alias("node")))
-        .unionByName(kept.select(F.col("w").alias("node")))
-        .groupBy("node")
-        .agg(F.count("*").alias("td"))
+    # destroyed triangles counted in the t0 graph (the graph they lived
+    # in); the helper's degrees are t0 degrees — discarded, q247's deg
+    # comes from the SURVIVING edges above
+    destroyed, _t0_deg = _attributed_delta_counts(
+        removed, store.select("pa", "pb")
     )
     out = (
         carried.join(destroyed, "node", "left")

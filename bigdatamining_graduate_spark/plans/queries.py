@@ -12711,6 +12711,33 @@ def q247_delete_aware_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return GR.delete_aware_triangles(load_table(spark, sf_dir, "lineitem"))
 
 
+@register(
+    "q248_stream_incremental_triangles",
+    oracle=ST.stream_incremental_triangles_sql(),
+)
+def q248_stream_incremental_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q246's triangle maintenance run as an ACTUAL stream — the
+    q230/q238/q245 discipline on the graph family, closing it under
+    insert (q246) / delete (q247) / streaming arrival (q248): orders
+    arrive in three mtime-pinned micro-batches; batch 0 bootstraps the
+    stores (its prefix graph's full closure + initial edge set), every
+    later batch appends only its truly-new edges and emits per-node
+    delta counts through the shared attribution kernel, each trigger
+    into an idempotent batch-id-keyed overwrite sink with a per-row
+    slice==batch-id assertion.  The drained output carries the
+    PER-TRIGGER breakdown (d0/d1/d2), and the DuckDB oracle recomputes
+    the full q110 pipeline over the three PREFIX graphs with d_k =
+    prefix_k − prefix_{k-1} per node — so the driver hash-match proves
+    every individual trigger's delta attribution, not just the totals
+    (the strongest stream == batch identity in the registry).
+
+    Scale: per-trigger O(|batch edges| · degree) intersections + one
+    store anti-join; the corpus closure runs exactly once, on the
+    bootstrap prefix.  Reference anchor: extension of q110 (the
+    reference has zero streaming)."""
+    return ST.stream_incremental_triangles(spark, sf_dir)
+
+
 # --------------------------------------------------------------------------
 # Driver-window rotation
 # --------------------------------------------------------------------------
@@ -12791,10 +12818,10 @@ _DRIVER_VERIFIED = frozenset(
 # stale rows deliberately NOT rotated are rows-only by design
 # (q91 lang-classifier, q55 IVF recall gate, q139/q162/q163 sketch
 # ε-gates) — re-running them cannot upgrade their check, their gates
-# live in tests/test_ml_quality.py.  15 new (q233-q247) + 32 r3-era +
-# 3 r4-era = 50 exactly; 35 rows with last check <= r4 (directive
-# asks >= 30).  q129/q131-q132/q135-q138/q140-q144 (r4-era) were
-# displaced by the twelve new round-9 capabilities, rotate round 10.
+# live in tests/test_ml_quality.py.  16 new (q233-q248) + 32 r3-era +
+# 2 r4-era = 50 exactly; 34 rows with last check <= r4 (directive
+# asks >= 30).  q128-q129/q131-q132/q135-q138/q140-q144 (r4-era) were
+# displaced by the thirteen new round-9 capabilities, rotate round 10.
 _DEFERRED = [
     # -- r3-era greens (last driver check: CORRECTNESS_r03) --
     "q68_frame_samples",
@@ -12832,7 +12859,6 @@ _DEFERRED = [
     # -- r4-era greens (last driver check: CORRECTNESS_r04) --
     "q126_promo_revenue_share",
     "q127_nation_market_share",
-    "q128_dormant_prospects",
 ]
 
 

@@ -1115,3 +1115,182 @@ def stream_incremental_bm25_sql() -> str:
         f" cast({_stream_lsh_batch_sql('doc_id')} as bigint) AS arrived"
         f" FROM ({_bm25_sql('TRUE')})"
     )
+
+
+STREAM_TRI_BATCHES = 3  # orders arrive as 3 hash-sliced micro-batches
+
+
+def _stream_tri_batch_flag(col: str = "l_orderkey"):
+    from ..functions.hashing import portable_hash64
+
+    return (
+        portable_hash64(F.col(col).cast("string"), salt="stri")
+        % STREAM_TRI_BATCHES
+    )
+
+
+def _stream_tri_batch_sql(col: str) -> str:
+    from ..functions.hashing import portable_hash64_sql
+
+    return (
+        f"({portable_hash64_sql(f'cast({col} as varchar)', 'stri')}"
+        f" % {STREAM_TRI_BATCHES})"
+    )
+
+
+def stream_incremental_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q246's triangle maintenance run as an ACTUAL stream — the
+    q230/q238/q245 discipline on the graph family: orders arrive in
+    three mtime-pinned micro-batches.  The FIRST batch bootstraps the
+    stores (its full closure = that prefix graph's triangle counts;
+    its edge set = the initial edge store); every later batch appends
+    ONLY its truly-new edges to the store and emits its per-node delta
+    counts via the shared attribution kernel
+    (``graph._attributed_delta_counts`` — marked = this batch's new
+    edges, graph = the accumulated edge set), each trigger writing to
+    its own batch-id-keyed subdirectory with mode=overwrite (the
+    idempotent foreachBatch sink; the handler also ASSERTS each row's
+    order-hash slice equals its micro-batch id).  After the drain,
+    per-node totals and the PER-TRIGGER breakdown (d0/d1/d2) read off
+    the accumulated contribution store.
+
+    The DuckDB oracle runs the full q110 pipeline over the three
+    PREFIX graphs and emits d_k = prefix_k − prefix_{k-1} per node —
+    so the driver hash-match proves not just stream totals == batch
+    recompute but every individual trigger's delta attribution.
+    Output: (node, deg, tri_cnt, d0, d1, d2).
+
+    Scale: per-trigger work is O(|batch edges| · degree) intersection
+    + store-sized anti-join; the corpus closure runs exactly once, on
+    the bootstrap prefix.  Reference anchor: extension of q110 (the
+    reference has zero streaming and no graphs)."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from ..operators import graph as GR
+
+    li = spark.read.parquet(table_path(sf_dir, "lineitem")).select(
+        "l_orderkey", "l_partkey"
+    )
+    stage = tempfile.mkdtemp(prefix="bdm_stream_tri_")
+    indir = os.path.join(stage, "in")
+    edge_store = os.path.join(stage, "edge_store")
+    out_dir = os.path.join(stage, "contrib_out")
+    os.makedirs(indir)
+    bflag = _stream_tri_batch_flag()
+    for i in range(STREAM_TRI_BATCHES):
+        part_dir = os.path.join(stage, f"part{i}")
+        li.filter(bflag == i).coalesce(1).write.parquet(part_dir)
+        dst = os.path.join(indir, f"batch{i}.parquet")
+        shutil.move(
+            glob.glob(os.path.join(part_dir, "part-*.parquet"))[0], dst
+        )
+        os.utime(dst, (1_700_000_000 + i * 100, 1_700_000_000 + i * 100))
+
+    def handle(batch_df: DataFrame, bid: int) -> None:
+        from ..checkpoints import (
+            local_checkpoint,
+            release_new_since,
+            tracked_ids,
+        )
+
+        ledger_before = tracked_ids()
+        bad = batch_df.filter(
+            _stream_tri_batch_flag() != F.lit(int(bid))
+        ).count()
+        if bad:
+            raise AssertionError(
+                f"stream batch {bid} carries {bad} rows whose order-hash "
+                "slice is not this batch — emission is not exactly-once"
+            )
+        batch_edges = local_checkpoint(
+            GR._copurchase_pairs(batch_df), eager=False
+        )
+        if not glob.glob(os.path.join(edge_store, "*", "*.parquet")):
+            # bootstrap trigger: this prefix graph's full closure
+            contrib = GR.triangle_counts(batch_df).select(
+                "node", F.col("tri_cnt").alias("td")
+            )
+            new_edges = batch_edges
+        else:
+            store = spark.read.option("recursiveFileLookup", "true").parquet(
+                edge_store
+            )
+            new_edges = local_checkpoint(
+                batch_edges.join(store, ["pa", "pb"], "left_anti"),
+                eager=False,
+            )
+            full_e = local_checkpoint(
+                store.unionByName(new_edges), eager=False
+            )
+            contrib, _deg = GR._attributed_delta_counts(new_edges, full_e)
+        contrib.withColumn("arrived", F.lit(int(bid)).cast("bigint")).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(out_dir, f"batch{bid}"))
+        # only truly-new edges append, so the accumulated store stays a
+        # distinct canonical edge SET
+        new_edges.write.mode("overwrite").parquet(
+            os.path.join(edge_store, f"batch{bid}")
+        )
+        release_new_since(ledger_before)
+
+    q = (
+        spark.readStream.schema(li.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(indir)
+        .writeStream.foreachBatch(handle)
+        .option("checkpointLocation", os.path.join(stage, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rd = lambda p: spark.read.option(  # noqa: E731
+        "recursiveFileLookup", "true"
+    ).parquet(p)
+    edges = rd(edge_store)
+    deg = (
+        edges.select(F.col("pa").alias("node"))
+        .unionByName(edges.select(F.col("pb").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").cast("long").alias("deg"))
+    )
+    contrib = rd(out_dir)
+    bucket = lambda b: F.sum(  # noqa: E731
+        F.when(F.col("arrived") == b, F.col("td")).otherwise(0)
+    ).cast("long")
+    return (
+        contrib.groupBy("node")
+        .agg(
+            F.sum("td").cast("long").alias("tri_cnt"),
+            bucket(0).alias("d0"),
+            bucket(1).alias("d1"),
+            bucket(2).alias("d2"),
+        )
+        .filter(F.col("tri_cnt") > 0)
+        .join(deg, "node")
+        .select("node", "deg", "tri_cnt", "d0", "d1", "d2")
+    )
+
+
+def stream_incremental_triangles_sql() -> str:
+    """Batch twin: the full q110 pipeline over the three PREFIX graphs;
+    d_k = prefix_k − prefix_{k-1} per node — stream emission must equal
+    every per-trigger delta exactly."""
+    from ..operators.graph import _tri_sql_pipeline
+
+    flag = _stream_tri_batch_sql("l_orderkey")
+    return f"""
+    WITH {_tri_sql_pipeline(f"{flag} = 0", "_0")},
+    {_tri_sql_pipeline(f"{flag} <= 1", "_1")},
+    {_tri_sql_pipeline("TRUE", "_f")}
+    SELECT f.node, d.deg, f.tri_cnt,
+           cast(coalesce(p0.tri_cnt, 0) as bigint) AS d0,
+           cast(coalesce(p1.tri_cnt, 0) - coalesce(p0.tri_cnt, 0) as bigint) AS d1,
+           cast(f.tri_cnt - coalesce(p1.tri_cnt, 0) as bigint) AS d2
+    FROM per_node_f f
+    JOIN deg_f d ON d.node = f.node
+    LEFT JOIN per_node_0 p0 ON p0.node = f.node
+    LEFT JOIN per_node_1 p1 ON p1.node = f.node
+    """

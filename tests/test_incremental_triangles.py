@@ -161,3 +161,30 @@ def test_delete_aware_store_roundtrip_weighted(spark, tmp_path):
         .count()
     )
     assert partially > 0, "no partially-supported edge — fixture degenerate"
+
+
+def test_stream_triangles_equals_prefix_recompute(spark):
+    """q248: the drained stream's per-node totals AND per-trigger
+    breakdown must equal the batch prefix-graph recomputes."""
+    import bigdatamining_graduate_spark.streaming.jobs as SJ
+
+    streamed = SJ.stream_incremental_triangles(spark, SF_SMOKE)
+    li = _li(spark)
+    flag = SJ._stream_tri_batch_flag()
+    p0 = {r.node: r.tri_cnt for r in G.triangle_counts(li.filter(flag == 0)).collect()}
+    p1 = {r.node: r.tri_cnt for r in G.triangle_counts(li.filter(flag <= 1)).collect()}
+    pf = {(r.node): (r.deg, r.tri_cnt) for r in G.triangle_counts(li).collect()}
+    rows = streamed.collect()
+    assert {r.node for r in rows} == set(pf)
+    for r in rows:
+        deg, tc = pf[r.node]
+        assert (r.deg, r.tri_cnt) == (deg, tc), r
+        assert r.d0 == p0.get(r.node, 0), r
+        assert r.d1 == p1.get(r.node, 0) - p0.get(r.node, 0), r
+        assert r.d2 == tc - p1.get(r.node, 0), r
+    # all three triggers actually contributed somewhere
+    import pyspark.sql.functions as F2
+    sums = streamed.agg(
+        F2.sum("d0"), F2.sum("d1"), F2.sum("d2")
+    ).collect()[0]
+    assert all(v > 0 for v in sums), sums

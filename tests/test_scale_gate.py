@@ -394,3 +394,11 @@ def test_delete_aware_triangles_hash_match_at_10x(spark, synth_dir):
     the deleted slice grow 10x."""
     name = "q247_delete_aware_triangles"
     assert_matches(QUERIES[name](spark, synth_dir), ORACLE[name], synth_dir)
+
+
+def test_stream_triangles_hash_match_at_10x(spark, synth_dir):
+    """q248 at 10x: three 10x-sized order micro-batches accreting the
+    edge store — every trigger's delta attribution must still equal
+    the prefix-graph recomputes."""
+    name = "q248_stream_incremental_triangles"
+    assert_matches(QUERIES[name](spark, synth_dir), ORACLE[name], synth_dir)

@@ -46,6 +46,7 @@ SKIP_PREFIXES = (
     "q245",  # streaming BM25 maintenance: the stream drains at plan-build
     "q246",  # incremental triangles: base closure + checkpoints run at plan-build
     "q247",  # delete-aware triangles: t0 closure + checkpoints run at plan-build
+    "q248",  # streaming triangles: the stream drains at plan-build
 )
 
 
