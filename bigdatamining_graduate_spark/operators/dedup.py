@@ -1587,9 +1587,9 @@ def vacuumed_refresh_pairs(
     base×base pair set of the remaining corpus, and the vacuumed
     signature store its signature set.  Asserted file/row shrinkage is
     pinned in ``tests/test_store_vacuum.py``."""
-    import tempfile
+    from ..staging import staging_dir
 
-    stage = stage_dir or tempfile.mkdtemp(prefix="bdm_vacuum_")
+    stage = stage_dir or staging_dir(prefix="bdm_vacuum_")
     import os
 
     sig_dir = os.path.join(stage, "sig_store")

@@ -662,7 +662,7 @@ def _copurchase_pairs(lineitem: DataFrame) -> DataFrame:
     )
 
 
-def _attributed_delta_counts(marked_edges, graph_edges):
+def _attributed_delta_counts(marked_edges, graph_edges, broadcast_marked=True):
     """Per-node counts of the triangles in ``graph_edges`` touching ≥ 1
     MARKED edge, each triangle counted exactly once by attribution to
     its lexicographically-smallest marked edge — the shared delta
@@ -677,10 +677,15 @@ def _attributed_delta_counts(marked_edges, graph_edges):
     stays row-local in the JVM and only true closures ever explode,
     never open wedges (the wedge-join draft materialized Σ min-
     endpoint-degree wedge rows and measured 4× per triangle; SCALE.md
-    §6s).  At extreme hub degree the undirected array is the size
-    bound to watch — shard or fall back to the oriented wedge join.
-    The attribution probes broadcast: marked_edges is batch-sized by
-    definition."""
+    §6s).  Per-edge cost is O(deg(u) + deg(v)) — at extreme hub
+    degree the undirected array is the size bound to watch: shard or
+    fall back to the oriented wedge join.
+
+    ``broadcast_marked``: the attribution probes broadcast the marked
+    set when it is batch-sized (q246/q248 arrivals).  The DELETION
+    path (q247) passes False — there marked = every edge killed by
+    the erasure, deletion-sized rather than batch-sized, and a dense
+    corpus could blow the broadcast limit; AQE picks the strategy."""
     dir_edges = graph_edges.select(
         F.col("pa").alias("s"), F.col("pb").alias("t")
     ).unionByName(
@@ -708,11 +713,10 @@ def _attributed_delta_counts(marked_edges, graph_edges):
     )
 
     def flag(ea, eb, name):
-        return F.broadcast(
-            marked_edges.select(
-                F.col("pa").alias(ea), F.col("pb").alias(eb), F.lit(1).alias(name)
-            )
+        probe = marked_edges.select(
+            F.col("pa").alias(ea), F.col("pb").alias(eb), F.lit(1).alias(name)
         )
+        return F.broadcast(probe) if broadcast_marked else probe
 
     t = (
         closed.withColumn("e1a", F.least("u", "w"))
@@ -759,10 +763,12 @@ def incremental_triangles(
 
     Delta counting: a new triangle is one containing ≥ 1 new edge.
     Each is counted EXACTLY ONCE by attributing it to its
-    lexicographically-smallest new edge: wedges grow only from the
-    lower-full-degree endpoint of each new edge (the q110 orientation
-    trick applied to the delta — hub endpoints contribute no wedges),
-    close against the full edge set, then drop any closure one of
+    lexicographically-smallest new edge: every new edge (u, v) closes
+    via ``array_intersect(adj(u), adj(v))`` over the full undirected
+    adjacency arrays — per-edge cost O(deg(u) + deg(v)), NOT the
+    oriented min-endpoint bound (the orientation trick trades that
+    bound for materialized open wedges, which measured 4× slower;
+    see _attributed_delta_counts) — then drop any closure one of
     whose other two edges is a new edge that sorts smaller.  Per-node
     ``tri_new`` explodes the kept triangles' corners; ``tri_cnt`` =
     carried + tri_new.  Degrees re-derive from the merged edge store
@@ -970,7 +976,7 @@ def delete_aware_triangles(
     # in); the helper's degrees are t0 degrees — discarded, q247's deg
     # comes from the SURVIVING edges above
     destroyed, _t0_deg = _attributed_delta_counts(
-        removed, store.select("pa", "pb")
+        removed, store.select("pa", "pb"), broadcast_marked=False
     )
     out = (
         carried.join(destroyed, "node", "left")

@@ -999,6 +999,26 @@ def portable_ivf_search(
         stats = local_checkpoint(ivf_quant_stats(base), eager=False)
         seeds = local_checkpoint(ivf_seeds(base, stats), eager=False)
         assigned = incremental_ivf_assign(embeddings, stats, seeds)
+    return ivf_search_index(
+        embeddings, stats, seeds, assigned, query_pred, k=k, nprobe=nprobe
+    )
+
+
+def ivf_search_index(
+    embeddings: DataFrame,
+    stats: DataFrame,
+    seeds: DataFrame,
+    assigned: DataFrame,
+    query_pred,
+    k: int = 5,
+    nprobe: int = 3,
+) -> DataFrame:
+    """kNN search through an INJECTED index (stats + seeds + postings):
+    the serving path a persisted vector store runs — probe selection,
+    cell equi-join, exact float rerank — factored out of
+    :func:`portable_ivf_search` so tests and the q249 retrain loop can
+    search any materialized index state (pre-swap maintained vs
+    post-swap refit)."""
     seed_row = seeds.groupBy().agg(
         F.array_sort(F.collect_list(F.struct("cell", "scode"))).alias("seed_arr")
     )
@@ -1337,12 +1357,12 @@ def vacuumed_ivf_refresh(
     Scale: vacuum is one postings scan + anti-join + one write on the
     compaction cadence; the refresh itself stays O(|batch|·k)."""
     import os
-    import tempfile
+    from ..staging import staging_dir
 
     from ..checkpoints import local_checkpoint
     from .dedup import vacuum_parquet_store
 
-    stage = stage_dir or tempfile.mkdtemp(prefix="bdm_ivf_vacuum_")
+    stage = stage_dir or staging_dir(prefix="bdm_ivf_vacuum_")
     stats_dir = os.path.join(stage, "stats_store")
     seed_dir = os.path.join(stage, "seed_store")
     assign_dir = os.path.join(stage, "assign_store")

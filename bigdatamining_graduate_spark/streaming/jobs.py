@@ -186,13 +186,13 @@ def late_data_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     import glob
     import os
     import shutil
-    import tempfile
+    from ..staging import staging_dir
 
     ensure_runtime_confs(spark)
     raw = normalize_events_ts(spark.read.parquet(table_path(sf_dir, "events")))
     ts = F.col("ts")
     c0, c1, c2 = [F.lit(c).cast("timestamp") for c in LATE_SPLITS]
-    stage = tempfile.mkdtemp(prefix="bdm_late_stream_")
+    stage = staging_dir(prefix="bdm_late_stream_")
     indir = os.path.join(stage, "in")
     os.makedirs(indir)
     # arrival order != event-time order. File-source batch order follows
@@ -303,10 +303,10 @@ def rate_stream_minute_buckets(spark: SparkSession) -> DataFrame:
     ``complete`` mode becomes ``update``/``append`` + watermark so state
     stays bounded; here complete mode is what lets the memory sink hold
     the final table."""
-    import tempfile
+    from ..staging import staging_dir
 
     ensure_runtime_confs(spark)
-    ckpt = tempfile.mkdtemp(prefix="bdm_rate_ckpt_")
+    ckpt = staging_dir(prefix="bdm_rate_ckpt_")
     name = f"stream_sink_{next(_sink_ids)}"
     for _ in range(RATE_BATCHES):
         src = (
@@ -447,13 +447,13 @@ def stream_stream_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     import glob
     import os
     import shutil
-    import tempfile
+    from ..staging import staging_dir
 
     ensure_runtime_confs(spark)
     raw = normalize_events_ts(spark.read.parquet(table_path(sf_dir, "events")))
     ts = F.col("ts")
     c0, c1 = [F.lit(c).cast("timestamp") for c in SS_LEFT_SPLITS]
-    stage = tempfile.mkdtemp(prefix="bdm_ssleft_")
+    stage = staging_dir(prefix="bdm_ssleft_")
     indir = os.path.join(stage, "in")
     os.makedirs(indir)
     for i, pred in enumerate([ts < c0, (ts >= c0) & (ts < c1), ts >= c1]):
@@ -741,14 +741,14 @@ def stream_incremental_lsh_pairs(
     import glob
     import os
     import shutil
-    import tempfile
+    from ..staging import staging_dir
 
     from ..operators import dedup as DD
 
     docs = spark.read.parquet(table_path(sf_dir, "documents")).select(
         "doc_id", "text"
     )
-    stage = tempfile.mkdtemp(prefix="bdm_stream_lsh_")
+    stage = staging_dir(prefix="bdm_stream_lsh_")
     indir = os.path.join(stage, "in")
     sig_store = os.path.join(stage, "sig_store")
     out_dir = os.path.join(stage, "pairs_out")
@@ -923,14 +923,14 @@ def stream_incremental_ivf_assign(
     import glob
     import os
     import shutil
-    import tempfile
+    from ..staging import staging_dir
 
     from ..operators import similarity as SIM
 
     emb = spark.read.parquet(table_path(sf_dir, "embeddings")).select(
         "vec_id", "embedding"
     )
-    stage = tempfile.mkdtemp(prefix="bdm_stream_ivf_")
+    stage = staging_dir(prefix="bdm_stream_ivf_")
     indir = os.path.join(stage, "in")
     stats_dir = os.path.join(stage, "stats_store")
     seed_dir = os.path.join(stage, "seed_store")
@@ -1035,14 +1035,14 @@ def stream_incremental_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     import glob
     import os
     import shutil
-    import tempfile
+    from ..staging import staging_dir
 
     from ..operators import lexical as LX
 
     docs = spark.read.parquet(table_path(sf_dir, "documents")).select(
         "doc_id", "text"
     )
-    stage = tempfile.mkdtemp(prefix="bdm_stream_bm25_")
+    stage = staging_dir(prefix="bdm_stream_bm25_")
     indir = os.path.join(stage, "in")
     dl_store = os.path.join(stage, "dl_store")
     tf_store = os.path.join(stage, "tf_store")
@@ -1167,14 +1167,14 @@ def stream_incremental_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     import glob
     import os
     import shutil
-    import tempfile
+    from ..staging import staging_dir
 
     from ..operators import graph as GR
 
     li = spark.read.parquet(table_path(sf_dir, "lineitem")).select(
         "l_orderkey", "l_partkey"
     )
-    stage = tempfile.mkdtemp(prefix="bdm_stream_tri_")
+    stage = staging_dir(prefix="bdm_stream_tri_")
     indir = os.path.join(stage, "in")
     edge_store = os.path.join(stage, "edge_store")
     out_dir = os.path.join(stage, "contrib_out")
