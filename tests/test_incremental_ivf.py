@@ -329,3 +329,95 @@ def test_search_recall_after_delete_and_upsert(spark):
     r_base = recall_on(emb)
     assert r_del >= r_base - RECALL_EPS, (r_del, r_base)
     assert r_ups >= r_base - RECALL_EPS, (r_ups, r_base)
+
+
+# -- retrain-loop closure (q249) ----------------------------------------------
+
+
+def test_retrain_trigger_fires_on_drifted_arrival(spark):
+    """The q249 scenario is self-proving only if the trigger actually
+    fires on the drifted wave — pin that it does (the oracle assumes
+    the refit ran; a silent non-fire would show up as a driver hash
+    mismatch, but pin it locally too)."""
+    emb = _emb(spark)
+    cur = S.ivf_drifted_embeddings(emb)
+    delta = S._ivf_delta_flag()
+    wave2 = S._ivf_wave2_flag()
+    base = cur.filter(~delta)
+    wave1 = cur.filter(delta & ~wave2)
+    stats0 = S.ivf_quant_stats(base)
+    seeds0 = S.ivf_seeds(base, stats0)
+    maintained = (
+        S.ivf_assign(base, stats0, seeds0)
+        .withColumn("src", F.lit("carried"))
+        .unionByName(
+            S.ivf_assign(wave1, stats0, seeds0).withColumn(
+                "src", F.lit("fresh")
+            )
+        )
+    )
+    fired = (
+        S.ivf_retrain_trigger(cur, assign=maintained)
+        .agg(F.sum("retrain"))
+        .collect()[0][0]
+    )
+    assert fired >= 1
+
+
+def test_retrained_refresh_equals_refit_recompute(spark, tmp_path):
+    """q249 end-to-end through the persisted stores == assigning the
+    final corpus under the REFIT quantizer, value-for-value (the same
+    identity the driver oracle checks, plus the store plumbing)."""
+    emb = _emb(spark)
+    out = S.retrained_ivf_refresh(spark, emb, stage_dir=str(tmp_path))
+    cur = S.ivf_drifted_embeddings(emb)
+    wave2 = S._ivf_wave2_flag()
+    corpus1 = cur.filter(~wave2)
+    stats1 = S.ivf_quant_stats(corpus1)
+    seeds1 = S.ivf_seeds(corpus1, stats1)
+    full = S.ivf_assign(cur, stats1, seeds1).withColumn(
+        "src", F.when(wave2, F.lit("fresh")).otherwise(F.lit("refit"))
+    )
+    assert _key(out) == _key(full)
+    # both waves actually arrived and the refit rows dominate
+    by_src = dict(out.groupBy("src").count().rdd.map(tuple).collect())
+    assert set(by_src) == {"refit", "fresh"}
+    assert by_src["refit"] > by_src["fresh"]
+
+
+def test_retrain_swap_improves_recall_on_drifted_corpus(spark):
+    """The recall gate VERDICT r9 #2 names: on the drifted corpus
+    (base ∪ drifted wave 1), serving recall through the POST-SWAP refit
+    index ≥ recall through the PRE-SWAP maintained index, against
+    brute-force ground truth on the same corpus — and the swap is a
+    real quantizer change (stats rows differ)."""
+    emb = _emb(spark)
+    cur = S.ivf_drifted_embeddings(emb)
+    delta = S._ivf_delta_flag()
+    wave2 = S._ivf_wave2_flag()
+    corpus1 = cur.filter(~wave2)
+    base = cur.filter(~delta)
+    stats0 = S.ivf_quant_stats(base)
+    seeds0 = S.ivf_seeds(base, stats0)
+    stats1 = S.ivf_quant_stats(corpus1)
+    seeds1 = S.ivf_seeds(corpus1, stats1)
+    assert stats0.collect() != stats1.collect()  # the refit moved the codebook
+    truth = {
+        (r.query_id, r.neighbor_id)
+        for r in S.knn_bruteforce(corpus1, _query_pred(), k=K).collect()
+    }
+    assert truth
+
+    def recall(stats, seeds):
+        assigned = S.ivf_assign(corpus1, stats, seeds)
+        got = {
+            (r.query_id, r.neighbor_id)
+            for r in S.ivf_search_index(
+                corpus1, stats, seeds, assigned, _query_pred(), k=K, nprobe=NPROBE
+            ).collect()
+        }
+        return len(got & truth) / len(truth)
+
+    r_pre = recall(stats0, seeds0)
+    r_post = recall(stats1, seeds1)
+    assert r_post >= r_pre, (r_pre, r_post)
