@@ -1567,6 +1567,27 @@ def vacuum_parquet_store(
     }
 
 
+def swap_parquet_store(
+    df: DataFrame, store_dir: str, target_files: int = 1
+) -> None:
+    """Atomically replace ``store_dir`` with ``df`` — write-to-temp +
+    rename-swap, the same two-phase shape :func:`vacuum_parquet_store`
+    uses, for callers whose replacement is a COMPUTED rewrite (weight
+    decrements, refit re-assignments) rather than a pure anti-join.  A
+    reader never sees a half-written store.  The materializing write
+    reads the OLD store if ``df``'s lineage scans it (the rename happens
+    after), so chained swaps must be ordered dependents-first."""
+    import os
+    import shutil
+
+    tmp = store_dir.rstrip("/") + ".swap_tmp"
+    df.coalesce(target_files).write.mode("overwrite").parquet(tmp)
+    old = store_dir.rstrip("/") + ".swap_old"
+    os.rename(store_dir, old)
+    os.rename(tmp, store_dir)
+    shutil.rmtree(old)
+
+
 def vacuumed_refresh_pairs(
     spark, docs: DataFrame, threshold: float, stage_dir: str | None = None
 ) -> DataFrame:

@@ -1456,18 +1456,11 @@ def ivf_drifted_embeddings(embeddings: DataFrame) -> DataFrame:
 
 
 def _swap_parquet_store(df: DataFrame, store_dir: str, target_files: int = 1) -> None:
-    """Atomically replace ``store_dir`` with ``df`` (write-to-temp +
-    rename-swap — the q235 two-phase shape; a reader never sees a
-    half-written index)."""
-    import os
-    import shutil
+    """Atomic rename-swap (the q235 two-phase shape) — delegates to the
+    shared store-lifecycle helper in :mod:`..operators.dedup`."""
+    from .dedup import swap_parquet_store
 
-    tmp = store_dir.rstrip("/") + ".refit_tmp"
-    df.coalesce(target_files).write.mode("overwrite").parquet(tmp)
-    old = store_dir.rstrip("/") + ".refit_old"
-    os.rename(store_dir, old)
-    os.rename(tmp, store_dir)
-    shutil.rmtree(old)
+    swap_parquet_store(df, store_dir, target_files)
 
 
 def retrained_ivf_refresh(

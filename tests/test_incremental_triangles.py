@@ -188,3 +188,62 @@ def test_stream_triangles_equals_prefix_recompute(spark):
         F2.sum("d0"), F2.sum("d1"), F2.sum("d2")
     ).collect()[0]
     assert all(v > 0 for v in sums), sums
+
+
+# -- store lifecycle: vacuum + post-vacuum refresh (q250) ----------------------
+
+
+def test_triangle_store_vacuum_shrinks_and_preserves_semantics(spark, tmp_path):
+    """q250: (a) the vacuum physically compacts both 8-file stores to 1
+    file each, (b) the rewritten edge store IS the weighted pair set of
+    the post-delete base (weight algebra exact, zero-support edges
+    gone), and (c) the post-vacuum refresh == the full q246-style
+    recompute over the post-delete corpus — vacuumed and unvacuumed
+    paths land on one semantics."""
+    import glob
+    import os
+
+    li = _li(spark)
+    stage = str(tmp_path / "stage")
+    os.makedirs(stage)
+    out = G.vacuumed_triangle_refresh(spark, li, stage_dir=stage)
+
+    def nfiles(d):
+        return len(glob.glob(os.path.join(stage, d, "*.parquet")))
+
+    assert nfiles("edge_store") == 1
+    assert nfiles("tri_store") == 1
+
+    # (b) weight algebra: vacuumed edge store == weighted pairs of the
+    # post-delete base, value-for-value
+    delta, deleted = G._tri_delta_flag(), G._tri_deleted_flag()
+    base_after = li.filter(~delta & ~deleted)
+    exp_edges = sorted(
+        (r.pa, r.pb, r.w)
+        for r in G._weighted_pairs(base_after).collect()
+    )
+    got_edges = sorted(
+        (r.pa, r.pb, r.w)
+        for r in spark.read.parquet(os.path.join(stage, "edge_store")).collect()
+    )
+    assert got_edges == exp_edges
+    # the deletion actually killed at least one edge
+    t0_edges = G._weighted_pairs(li.filter(~delta)).count()
+    assert len(got_edges) < t0_edges
+
+    # (c) post-vacuum refresh == full recompute over the final corpus
+    remaining = li.filter(delta | ~deleted)
+    full = G.triangle_counts(remaining).select("node", "deg", "tri_cnt")
+    base_tri = G.triangle_counts(base_after).select(
+        "node", F.col("tri_cnt").alias("tri_base")
+    )
+    exp = full.join(base_tri, "node", "left").select(
+        "node",
+        "deg",
+        "tri_cnt",
+        (F.col("tri_cnt") - F.coalesce(F.col("tri_base"), F.lit(0)))
+        .cast("long")
+        .alias("tri_new"),
+    )
+    assert _key(out) == _key(exp)
+    assert out.agg(F.sum("tri_new")).collect()[0][0] > 0
