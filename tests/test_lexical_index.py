@@ -172,3 +172,58 @@ def test_stream_bm25_equals_batch(spark):
     exp = sorted((r.doc_id, r.bm25, r.arrived) for r in batch.collect())
     assert got == exp
     assert {r[2] for r in got} <= {0, 1, 2} and len({r[2] for r in got}) > 1
+
+
+# -- production index shape: full vocabulary + pruned read (q251) --------------
+
+
+def test_full_vocab_search_equals_three_term_build(spark, tmp_path):
+    """q251: a full-vocabulary postings store must answer the fixed
+    query with EXACTLY the scores of the 3-term fixture build (the
+    pruned read selects the same posting lists) — and the store really
+    is full-vocab (vocab_size far exceeds the 3 fixture terms, and
+    equals the corpus-wide distinct-token count)."""
+    docs = _docs(spark)
+    out = LX.full_vocab_bm25(spark, docs, stage_dir=str(tmp_path))
+    three = LX.incremental_bm25(docs)
+    got = sorted((r.doc_id, r.bm25, r.src) for r in out.collect())
+    exp = sorted((r.doc_id, r.bm25, r.src) for r in three.collect())
+    assert got == exp
+    vocab = out.select("vocab_size").first()[0]
+    true_vocab = (
+        LX._doc_tokens(docs)
+        .select(F.explode("tokens").alias("token"))
+        .agg(F.countDistinct("token"))
+        .first()[0]
+    )
+    assert vocab == true_vocab
+    # a real vocabulary, strictly larger than the 3 fixture terms
+    # (the synthetic sf0.001 corpus has ~31 distinct tokens)
+    assert vocab > len(LX.BM25_TERMS) * 3
+
+
+def test_full_vocab_query_read_is_posting_list_pruned(spark, tmp_path):
+    """The serving plan must push the term predicate INTO the parquet
+    scan of the persisted postings store (PushedFilters carries the
+    In(token, ...) filter over the term-range-clustered files) — query
+    cost is the query terms' posting lists, not a full-store scan."""
+    docs = _docs(spark)
+    LX.full_vocab_bm25(spark, docs, stage_dir=str(tmp_path))  # builds stores
+    import os
+
+    tf = spark.read.parquet(os.path.join(str(tmp_path), "tf_store")).filter(
+        F.col("token").isin(*LX.BM25_TERMS)
+    )
+    plan = tf._jdf.queryExecution().executedPlan().toString()
+    pushed = next(l for l in plan.splitlines() if "PushedFilters" in l)
+    assert "In(token" in pushed, pushed
+    # and the range-clustered layout makes the skip real: every file
+    # holds a contiguous token range (row-group stats discriminate)
+    files = spark.read.parquet(
+        os.path.join(str(tmp_path), "tf_store")
+    ).select(
+        F.input_file_name().alias("f"), "token"
+    ).groupBy("f").agg(
+        F.min("token").alias("lo"), F.max("token").alias("hi")
+    ).collect()
+    assert len(files) > 1
