@@ -465,6 +465,37 @@ def payload_phash(with_payload: DataFrame) -> DataFrame:
     return with_payload.mapInPandas(phash, schema=PHASH_SCHEMA)
 
 
+def _chunk_exploded(ph: DataFrame, side: str) -> DataFrame:
+    """One join side of the chunk equi-join: each signature row exploded
+    to its ``PHASH_CHUNKS`` (ci, cv) bucket keys, chunk columns carried
+    for the exact hamming rerank."""
+    return (
+        ph.select(
+            F.col("doc_id").alias(f"doc_{side}"),
+            *[F.col(f"c{c}").alias(f"c{c}{side}") for c in range(PHASH_CHUNKS)],
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(c).alias("ci"), F.col(f"c{c}").alias("cv")
+                        )
+                        for c in range(PHASH_CHUNKS)
+                    ]
+                )
+            ).alias("ch"),
+        )
+        .select("*", "ch.ci", "ch.cv")
+        .drop("ch")
+    )
+
+
+def _phash_hamming() -> "F.Column":
+    return sum(
+        F.bit_count(F.col(f"c{c}a").bitwiseXOR(F.col(f"c{c}b")))
+        for c in range(PHASH_CHUNKS)
+    )
+
+
 def phash_pairs(with_payload: DataFrame) -> DataFrame:
     """Near-duplicate payload pairs by perceptual hash: candidates share
     at least one 16-bit chunk (pigeonhole-complete for hamming <=
@@ -476,35 +507,108 @@ def phash_pairs(with_payload: DataFrame) -> DataFrame:
     by payload diversity, and the distinct on (doc_a, doc_b) shuffles
     scalar ids only."""
     ph = payload_phash(with_payload)
-    sides = []
-    for side in ("a", "b"):
-        sides.append(
-            ph.select(
-                F.col("doc_id").alias(f"doc_{side}"),
-                *[F.col(f"c{c}").alias(f"c{c}{side}") for c in range(PHASH_CHUNKS)],
-                F.explode(
-                    F.array(
-                        *[
-                            F.struct(
-                                F.lit(c).alias("ci"), F.col(f"c{c}").alias("cv")
-                            )
-                            for c in range(PHASH_CHUNKS)
-                        ]
-                    )
-                ).alias("ch"),
-            ).select("*", "ch.ci", "ch.cv").drop("ch")
-        )
-    a, b = sides
-    ham = sum(
-        F.bit_count(F.col(f"c{c}a").bitwiseXOR(F.col(f"c{c}b")))
-        for c in range(PHASH_CHUNKS)
-    )
+    a, b = _chunk_exploded(ph, "a"), _chunk_exploded(ph, "b")
     return (
         a.join(b, ["ci", "cv"])
         .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", ham.alias("hamming"))
+        .select("doc_a", "doc_b", _phash_hamming().alias("hamming"))
         .filter(F.col("hamming") <= PHASH_HAM_MAX)
         .distinct()
+    )
+
+
+def incremental_phash_pairs(
+    with_payload: DataFrame,
+    phash_store: DataFrame | None = None,
+    pair_store: DataFrame | None = None,
+) -> DataFrame:
+    """Incremental maintenance for the perceptual-hash near-dup store
+    (q252 — the q227 insert shape on the LAST dedup surface without an
+    incremental cell, VERDICT r9 next-round #6): the 20% arrival batch
+    (salt "ilsh" — the same crawl event that refreshes the LSH,
+    component, and inverted-index stores) lands against a persisted
+    signature store (doc_id, c0..c3) and pair store.  ONLY the batch's
+    payloads run the Arrow-batched fingerprint kernel; base signatures
+    and the t0 pair set are read from the stores verbatim.  Fresh
+    candidates are the batch signatures chunk-equi-joined against store
+    ∪ batch (canonicalized least/greatest), scored by the exact chunk
+    hamming — the only new pairs possible are those touching ≥ 1 batch
+    doc, so carried ∪ fresh provably equals the full q143 recompute.
+
+    The DuckDB oracle IS that full recompute with per-pair provenance
+    (fresh ⇔ either endpoint is a batch doc) — the driver hash-match
+    proves the maintained store every round.  Store roundtrip is pinned
+    in ``tests/test_incremental_lsh.py``.
+
+    Scale: fingerprinting is O(|batch| payload bytes); the fresh join
+    is batch-sided (|batch|·chunks rows against the store's bucket
+    keys); the t0 pair set never recomputes.  Reference anchor:
+    extension of q143 (``hw3/hw3.py:125-172`` for the refresh
+    discipline; the reference has no multimodal store)."""
+    from ..checkpoints import local_checkpoint
+    from .dedup import _incr_delta_flag
+
+    delta = _incr_delta_flag()
+    base = with_payload.filter(~delta)
+    batch = with_payload.filter(delta)
+    ph_base = (
+        phash_store
+        if phash_store is not None
+        else local_checkpoint(payload_phash(base), eager=False)
+    )
+    ph_batch = local_checkpoint(payload_phash(batch), eager=False)
+    if pair_store is not None:
+        carried = pair_store.select("doc_a", "doc_b", "hamming")
+    else:
+        a, b = _chunk_exploded(ph_base, "a"), _chunk_exploded(ph_base, "b")
+        carried = (
+            a.join(b, ["ci", "cv"])
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .select("doc_a", "doc_b", _phash_hamming().alias("hamming"))
+            .filter(F.col("hamming") <= PHASH_HAM_MAX)
+            .distinct()
+        )
+    d = _chunk_exploded(ph_batch, "a")
+    x = _chunk_exploded(ph_base.unionByName(ph_batch), "b")
+    fresh = (
+        d.join(x, ["ci", "cv"])
+        .filter(F.col("doc_a") != F.col("doc_b"))
+        .select(
+            F.least("doc_a", "doc_b").alias("pa"),
+            F.greatest("doc_a", "doc_b").alias("pb"),
+            _phash_hamming().alias("hamming"),
+        )
+        .filter(F.col("hamming") <= PHASH_HAM_MAX)
+        .select(
+            F.col("pa").alias("doc_a"), F.col("pb").alias("doc_b"), "hamming"
+        )
+        .distinct()
+    )
+    return carried.withColumn("src", F.lit("carried")).unionByName(
+        fresh.withColumn("src", F.lit("fresh"))
+    )
+
+
+def incremental_phash_pairs_sql(table: str = "documents", max_len: int = 4096) -> str:
+    """DuckDB twin: the full q143 recompute over the whole corpus with
+    per-pair provenance (fresh ⇔ either endpoint in the arrival
+    batch) — the identity carried ∪ fresh must reproduce."""
+    from ..functions.hashing import portable_hash64_sql
+
+    from .dedup import INCR_LSH_BUCKETS, INCR_LSH_HIST
+
+    def delta(col: str) -> str:
+        return (
+            f"(({portable_hash64_sql(f'cast({col} as varchar)', 'ilsh')}"
+            f" % {INCR_LSH_BUCKETS}) >= {INCR_LSH_HIST})"
+        )
+
+    return phash_pairs_sql(table, max_len).replace(
+        f"SELECT doc_a, doc_b, hamming FROM scored WHERE hamming <= {PHASH_HAM_MAX}",
+        f"SELECT doc_a, doc_b, hamming,\n"
+        f"           CASE WHEN {delta('doc_a')} OR {delta('doc_b')}\n"
+        f"                THEN 'fresh' ELSE 'carried' END AS src\n"
+        f"    FROM scored WHERE hamming <= {PHASH_HAM_MAX}",
     )
 
 

@@ -12839,6 +12839,34 @@ def q251_full_vocab_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     return LX.full_vocab_bm25(spark, docs)
 
 
+@register(
+    "q252_incremental_phash_pairs",
+    oracle=MM.incremental_phash_pairs_sql(),
+)
+def q252_incremental_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental maintenance for the perceptual-hash near-dup store
+    (VERDICT r9 next-round #6 — q143 was the last dedup surface outside
+    the maintenance matrix): the q227 arrival batch (20%, salt "ilsh" —
+    the same crawl event that refreshes the LSH/component/inverted-index
+    stores) lands against a persisted phash signature store and pair
+    store.  Only the batch's payloads run the Arrow-batched fingerprint
+    kernel; base signatures and the t0 pair set carry verbatim; fresh
+    candidates are the batch signatures chunk-equi-joined against
+    store ∪ batch, scored by exact chunk hamming (bit_count(xor) —
+    JVM built-ins).  carried ∪ fresh provably equals the full q143
+    recompute, and the DuckDB oracle IS that recompute with per-pair
+    provenance — the driver hash-match re-proves the maintained
+    multimodal store every round.  Store roundtrip pinned in
+    ``tests/test_incremental_lsh.py``.
+
+    Scale: fingerprinting O(|batch| payload bytes); the fresh join is
+    batch-sided against 16-bit bucket keys; the t0 pair set never
+    recomputes.  Reference anchor: extension of q143
+    (``hw3/hw3.py:125-172`` for the refresh discipline)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return MM.incremental_phash_pairs(MM.with_binary_payload(docs))
+
+
 # --------------------------------------------------------------------------
 # Driver-window rotation
 # --------------------------------------------------------------------------

@@ -360,3 +360,75 @@ def test_stream_store_replay_idempotent(spark, tmp_path):
     r1 = stream_incremental_lsh_pairs(spark, SF_SMOKE, THRESH)
     r2 = stream_incremental_lsh_pairs(spark, SF_SMOKE, THRESH)
     assert _pairs_key(r1) == _pairs_key(r2)
+
+
+# -- phash near-dup store: the q227 insert shape on q143 (q252) ----------------
+
+
+def test_incremental_phash_equals_full_and_store_roundtrip(spark, tmp_path):
+    """q252 ON NON-EMPTY DATA (the shipped corpus has no byte-positional
+    near-dups — q143's fixture-scale result is legitimately empty, per
+    test_payload_phash_finds_planted_near_dups): stage the fixture with
+    PLANTED same-length variants, then assert (a) carried ∪ fresh ==
+    the full q143 recompute with batch-touching provenance, (b) both
+    provenance classes fire, (c) byte-equal through a PERSISTED
+    signature + pair store roundtrip (only the batch is re-fingerprinted
+    on that path), and (d) the staged run cross-checks against the
+    DuckDB oracle."""
+    import os
+
+    from bigdatamining_graduate_spark.operators import multimodal as MM
+    from bigdatamining_graduate_spark.plans.queries import ORACLE, QUERIES
+    from bigdatamining_graduate_spark.sources.catalog import TABLES, table_path
+
+    from .oracle import assert_matches
+
+    for t in TABLES:
+        if t != "documents":
+            os.symlink(table_path(SF_SMOKE, t), str(tmp_path / f"{t}.parquet"))
+    docs0 = spark.read.parquet(table_path(SF_SMOKE, "documents"))
+    planted = docs0.limit(20).select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"),
+        F.concat(
+            F.lit("Q"), F.substring("text", 2, 100), F.lit("Z"),
+            F.expr("substring(text, 103)"),
+        ).alias("text"),
+        "lang", "source", "n_chars",
+    ).filter(F.length("text") > 120)
+    docs0.select("doc_id", "text", "lang", "source", "n_chars").unionByName(
+        planted
+    ).coalesce(1).write.parquet(str(tmp_path / "documents.parquet"))
+    sf = str(tmp_path)
+
+    out = QUERIES["q252_incremental_phash_pairs"](spark, sf)
+    got = sorted((r.doc_a, r.doc_b, r.hamming, r.src) for r in out.collect())
+    assert_matches(out, ORACLE["q252_incremental_phash_pairs"], sf)
+
+    docs = spark.read.parquet(str(tmp_path / "documents.parquet"))
+    wp = MM.with_binary_payload(docs)
+    delta = DD._incr_delta_flag()
+    batch_ids = {r.doc_id for r in docs.filter(delta).select("doc_id").collect()}
+    exp = sorted(
+        (
+            r.doc_a,
+            r.doc_b,
+            r.hamming,
+            "fresh" if (r.doc_a in batch_ids or r.doc_b in batch_ids) else "carried",
+        )
+        for r in MM.phash_pairs(wp).collect()
+    )
+    assert got == exp and got
+    assert {g[3] for g in got} == {"carried", "fresh"}
+
+    # store roundtrip: signatures + t0 pairs persisted, read back, merged
+    base = wp.filter(~delta)
+    MM.payload_phash(base).write.parquet(str(tmp_path / "ph"))
+    MM.phash_pairs(base).write.parquet(str(tmp_path / "pairs"))
+    roundtrip = MM.incremental_phash_pairs(
+        wp,
+        phash_store=spark.read.parquet(str(tmp_path / "ph")),
+        pair_store=spark.read.parquet(str(tmp_path / "pairs")),
+    )
+    assert sorted(
+        (r.doc_a, r.doc_b, r.hamming, r.src) for r in roundtrip.collect()
+    ) == got
