@@ -496,17 +496,11 @@ def _phash_hamming() -> "F.Column":
     )
 
 
-def phash_pairs(with_payload: DataFrame) -> DataFrame:
-    """Near-duplicate payload pairs by perceptual hash: candidates share
-    at least one 16-bit chunk (pigeonhole-complete for hamming <=
+def _pairs_from_phash(ph: DataFrame) -> DataFrame:
+    """Chunk equi-join over a signature set: candidates share at least
+    one 16-bit chunk (pigeonhole-complete for hamming <=
     ``PHASH_HAM_MAX``), scored by exact hamming distance over the four
-    chunks (``bit_count(a ^ b)`` — JVM built-ins, no Python).
-
-    Scale: the chunk equi-join is the q27 SimHash geometry on the
-    multimodal column; chunk values are 16-bit so bucket skew is bounded
-    by payload diversity, and the distinct on (doc_a, doc_b) shuffles
-    scalar ids only."""
-    ph = payload_phash(with_payload)
+    chunks (``bit_count(a ^ b)`` — JVM built-ins, no Python)."""
     a, b = _chunk_exploded(ph, "a"), _chunk_exploded(ph, "b")
     return (
         a.join(b, ["ci", "cv"])
@@ -515,6 +509,17 @@ def phash_pairs(with_payload: DataFrame) -> DataFrame:
         .filter(F.col("hamming") <= PHASH_HAM_MAX)
         .distinct()
     )
+
+
+def phash_pairs(with_payload: DataFrame) -> DataFrame:
+    """Near-duplicate payload pairs by perceptual hash (fingerprint +
+    :func:`_pairs_from_phash` chunk join).
+
+    Scale: the chunk equi-join is the q27 SimHash geometry on the
+    multimodal column; chunk values are 16-bit so bucket skew is bounded
+    by payload diversity, and the distinct on (doc_a, doc_b) shuffles
+    scalar ids only."""
+    return _pairs_from_phash(payload_phash(with_payload))
 
 
 def incremental_phash_pairs(
@@ -560,14 +565,7 @@ def incremental_phash_pairs(
     if pair_store is not None:
         carried = pair_store.select("doc_a", "doc_b", "hamming")
     else:
-        a, b = _chunk_exploded(ph_base, "a"), _chunk_exploded(ph_base, "b")
-        carried = (
-            a.join(b, ["ci", "cv"])
-            .filter(F.col("doc_a") < F.col("doc_b"))
-            .select("doc_a", "doc_b", _phash_hamming().alias("hamming"))
-            .filter(F.col("hamming") <= PHASH_HAM_MAX)
-            .distinct()
-        )
+        carried = _pairs_from_phash(ph_base)
     d = _chunk_exploded(ph_batch, "a")
     x = _chunk_exploded(ph_base.unionByName(ph_batch), "b")
     fresh = (
@@ -675,3 +673,253 @@ def phash_pairs_sql(table: str = "documents", max_len: int = 4096) -> str:
     )
     SELECT doc_a, doc_b, hamming FROM scored WHERE hamming <= {PHASH_HAM_MAX}
     """
+
+
+def delete_aware_phash_pairs(
+    with_payload: DataFrame,
+    pair_store: DataFrame | None = None,
+    deleted_ids: DataFrame | None = None,
+) -> DataFrame:
+    """Deletion-side maintenance for the phash near-dup store (q253 —
+    the q229 tombstone shape on the multimodal surface): the 10%
+    deletion slice (salt "idel" — the same takedown event that prunes
+    the LSH/component/graph stores) erases documents, and the
+    maintained pair store is the t0 store with every pair touching a
+    deleted doc dropped.  NOTHING re-fingerprints: chunk collisions and
+    hamming distance are pairwise properties, so deletions never ADD
+    pairs and never change a surviving pair's score — maintenance is
+    two anti-filters on the persisted store, the cheapest cell in the
+    matrix (q229's "deletions never re-band" argument, exact here too).
+
+    The DuckDB oracle is the FULL phash recompute over the remaining
+    corpus, so the driver hash-match proves filter == recompute every
+    round.  ``pair_store`` injects the persisted t0 pairs (roundtrip
+    test); ``deleted_ids`` injects a crafted tombstone set (unit test);
+    defaults derive in-plan from the hash slice.
+
+    Scale: O(|store|) anti-join on scalar ids — no fingerprint kernel,
+    no chunk join.  Reference anchor: extension of q143
+    (``hw3/hw3.py:125-172`` refresh discipline)."""
+    from .dedup import _incr_deleted_flag
+
+    if pair_store is None:
+        pair_store = _pairs_from_phash(payload_phash(with_payload))
+    if deleted_ids is None:
+        return pair_store.filter(
+            ~_incr_deleted_flag("doc_a") & ~_incr_deleted_flag("doc_b")
+        ).select("doc_a", "doc_b", "hamming")
+    return (
+        pair_store.join(
+            deleted_ids.select(F.col(deleted_ids.columns[0]).alias("doc_a")),
+            "doc_a",
+            "left_anti",
+        )
+        .join(
+            deleted_ids.select(F.col(deleted_ids.columns[0]).alias("doc_b")),
+            "doc_b",
+            "left_anti",
+        )
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+def delete_aware_phash_pairs_sql(table: str = "documents", max_len: int = 4096) -> str:
+    """DuckDB twin: the full phash recompute over the REMAINING corpus
+    — the identity the two anti-filters must reproduce."""
+    from ..functions.hashing import portable_hash64_sql
+
+    from .dedup import INCR_DEL_BUCKETS
+
+    deleted = (
+        f"({portable_hash64_sql('cast(doc_id as varchar)', 'idel')}"
+        f" % {INCR_DEL_BUCKETS}) = 0"
+    )
+    remaining = (
+        f"(SELECT doc_id, text FROM {table} WHERE NOT {deleted}) remaining"
+    )
+    return phash_pairs_sql(remaining, max_len)
+
+
+def upsert_aware_phash_pairs(
+    docs: DataFrame,
+    phash_store: DataFrame | None = None,
+    pair_store: DataFrame | None = None,
+) -> DataFrame:
+    """UPSERT-side maintenance for the phash near-dup store (q254 —
+    the q231 crawl-refresh shape on the multimodal surface): the 10%
+    revision slice (salt "iupd", the suffix sentence of q231 — payload
+    bytes genuinely move, and with them every resampled cell boundary,
+    so revised fingerprints recompute end to end) changes content
+    between snapshots.  The maintenance step:
+
+    * pairs among UNCHANGED payloads carry verbatim from the t0 pair
+      store WITH their stored hamming — chunk collisions and distances
+      are pairwise, so the unchanged × unchanged subset is identical in
+      both snapshots;
+    * every t0 pair touching a changed doc drops (stale — computed from
+      bytes that no longer exist);
+    * ONLY the changed payloads re-run the Arrow-batched fingerprint
+      kernel; their fresh pairs come from chunks(changed-v2) ⋈
+      chunks(t1 corpus), scored by exact chunk hamming.
+
+    carried ∪ fresh provably equals the full q143 recompute over the
+    t1 corpus, and the DuckDB oracle IS that recompute with the same
+    carried/refreshed provenance — the driver hash-match is the proof.
+    ``phash_store`` / ``pair_store`` inject the persisted t0 state
+    (roundtrip test); defaults derive in-plan.
+
+    Scale: re-fingerprinting is O(|changed| payload bytes); the stale
+    drop is two hash-slice anti-filters; the fresh join is
+    |changed|-sided against 16-bit bucket keys.  Reference anchor:
+    extension of q143 (``hw3/hw3.py:125-172`` refresh discipline)."""
+    from ..checkpoints import local_checkpoint
+    from .dedup import INCR_UPD_SUFFIX, _incr_updated_flag
+
+    changed = _incr_updated_flag()
+    t1 = docs.withColumn(
+        "text",
+        F.when(changed, F.concat(F.col("text"), F.lit(INCR_UPD_SUFFIX)))
+        .otherwise(F.col("text")),
+    )
+    if pair_store is None:
+        pair_store = _pairs_from_phash(
+            payload_phash(with_binary_payload(docs))
+        )
+    carried = pair_store.filter(
+        ~_incr_updated_flag("doc_a") & ~_incr_updated_flag("doc_b")
+    ).select("doc_a", "doc_b", "hamming")
+    ph_unchanged = (
+        phash_store.filter(~changed)
+        if phash_store is not None
+        else payload_phash(with_binary_payload(docs.filter(~changed)))
+    )
+    ph_changed = local_checkpoint(
+        payload_phash(with_binary_payload(t1.filter(changed))), eager=False
+    )
+    ph_t1 = local_checkpoint(
+        ph_unchanged.unionByName(ph_changed), eager=False
+    )
+    d = _chunk_exploded(ph_changed, "a")
+    x = _chunk_exploded(ph_t1, "b")
+    fresh = (
+        d.join(x, ["ci", "cv"])
+        .filter(F.col("doc_a") != F.col("doc_b"))
+        .select(
+            F.least("doc_a", "doc_b").alias("pa"),
+            F.greatest("doc_a", "doc_b").alias("pb"),
+            _phash_hamming().alias("hamming"),
+        )
+        .filter(F.col("hamming") <= PHASH_HAM_MAX)
+        .select(
+            F.col("pa").alias("doc_a"), F.col("pb").alias("doc_b"), "hamming"
+        )
+        .distinct()
+    )
+    return carried.withColumn("src", F.lit("carried")).unionByName(
+        fresh.withColumn("src", F.lit("refreshed"))
+    )
+
+
+def upsert_aware_phash_pairs_sql(table: str = "documents", max_len: int = 4096) -> str:
+    """DuckDB twin: the full phash recompute over the t1 corpus
+    (unchanged originals + revised texts) with the same
+    carried/refreshed provenance — the identity carried ∪ fresh must
+    reproduce."""
+    from ..functions.hashing import portable_hash64_sql
+
+    from .dedup import INCR_UPD_BUCKETS, INCR_UPD_SUFFIX
+
+    def flag(col: str) -> str:
+        return (
+            f"(({portable_hash64_sql(f'cast({col} as varchar)', 'iupd')}"
+            f" % {INCR_UPD_BUCKETS}) = 0)"
+        )
+
+    t1 = (
+        f"(SELECT doc_id, CASE WHEN {flag('doc_id')} THEN text ||"
+        f" '{INCR_UPD_SUFFIX}' ELSE text END AS text FROM {table}) t1"
+    )
+    return phash_pairs_sql(t1, max_len).replace(
+        f"SELECT doc_a, doc_b, hamming FROM scored WHERE hamming <= {PHASH_HAM_MAX}",
+        f"SELECT doc_a, doc_b, hamming,\n"
+        f"           CASE WHEN {flag('doc_a')} OR {flag('doc_b')}\n"
+        f"                THEN 'refreshed' ELSE 'carried' END AS src\n"
+        f"    FROM scored WHERE hamming <= {PHASH_HAM_MAX}",
+    )
+
+
+def vacuumed_phash_refresh(
+    spark, docs: DataFrame, stage_dir: str | None = None
+) -> DataFrame:
+    """The full phash store lifecycle in one query (q256 — the q235
+    mechanism on the multimodal surface, completing its arrival-shape
+    matrix): build the t0 signature + pair stores as MANY small files
+    (the accretion a per-batch refresh loop produces), apply a deletion
+    cycle (the q229 tombstone slice), VACUUM both stores
+    (:func:`~bigdatamining_graduate_spark.operators.dedup.vacuum_parquet_store`:
+    tombstoned rows anti-joined out, files compacted, rename-swapped),
+    then run the NEXT insert refresh (q252's incremental path) reading
+    the VACUUMED stores back from parquet.
+
+    Store algebra making the identity exact: the t0 corpus is the
+    non-delta slice (q252's convention); chunk collisions and hamming
+    are pairwise, so the vacuumed pair store IS the base×base pair set
+    of the remaining corpus and the vacuumed signature store its
+    signature set — hence vacuumed refresh == the q252 incremental
+    recompute over the remaining corpus, which IS the DuckDB oracle.
+    One driver hash-match proves tombstone GC, compaction, swap, and
+    post-vacuum refresh together; file/row shrinkage is pinned in
+    ``tests/test_store_vacuum.py``.
+
+    Scale: vacuum is O(|store|) anti-join + one write per store on the
+    compaction cadence; the refresh stays O(|batch| payload bytes);
+    the corpus never re-fingerprints.  Reference anchor: extension of
+    q143."""
+    import os
+
+    from ..checkpoints import local_checkpoint
+    from ..staging import staging_dir
+    from .dedup import (
+        _incr_deleted_flag,
+        _incr_delta_flag,
+        vacuum_parquet_store,
+    )
+
+    stage = stage_dir or staging_dir(prefix="bdm_phash_vacuum_")
+    sig_dir = os.path.join(stage, "phash_store")
+    pair_dir = os.path.join(stage, "pair_store")
+    remaining = docs.filter(~_incr_deleted_flag())
+    t0 = docs.filter(~_incr_delta_flag())
+    ph_t0 = local_checkpoint(
+        payload_phash(with_binary_payload(t0)), eager=False
+    )
+    # simulate refresh-loop accretion: many small files per store
+    ph_t0.repartition(8).write.mode("overwrite").parquet(sig_dir)
+    _pairs_from_phash(ph_t0).repartition(8).write.mode("overwrite").parquet(
+        pair_dir
+    )
+    tombstones = docs.filter(_incr_deleted_flag()).select("doc_id")
+    vacuum_parquet_store(spark, sig_dir, tombstones, ("doc_id",))
+    vacuum_parquet_store(spark, pair_dir, tombstones, ("doc_a", "doc_b"))
+    return incremental_phash_pairs(
+        with_binary_payload(remaining),
+        phash_store=spark.read.parquet(sig_dir),
+        pair_store=spark.read.parquet(pair_dir),
+    )
+
+
+def vacuumed_phash_refresh_sql(table: str = "documents", max_len: int = 4096) -> str:
+    """DuckDB twin: the q252 incremental recompute over the REMAINING
+    corpus — the identity the vacuumed-store refresh must reproduce."""
+    from ..functions.hashing import portable_hash64_sql
+
+    from .dedup import INCR_DEL_BUCKETS
+
+    deleted = (
+        f"({portable_hash64_sql('cast(doc_id as varchar)', 'idel')}"
+        f" % {INCR_DEL_BUCKETS}) = 0"
+    )
+    remaining = (
+        f"(SELECT doc_id, text FROM {table} WHERE NOT {deleted}) remaining"
+    )
+    return incremental_phash_pairs_sql(remaining, max_len)

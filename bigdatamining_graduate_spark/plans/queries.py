@@ -12867,6 +12867,256 @@ def q252_incremental_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return MM.incremental_phash_pairs(MM.with_binary_payload(docs))
 
 
+@register(
+    "q253_delete_aware_phash_pairs",
+    oracle=MM.delete_aware_phash_pairs_sql(),
+)
+def q253_delete_aware_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deletion-side maintenance for the phash near-dup store (the q229
+    tombstone shape on the multimodal surface): the 10% deletion slice
+    (salt "idel" — the same takedown event that prunes the
+    LSH/component/graph stores) erases documents, and the maintained
+    store is the persisted t0 pair set with every pair touching a
+    deleted doc anti-filtered out.  NOTHING re-fingerprints: chunk
+    collisions and hamming are pairwise properties, so deletions never
+    ADD pairs and never change a surviving pair's score — the cheapest
+    cell in the maintenance matrix, and the proof that it IS that cheap
+    is the oracle: the DuckDB twin recomputes phash pairs over the full
+    remaining corpus, and the driver hash-match proves two anti-joins
+    == that recompute.  Bridge-tombstone unit test + store roundtrip in
+    ``tests/test_incremental_lsh.py``.
+
+    Scale: O(|store|) anti-join on scalar ids — no fingerprint kernel,
+    no chunk join, no shuffle beyond the store's own keys.  Reference
+    anchor: extension of q143 (``hw3/hw3.py:125-172`` refresh
+    discipline)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return MM.delete_aware_phash_pairs(MM.with_binary_payload(docs))
+
+
+@register(
+    "q254_upsert_aware_phash_pairs",
+    oracle=MM.upsert_aware_phash_pairs_sql(),
+)
+def q254_upsert_aware_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UPSERT-side maintenance for the phash near-dup store (the q231
+    crawl-refresh shape on the multimodal surface): a deterministic 10%
+    slice of documents is revised between snapshots (salt "iupd", the
+    q231 suffix sentence — payload bytes and every resampled cell
+    boundary genuinely move).  Pairs among unchanged payloads carry
+    verbatim WITH their stored hamming; every t0 pair touching a
+    changed doc drops as stale; only the changed payloads re-run the
+    Arrow-batched fingerprint kernel, and their fresh pairs come from
+    chunks(changed-v2) ⋈ chunks(t1 corpus).  carried ∪ fresh provably
+    equals the full q143 recompute over the t1 corpus — which IS the
+    DuckDB oracle, with the same carried/refreshed provenance, so the
+    driver hash-match re-proves the maintained multimodal store every
+    round.  Store roundtrip pinned in ``tests/test_incremental_lsh.py``.
+
+    Scale: re-fingerprinting O(|changed| payload bytes); stale drop is
+    two hash-slice anti-filters; the fresh join is |changed|-sided
+    against 16-bit bucket keys.  Reference anchor: extension of q143
+    (``hw3/hw3.py:125-172`` refresh discipline)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return MM.upsert_aware_phash_pairs(docs)
+
+
+@register(
+    "q255_stream_incremental_phash",
+    oracle=ST.stream_incremental_phash_pairs_sql(),
+)
+def q255_stream_incremental_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q252's multimodal maintenance run as an ACTUAL stream — the
+    q230/q238/q245/q248 discipline on the phash family: documents
+    arrive in the same three hash-sliced micro-batches as the streaming
+    LSH/BM25 jobs (salt "slsh" — one crawl stream feeds all index
+    families), a foreachBatch handler fingerprints ONLY the arriving
+    payloads, joins them against the accumulated signature store, and
+    grows both stores by one batch-id-keyed subdirectory per trigger
+    (mode=overwrite — idempotent under replay).  The handler asserts
+    exactly-once emission (a pair is discovered at its LATER endpoint's
+    trigger, never twice); the drained pair store must equal the full
+    batch q143 recompute with first_seen provenance — exactly the
+    DuckDB oracle, the strongest stream == batch identity available to
+    the family.
+
+    Scale: per-trigger work is O(|batch| payload bytes) + a
+    |batch|-sided chunk join; the store is read, never re-derived;
+    Kafka + Delta is the same shape.  Reference anchor: extension of
+    q143 (the reference has zero streaming)."""
+    return ST.stream_incremental_phash_pairs(spark, sf_dir)
+
+
+@register(
+    "q256_phash_store_vacuum",
+    oracle=MM.vacuumed_phash_refresh_sql(),
+)
+def q256_phash_store_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Phash store VACUUM + post-vacuum refresh (the q235 lifecycle on
+    the multimodal surface, completing its arrival-shape matrix —
+    insert q252 / delete q253 / upsert q254 / stream q255 / vacuum
+    here): the t0 signature + pair stores are built as many small
+    files (refresh-loop accretion), a deletion cycle tombstones the
+    10% slice, the vacuum anti-joins the tombstoned rows out of BOTH
+    stores and compacts them (rename-swap — a reader never sees a
+    half-written store), and the NEXT q252 insert refresh runs off the
+    vacuumed stores read back from parquet.  Chunk collisions and
+    hamming are pairwise, so the vacuumed pair store IS the base×base
+    pair set of the remaining corpus — hence vacuumed refresh == the
+    q252 incremental recompute over the remaining corpus, which IS the
+    DuckDB oracle.  One driver hash-match proves tombstone GC,
+    compaction, swap, and post-vacuum refresh together; file/row
+    shrinkage pinned in ``tests/test_store_vacuum.py``.
+
+    Scale: vacuum is O(|store|) anti-join + one write per store on the
+    compaction cadence; the refresh stays O(|batch| payload bytes).
+    Reference anchor: extension of q143."""
+    docs = load_table(spark, sf_dir, "documents")
+    return MM.vacuumed_phash_refresh(spark, docs)
+
+
+from ..operators import aggview as AV  # noqa: E402
+
+
+@register(
+    "q257_incremental_agg_view",
+    oracle=AV.incremental_agg_view_sql(),
+)
+def q257_incremental_agg_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INSERT maintenance for a materialized aggregate view — the OLAP
+    store joins the refresh discipline (round-10 theme; the index
+    matrix covered LSH/IVF/BM25/graph/phash, this is the view a
+    reporting pipeline maintains instead of re-rolling 100 TB): the
+    monthly-sales rollup (ship_month × l_returnflag; count + exact
+    decimal sum_qty/revenue + max_price) is maintained under the 20%
+    arrival batch (salt "iagv", order-level) by ONE associative combine
+    of store ∪ batch partials — COUNT/SUM merge by addition (decimal
+    partial sums are associative, so merge order cannot move a cent),
+    MAX by max; O(|groups| + |batch|), never a corpus re-scan.
+
+    The DuckDB oracle is the full rollup over the whole corpus with
+    carried/new/merged provenance — the driver hash-match proves merge
+    == recompute every round.  Store roundtrip pinned in
+    ``tests/test_aggview.py``.
+
+    Scale: this IS Spark's own partial-aggregation algebra run
+    store-side; the combine shuffles |groups| + |batch groups| rows on
+    the view key.  Reference anchor: ``hw2/BDM_hw2_final.py:203-206``
+    (the reference recomputes its rollups from scratch per run;
+    extension — no persisted view)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return AV.incremental_agg_view(li)
+
+
+@register(
+    "q258_delete_aware_agg_view",
+    oracle=AV.delete_aware_agg_view_sql(),
+)
+def q258_delete_aware_agg_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DELETE maintenance for the aggregate view (the q229 tombstone
+    shape on the OLAP store): the 10% deleted-order slice (salt "dagv")
+    retracts from the persisted view by EXACT decimal subtraction
+    (COUNT/SUM are self-maintainable under deletion); MAX is NOT — a
+    deleted row may own it — so affected groups recompute max from
+    THEIR remaining rows only (semi-join bounded, the q229/q247
+    discipline applied to an aggregate); groups the retraction empties
+    drop out (n_rows = 0); untouched groups carry verbatim with zero
+    recompute.
+
+    The DuckDB oracle is the full rollup over the remaining corpus with
+    adjusted/carried provenance — hash-match proves subtraction +
+    bounded max-recovery == recompute.  Max-owner-deletion edge case
+    pinned in ``tests/test_aggview.py``.
+
+    Scale: retraction is |deleted|-bounded aggregation + |affected
+    groups|-sized joins; the max re-scan touches affected groups' rows
+    only.  Reference anchor: extension of
+    ``hw2/BDM_hw2_final.py:203-206``."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return AV.delete_aware_agg_view(li)
+
+
+@register(
+    "q259_upsert_aware_agg_view",
+    oracle=AV.upsert_aware_agg_view_sql(),
+)
+def q259_upsert_aware_agg_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UPSERT maintenance for the aggregate view (the q231 revision
+    shape on the OLAP store): a deterministic 10% order slice (salt
+    "uagv") is revised between snapshots (quantity +5, price +100 —
+    exact-in-double increments, so the decimal algebra stays lossless).
+    Group keys are revision-stable, so the maintained view subtracts
+    the revised rows' OLD partials and adds their NEW partials in one
+    pass — an UPDATE is a retraction + insertion of equal cardinality,
+    so n_rows provably carries — and MAX recomputes for affected groups
+    from their t1 rows (bounded semi-join).
+
+    The DuckDB oracle is the full rollup over the t1 corpus with
+    revised/carried provenance — hash-match proves the retract+add
+    algebra.  Store roundtrip pinned in ``tests/test_aggview.py``.
+
+    Scale: O(|revised|) partials + |affected groups|-sized joins;
+    untouched groups never move.  Reference anchor: extension of
+    ``hw2/BDM_hw2_final.py:203-206``."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return AV.upsert_aware_agg_view(li)
+
+
+@register(
+    "q260_stream_agg_view",
+    oracle=ST.stream_agg_view_sql(),
+)
+def q260_stream_agg_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q257's OLAP-view maintenance run as an ACTUAL stream: lineitem
+    arrives in three order-sliced micro-batches (salt "sagv"), the
+    foreachBatch handler appends ONE mergeable partial-aggregate file
+    set per trigger (batch-id-keyed, mode=overwrite — idempotent under
+    replay), asserting per-trigger slice fidelity and row-count
+    conservation; the view is served by combine-on-read over the
+    accumulated store.  The drained serve must equal the full batch
+    rollup with first_seen = earliest contributing micro-batch —
+    exactly the DuckDB oracle (stream == batch).
+
+    Scale: per-trigger work is one |batch|-sized partial aggregate;
+    the store grows by |touched groups| rows per trigger; q261's
+    vacuum compacts the accretion.  Kafka + Delta is the same shape.
+    Reference anchor: extension of ``hw2/BDM_hw2_final.py:203-206``
+    (the reference has zero streaming)."""
+    return ST.stream_agg_view(spark, sf_dir)
+
+
+@register(
+    "q261_agg_view_vacuum",
+    oracle=AV.vacuumed_agg_view_sql(),
+)
+def q261_agg_view_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate-view store VACUUM + post-vacuum refresh (the q235
+    lifecycle on the OLAP store, completing its arrival-shape matrix —
+    insert q257 / delete q258 / upsert q259 / stream q260 / vacuum
+    here): the t0 view accretes as four positive partial file sets
+    plus NEGATIVE retraction partials from a deletion cycle (the
+    Flink/Delta retract-record shape: counts and exact decimal sums
+    negated, max NULLed and the group marked dirty — max cannot be
+    retracted algebraically), and the vacuum compacts to one NET row
+    per group: sums telescope exactly, emptied groups drop, dirty
+    groups recompute max from their remaining rows only, and the
+    compacted view swaps in atomically (rename-swap).  The NEXT q257
+    insert refresh then runs off the vacuumed store read back from
+    parquet.
+
+    The DuckDB oracle is the q257 incremental recompute over the
+    remaining corpus — one driver hash-match proves retraction algebra,
+    dirty-group max recovery, compaction, swap, and post-vacuum refresh
+    together.  File/row shrinkage pinned in ``tests/test_aggview.py``.
+
+    Scale: vacuum is O(|store|) combine + one bounded max re-scan + one
+    write on the compaction cadence; the refresh stays O(|batch| +
+    |groups|).  Reference anchor: extension of
+    ``hw2/BDM_hw2_final.py:203-206``."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return AV.vacuumed_agg_view(spark, li)
+
+
 # --------------------------------------------------------------------------
 # Driver-window rotation
 # --------------------------------------------------------------------------

@@ -1294,3 +1294,268 @@ def stream_incremental_triangles_sql() -> str:
     LEFT JOIN per_node_0 p0 ON p0.node = f.node
     LEFT JOIN per_node_1 p1 ON p1.node = f.node
     """
+
+
+def stream_incremental_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q252's multimodal maintenance run as an ACTUAL stream (q255 —
+    the q230/q238/q245/q248 discipline on the phash family, completing
+    its arrival-shape matrix): documents arrive in the SAME three
+    hash-sliced micro-batches as the streaming LSH/BM25 jobs (salt
+    "slsh" — one crawl stream feeds all three index families), and a
+    ``foreachBatch`` handler maintains the persisted state a production
+    refresh would — ONLY the arriving batch's payloads run the
+    Arrow-batched fingerprint kernel; the batch's signatures
+    chunk-equi-join against accumulated-store ∪ batch for fresh pairs,
+    and both stores grow by one batch-id-keyed subdirectory per trigger
+    (mode=overwrite — idempotent under micro-batch replay, the
+    foreachBatch exactly-once contract).  The handler ASSERTS each
+    emitted pair's later endpoint arrived in THIS batch (exactly-once
+    emission: a pair can only be discovered at its later endpoint's
+    trigger, since the earlier endpoint was store-resident and
+    store×store never re-joins).
+
+    The drained pair store must equal the full batch q143 recompute
+    with ``first_seen`` = greatest(endpoint batch ids) — exactly the
+    DuckDB oracle, the stream == batch identity.  Output: (doc_a,
+    doc_b, hamming, first_seen).
+
+    Scale: per-trigger work is O(|batch| payload bytes) fingerprinting
+    + a |batch|-sided chunk join; the signature store is read, never
+    re-derived.  Kafka source + Delta stores is the same shape.
+    Reference anchor: extension of q143 (the reference has zero
+    streaming and no multimodal store)."""
+    import glob
+    import os
+    import shutil
+
+    from ..operators import multimodal as MM
+    from ..staging import staging_dir
+
+    docs = spark.read.parquet(table_path(sf_dir, "documents")).select(
+        "doc_id", "text"
+    )
+    stage = staging_dir(prefix="bdm_stream_phash_")
+    indir = os.path.join(stage, "in")
+    sig_store = os.path.join(stage, "phash_store")
+    out_dir = os.path.join(stage, "pairs_out")
+    os.makedirs(indir)
+    bflag = _stream_lsh_batch_flag()
+    for i in range(STREAM_LSH_BATCHES):
+        part_dir = os.path.join(stage, f"part{i}")
+        docs.filter(bflag == i).coalesce(1).write.parquet(part_dir)
+        dst = os.path.join(indir, f"batch{i}.parquet")
+        shutil.move(
+            glob.glob(os.path.join(part_dir, "part-*.parquet"))[0], dst
+        )
+        os.utime(dst, (1_700_000_000 + i * 100, 1_700_000_000 + i * 100))
+
+    def handle(batch_df: DataFrame, bid: int) -> None:
+        from ..checkpoints import (
+            local_checkpoint,
+            release_new_since,
+            tracked_ids,
+        )
+
+        ledger_before = tracked_ids()
+        ph_new = local_checkpoint(
+            MM.payload_phash(MM.with_binary_payload(batch_df)), eager=False
+        )
+        if glob.glob(os.path.join(sig_store, "*", "*.parquet")):
+            ph_all = (
+                spark.read.option("recursiveFileLookup", "true")
+                .parquet(sig_store)
+                .unionByName(ph_new)
+            )
+        else:
+            ph_all = ph_new
+        ph_all = local_checkpoint(ph_all, eager=False)
+        d = MM._chunk_exploded(ph_new, "a")
+        x = MM._chunk_exploded(ph_all, "b")
+        pairs = (
+            d.join(x, ["ci", "cv"])
+            .filter(F.col("doc_a") != F.col("doc_b"))
+            .select(
+                F.least("doc_a", "doc_b").alias("pa"),
+                F.greatest("doc_a", "doc_b").alias("pb"),
+                MM._phash_hamming().alias("hamming"),
+            )
+            .filter(F.col("hamming") <= MM.PHASH_HAM_MAX)
+            .select(
+                F.col("pa").alias("doc_a"),
+                F.col("pb").alias("doc_b"),
+                "hamming",
+            )
+            .distinct()
+            .withColumn(
+                "first_seen",
+                F.greatest(
+                    _stream_lsh_batch_flag("doc_a"),
+                    _stream_lsh_batch_flag("doc_b"),
+                ).cast("bigint"),
+            )
+        )
+        bad = pairs.filter(F.col("first_seen") != F.lit(int(bid))).count()
+        if bad:
+            raise AssertionError(
+                f"stream batch {bid} emitted {bad} pairs whose later "
+                "endpoint is not in this batch — emission is not "
+                "exactly-once"
+            )
+        pairs.write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"batch{bid}")
+        )
+        ph_new.write.mode("overwrite").parquet(
+            os.path.join(sig_store, f"batch{bid}")
+        )
+        release_new_since(ledger_before)
+
+    q = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(indir)
+        .writeStream.foreachBatch(handle)
+        .option("checkpointLocation", os.path.join(stage, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.option("recursiveFileLookup", "true").parquet(out_dir)
+
+
+def stream_incremental_phash_pairs_sql() -> str:
+    """Batch twin: the FULL phash pair pipeline + the same first_seen
+    provenance expression — stream emission must equal it exactly."""
+    from ..operators.multimodal import phash_pairs_sql
+
+    return f"""
+    SELECT doc_a, doc_b, hamming,
+           cast(greatest({_stream_lsh_batch_sql('doc_a')},
+                         {_stream_lsh_batch_sql('doc_b')}) as bigint)
+             AS first_seen
+    FROM ({phash_pairs_sql()})
+    """
+
+
+def stream_agg_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q257's OLAP-view maintenance run as an ACTUAL stream (q260 —
+    the q230/q238/q245/q248/q255 discipline on the aggregate view):
+    lineitem rows arrive in three order-sliced micro-batches (salt
+    "sagv"), and the foreachBatch handler appends ONE partial-aggregate
+    file set per trigger to the persisted view store (batch-id-keyed
+    subdirectory, mode=overwrite — idempotent under micro-batch
+    replay).  Partials are mergeable state: COUNT/SUM in exact decimals
+    and per-partial MAX, so the store is append-only and the view is
+    served by combine-on-read (the q261 vacuum compacts the accretion).
+    The handler ASSERTS (a) every arriving row's hash slice equals the
+    micro-batch id and (b) the partial conserves the batch's row count
+    — partial-aggregation can drop or double nothing.
+
+    After the drain, the combined store must equal the full batch
+    rollup over the whole corpus with ``first_seen`` = the earliest
+    micro-batch contributing to each group — exactly the DuckDB
+    oracle (stream == batch).  Output: (ship_month, l_returnflag,
+    n_rows, sum_qty, revenue, max_price, first_seen).
+
+    Scale: per-trigger work is one |batch|-sized partial aggregate;
+    the store grows by |touched groups| rows per trigger and the
+    corpus is never re-rolled-up.  Kafka source + Delta store is the
+    same shape.  Reference anchor: extension of
+    ``hw2/BDM_hw2_final.py:203-206`` (the reference has zero
+    streaming and no persisted view)."""
+    import glob
+    import os
+    import shutil
+
+    from ..operators import aggview as AV
+    from ..sources.catalog import load_table
+    from ..staging import staging_dir
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_quantity",
+        "l_extendedprice",
+        "l_discount",
+        "l_returnflag",
+        "l_shipdate",
+    )
+    stage = staging_dir(prefix="bdm_stream_aggview_")
+    indir = os.path.join(stage, "in")
+    store_dir = os.path.join(stage, "view_store")
+    os.makedirs(indir)
+    bflag = AV.stream_batch_flag()
+    for i in range(AV.STREAM_AGV_BATCHES):
+        part_dir = os.path.join(stage, f"part{i}")
+        li.filter(bflag == i).coalesce(1).write.parquet(part_dir)
+        dst = os.path.join(indir, f"batch{i}.parquet")
+        shutil.move(
+            glob.glob(os.path.join(part_dir, "part-*.parquet"))[0], dst
+        )
+        os.utime(dst, (1_700_000_000 + i * 100, 1_700_000_000 + i * 100))
+    schema = spark.read.parquet(os.path.join(indir, "batch0.parquet")).schema
+
+    def handle(batch_df: DataFrame, bid: int) -> None:
+        from ..checkpoints import (
+            local_checkpoint,
+            release_new_since,
+            tracked_ids,
+        )
+
+        ledger_before = tracked_ids()
+        rows = local_checkpoint(batch_df, eager=False)
+        bad = rows.filter(AV.stream_batch_flag() != F.lit(int(bid))).count()
+        if bad:
+            raise AssertionError(
+                f"stream batch {bid} received {bad} rows whose hash slice "
+                "is not this batch — arrival slicing is broken"
+            )
+        partial = local_checkpoint(
+            AV.agg_partials(rows).withColumn(
+                "arrived", F.lit(int(bid)).cast("long")
+            ),
+            eager=False,
+        )
+        n_part = partial.agg(F.sum("n_rows")).collect()[0][0] or 0
+        n_rows = rows.count()
+        if n_part != n_rows:
+            raise AssertionError(
+                f"stream batch {bid} partial covers {n_part} rows of "
+                f"{n_rows} arrived — partial aggregation lost rows"
+            )
+        partial.write.mode("overwrite").parquet(
+            os.path.join(store_dir, f"batch{bid}")
+        )
+        release_new_since(ledger_before)
+
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(indir)
+        .writeStream.foreachBatch(handle)
+        .option("checkpointLocation", os.path.join(stage, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    parts = spark.read.option("recursiveFileLookup", "true").parquet(store_dir)
+    served = parts.groupBy(*AV.VIEW_KEYS).agg(
+        F.sum("n_rows").cast("long").alias("n_rows"),
+        F.sum("sum_qty").cast(AV.SUM_QTY_DEC).alias("sum_qty"),
+        F.sum("revenue").cast(AV.REVENUE_DEC).alias("revenue"),
+        F.max("max_price").alias("max_price"),
+        F.min("arrived").cast("long").alias("first_seen"),
+    )
+    return AV._as_output(served, "first_seen")
+
+
+def stream_agg_view_sql() -> str:
+    """Batch twin: the full rollup over the whole corpus + the same
+    first_seen provenance — combine-on-read serving must equal it."""
+    from ..operators.aggview import _view_aggs_sql, stream_batch_sql
+
+    return f"""
+    SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
+           l_returnflag,{_view_aggs_sql()},
+           cast(min({stream_batch_sql()}) as bigint) AS first_seen
+    FROM lineitem
+    GROUP BY 1, 2
+    """

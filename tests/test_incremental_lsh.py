@@ -432,3 +432,205 @@ def test_incremental_phash_equals_full_and_store_roundtrip(spark, tmp_path):
     assert sorted(
         (r.doc_a, r.doc_b, r.hamming, r.src) for r in roundtrip.collect()
     ) == got
+
+
+# -- phash maintenance matrix completion: delete/upsert/stream/vacuum ---------
+# (q253/q254/q255/q256 — round 10; q252 above is the insert cell)
+
+
+def _stage_phash_fixture(spark, tmp_path, extra_plants=None):
+    """Stage the fixture with PLANTED same-length byte variants (the
+    shipped corpus has no byte-positional near-dups — q143's
+    fixture-scale result is legitimately empty), plus optional extra
+    planted rows for the cell under test.  Returns the staged sf dir."""
+    import os
+
+    from bigdatamining_graduate_spark.sources.catalog import TABLES, table_path
+
+    for t in TABLES:
+        if t != "documents":
+            os.symlink(table_path(SF_SMOKE, t), str(tmp_path / f"{t}.parquet"))
+    docs0 = spark.read.parquet(table_path(SF_SMOKE, "documents"))
+    planted = docs0.limit(20).select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"),
+        F.concat(
+            F.lit("Q"), F.substring("text", 2, 100), F.lit("Z"),
+            F.expr("substring(text, 103)"),
+        ).alias("text"),
+        "lang", "source", "n_chars",
+    ).filter(F.length("text") > 120)
+    staged = docs0.select("doc_id", "text", "lang", "source", "n_chars").unionByName(
+        planted
+    )
+    if extra_plants is not None:
+        staged = staged.unionByName(extra_plants)
+    staged.coalesce(1).write.parquet(str(tmp_path / "documents.parquet"))
+    return str(tmp_path)
+
+
+def test_delete_aware_phash_filter_equals_recompute(spark, tmp_path):
+    """q253: the two anti-filters on the persisted pair store equal the
+    full recompute over the remaining corpus (chunk collisions and
+    hamming are pairwise — deletions never add or rescore pairs), the
+    deletion genuinely drops pairs, and the injected-tombstone path
+    kills exactly the pairs touching the tombstoned doc."""
+    from bigdatamining_graduate_spark.operators import multimodal as MM
+    from bigdatamining_graduate_spark.plans.queries import ORACLE, QUERIES
+
+    from .oracle import assert_matches
+
+    sf = _stage_phash_fixture(spark, tmp_path)
+    docs = spark.read.parquet(str(tmp_path / "documents.parquet"))
+    wp = MM.with_binary_payload(docs)
+    t0 = sorted(
+        (r.doc_a, r.doc_b, r.hamming) for r in MM.phash_pairs(wp).collect()
+    )
+    assert t0, "fixture must plant near-dup pairs"
+
+    out = QUERIES["q253_delete_aware_phash_pairs"](spark, sf)
+    got = sorted((r.doc_a, r.doc_b, r.hamming) for r in out.collect())
+    assert_matches(out, ORACLE["q253_delete_aware_phash_pairs"], sf)
+
+    deleted = {
+        r.doc_id
+        for r in docs.filter(DD._incr_deleted_flag()).select("doc_id").collect()
+    }
+    exp = [p for p in t0 if p[0] not in deleted and p[1] not in deleted]
+    assert got == exp
+
+    # injected tombstone: kill one known pair's endpoint, others intact
+    victim = t0[0][0]
+    store = MM.phash_pairs(wp)
+    pruned = MM.delete_aware_phash_pairs(
+        wp,
+        pair_store=store,
+        deleted_ids=spark.createDataFrame([(victim,)], ["doc_id"]),
+    )
+    got2 = sorted((r.doc_a, r.doc_b, r.hamming) for r in pruned.collect())
+    assert got2 == [p for p in t0 if victim not in (p[0], p[1])]
+    assert len(got2) < len(t0)
+
+
+def test_upsert_aware_phash_equals_full_and_store_roundtrip(spark, tmp_path):
+    """q254: carried ∪ fresh == the full recompute over the t1 corpus
+    (revised payloads re-fingerprinted end to end), BOTH provenance
+    classes fire (twins planted for revised docs so a refreshed pair
+    provably exists), and the persisted-store roundtrip — only changed
+    payloads re-run the kernel — is byte-equal."""
+    from bigdatamining_graduate_spark.operators import multimodal as MM
+    from bigdatamining_graduate_spark.operators.dedup import (
+        INCR_UPD_SUFFIX,
+        _incr_updated_flag,
+    )
+    from bigdatamining_graduate_spark.plans.queries import ORACLE, QUERIES
+    from bigdatamining_graduate_spark.sources.catalog import table_path
+
+    from .oracle import assert_matches
+
+    # twins of REVISED texts: for changed docs, plant (orig + suffix)
+    # perturbed at byte 0 under an id OUTSIDE the iupd slice, so at t1
+    # the revised doc and its twin differ by one byte -> a refreshed pair
+    docs0 = spark.read.parquet(table_path(SF_SMOKE, "documents"))
+    rev_twins = (
+        docs0.filter(_incr_updated_flag())
+        .filter(F.length("text") > 120)
+        .limit(10)
+        .select(
+            (F.col("doc_id") + 20_000_000).alias("doc_id"),
+            F.concat(
+                F.lit("Q"),
+                F.expr(f"substring(text || '{INCR_UPD_SUFFIX}', 2)"),
+            ).alias("text"),
+            "lang", "source", "n_chars",
+        )
+        .filter(~_incr_updated_flag())  # twin id must stay unchanged at t1
+    )
+    sf = _stage_phash_fixture(spark, tmp_path, extra_plants=rev_twins)
+
+    out = QUERIES["q254_upsert_aware_phash_pairs"](spark, sf)
+    got = sorted((r.doc_a, r.doc_b, r.hamming, r.src) for r in out.collect())
+    assert_matches(out, ORACLE["q254_upsert_aware_phash_pairs"], sf)
+    assert {g[3] for g in got} == {"carried", "refreshed"}
+
+    # full t1 recompute with provenance == the maintained union
+    docs = spark.read.parquet(str(tmp_path / "documents.parquet"))
+    changed = {
+        r.doc_id
+        for r in docs.filter(_incr_updated_flag()).select("doc_id").collect()
+    }
+    t1 = docs.withColumn(
+        "text",
+        F.when(
+            _incr_updated_flag(), F.concat(F.col("text"), F.lit(INCR_UPD_SUFFIX))
+        ).otherwise(F.col("text")),
+    )
+    exp = sorted(
+        (
+            r.doc_a,
+            r.doc_b,
+            r.hamming,
+            "refreshed" if (r.doc_a in changed or r.doc_b in changed) else "carried",
+        )
+        for r in MM.phash_pairs(MM.with_binary_payload(t1)).collect()
+    )
+    assert got == exp
+
+    # store roundtrip: t0 signatures + pairs persisted and read back
+    wp0 = MM.with_binary_payload(docs)
+    MM.payload_phash(wp0).write.parquet(str(tmp_path / "ph"))
+    MM.phash_pairs(wp0).write.parquet(str(tmp_path / "pairs"))
+    roundtrip = MM.upsert_aware_phash_pairs(
+        docs,
+        phash_store=spark.read.parquet(str(tmp_path / "ph")),
+        pair_store=spark.read.parquet(str(tmp_path / "pairs")),
+    )
+    assert sorted(
+        (r.doc_a, r.doc_b, r.hamming, r.src) for r in roundtrip.collect()
+    ) == got
+
+
+def test_stream_phash_equals_batch(spark, tmp_path):
+    """q255: the drained stream-maintained pair store equals the full
+    batch recompute with first_seen provenance (stream == batch), on a
+    staged corpus with planted near-dups so the identity is non-vacuous."""
+    from bigdatamining_graduate_spark.plans.queries import ORACLE, QUERIES
+
+    from .oracle import assert_matches
+
+    sf = _stage_phash_fixture(spark, tmp_path)
+    out = QUERIES["q255_stream_incremental_phash"](spark, sf)
+    rows = sorted(
+        (r.doc_a, r.doc_b, r.hamming, r.first_seen) for r in out.collect()
+    )
+    assert rows, "planted near-dups must surface through the stream"
+    assert_matches(out, ORACLE["q255_stream_incremental_phash"], sf)
+
+
+def test_vacuumed_phash_refresh_and_shrinkage(spark, tmp_path):
+    """q256: the post-vacuum q252 refresh off the compacted stores
+    equals the incremental recompute over the remaining corpus (the
+    DuckDB oracle), the vacuum physically compacts 8 files -> 1 per
+    store, and no tombstoned doc survives in either store."""
+    import glob
+    import os
+
+    from bigdatamining_graduate_spark.operators import multimodal as MM
+    from bigdatamining_graduate_spark.plans.queries import ORACLE
+    from bigdatamining_graduate_spark.sources.catalog import load_table
+
+    from .oracle import assert_matches
+
+    sf = _stage_phash_fixture(spark, tmp_path)
+    docs = load_table(spark, sf, "documents")
+    stage = str(tmp_path / "stage")
+    os.makedirs(stage)
+    out = MM.vacuumed_phash_refresh(spark, docs, stage_dir=stage)
+    assert_matches(out, ORACLE["q256_phash_store_vacuum"], sf)
+
+    for store, keys in (("phash_store", ("doc_id",)), ("pair_store", ("doc_a", "doc_b"))):
+        files = glob.glob(os.path.join(stage, store, "*.parquet"))
+        assert len(files) == 1, f"{store} not compacted: {len(files)} files"
+        kept = spark.read.parquet(os.path.join(stage, store))
+        for k in keys:
+            n_dead = kept.filter(DD._incr_deleted_flag(k)).count()
+            assert n_dead == 0, f"{store}.{k} kept {n_dead} tombstoned rows"
