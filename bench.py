@@ -122,6 +122,21 @@ HEADLINE = [
     "q246_incremental_triangles",  # graph-family delta maintenance (carried + attributed)
     "q247_delete_aware_triangles",  # weighted-store edge death + destruction attribution
     "q248_stream_incremental_triangles",  # per-trigger delta attribution (stream == prefix recomputes)
+    "q249_ivf_retrain_refresh",   # trigger-consuming quantizer refit + atomic swap
+    "q250_triangle_store_vacuum", # weighted-edge GC rewrite + post-vacuum refresh
+    "q251_full_vocab_bm25",       # pruned posting-list read off the full-vocab store
+    "q252_incremental_phash_pairs",  # phash insert maintenance (batch-only fingerprinting)
+    "q253_delete_aware_phash_pairs", # phash delete (anti-filters ARE the maintenance)
+    "q254_upsert_aware_phash_pairs", # phash upsert (changed payloads re-fingerprint)
+    "q255_stream_incremental_phash", # phash stream (per-trigger chunk join vs store)
+    "q256_phash_store_vacuum",    # phash store GC + post-vacuum refresh
+    "q257_incremental_agg_view",  # OLAP view insert (associative partial combine)
+    "q258_delete_aware_agg_view", # OLAP view delete (decimal retraction + bounded max re-scan)
+    "q259_upsert_aware_agg_view", # OLAP view upsert (retract old + add new partials)
+    "q260_stream_agg_view",       # OLAP view stream (partials per trigger, combine-on-read)
+    "q261_agg_view_vacuum",       # OLAP store compaction (retraction partials netted out)
+    "q262_scd2_incremental_merge",  # SCD2 MERGE from the current row only
+    "q263_derived_quarterly_view",  # lattice edge: quarterly served from the monthly view
 ]
 
 

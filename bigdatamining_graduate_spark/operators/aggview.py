@@ -545,3 +545,58 @@ def vacuumed_agg_view_sql(table: str = "lineitem") -> str:
         f" AND NOT {arrival_flag_sql()})) remaining"
     )
     return incremental_agg_view_sql(remaining)
+
+
+# -- lattice derivability (q263) ------------------------------------------------
+
+def derived_quarterly_view(
+    li: DataFrame, view_store: DataFrame | None = None
+) -> DataFrame:
+    """Cube-lattice derivability (q263): the QUARTERLY rollup answered
+    from the persisted MONTHLY view — never from the corpus.  COUNT/SUM
+    partials re-combine by addition (exact decimals — associativity is
+    what makes the lattice edge exact, not approximate) and MAX by max,
+    so coarsening the granularity is one |monthly groups|-sized combine:
+    the classic OLAP view-based query-answering claim, proven here by
+    the DuckDB oracle computing the quarterly rollup DIRECTLY from
+    lineitem — the driver hash-match is the derivability proof.
+
+    ``view_store`` injects the persisted monthly view (roundtrip test);
+    default derives it in-plan (one corpus scan to build the view, then
+    the derivation itself never re-touches lineitem).
+
+    Scale: at 100 TB the monthly view is the persisted store, so a
+    quarterly (or yearly — same edge, coarser) query costs |months ×
+    flags| rows instead of a corpus re-scan.  Reference anchor:
+    extension of ``hw2/BDM_hw2_final.py:203-206``."""
+    monthly = view_store if view_store is not None else agg_partials(li)
+    quarter = F.concat(
+        F.substring("ship_month", 1, 4),
+        F.lit("-Q"),
+        ((F.substring("ship_month", 6, 2).cast("int") + 2) / 3)
+        .cast("int")
+        .cast("string"),
+    )
+    return (
+        monthly.withColumn("ship_quarter", quarter)
+        .groupBy("ship_quarter", "l_returnflag")
+        .agg(
+            F.sum("n_rows").cast("long").alias("n_rows"),
+            F.sum("sum_qty").cast("double").alias("sum_qty"),
+            F.sum("revenue").cast("double").alias("revenue"),
+            F.max("max_price").alias("max_price"),
+        )
+    )
+
+
+def derived_quarterly_view_sql(table: str = "lineitem") -> str:
+    """DuckDB twin: the quarterly rollup computed DIRECTLY from the
+    corpus — the identity the monthly-view derivation must reproduce."""
+    return f"""
+    SELECT strftime(l_shipdate, '%Y') || '-Q' ||
+           cast((cast(strftime(l_shipdate, '%m') as int) + 2) // 3 as varchar)
+             AS ship_quarter,
+           l_returnflag,{_view_aggs_sql()}
+    FROM {table}
+    GROUP BY 1, 2
+    """

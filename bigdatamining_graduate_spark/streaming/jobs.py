@@ -1559,3 +1559,171 @@ def stream_agg_view_sql() -> str:
     FROM lineitem
     GROUP BY 1, 2
     """
+
+
+def stream_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q262's SCD2 MERGE run as an ACTUAL stream (q264): events arrive
+    in three EVENT-TIME-ordered micro-batches (equal epoch-microsecond
+    thirds of the fixture span — exact integer arithmetic, so the DuckDB
+    twin derives the identical slicing), and each trigger MERGEs the
+    arriving batch into the persisted history store via the q262
+    merge-from-current-row step.  State is versioned PER BATCH ID
+    (``store_v{bid}`` = merge(``store_v{bid-1}``, batch) — the
+    functional state-chaining shape Structured Streaming's own state
+    store uses): a replayed micro-batch recomputes its version from its
+    predecessor and overwrites it, which is what makes a NON-idempotent
+    operation (merge) idempotent under the foreachBatch replay contract
+    — batch-id-keyed blind writes (the q230 pattern) would double-merge.
+    The handler asserts per-trigger slice fidelity and the SCD2
+    invariant (exactly one current row per batch user after the merge).
+
+    After the drain, the LAST store version must equal the full q179
+    recompute over all events, with ``arrived`` = the micro-batch that
+    OPENED each version (a pure function of valid_from_us, so the
+    DuckDB twin states it in closed form) — the stream == batch
+    identity for chained stateful merges.
+
+    Scale: per-trigger work is O(|batch| + |batch users|); history is
+    never re-derived from events.  Kafka source + Delta MERGE INTO is
+    the same shape.  Reference anchor: extends q179/q217/q262; the
+    reference has zero streaming."""
+    import glob
+    import os
+    import shutil
+
+    from ..plans.queries import _q179_tier, _scd2_history, scd2_merge
+    from ..sources.catalog import load_table
+    from ..staging import staging_dir
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", _q179_tier().alias("tier")
+    )
+    lo, hi = ev.agg(
+        F.min(F.unix_micros("ts")), F.max(F.unix_micros("ts"))
+    ).collect()[0]
+    span = hi - lo + 1
+
+    def bid_of(col):
+        # exact integer division (`div`), matching DuckDB's `//`
+        return F.least(
+            F.lit(2),
+            F.expr(f"(unix_micros({col}) - {lo}L) * 3L div {span}L"),
+        )
+
+    stage = staging_dir(prefix="bdm_stream_scd2_")
+    indir = os.path.join(stage, "in")
+    os.makedirs(indir)
+    for i in range(3):
+        part_dir = os.path.join(stage, f"part{i}")
+        ev.filter(bid_of("ts") == i).coalesce(1).write.parquet(part_dir)
+        dst = os.path.join(indir, f"batch{i}.parquet")
+        shutil.move(
+            glob.glob(os.path.join(part_dir, "part-*.parquet"))[0], dst
+        )
+        os.utime(dst, (1_700_000_000 + i * 100, 1_700_000_000 + i * 100))
+    schema = spark.read.parquet(os.path.join(indir, "batch0.parquet")).schema
+
+    def store_dir(v: int) -> str:
+        return os.path.join(stage, f"store_v{v}")
+
+    def handle(batch_df: DataFrame, bid: int) -> None:
+        from ..checkpoints import (
+            local_checkpoint,
+            release_new_since,
+            tracked_ids,
+        )
+
+        ledger_before = tracked_ids()
+        rows = local_checkpoint(batch_df, eager=False)
+        bad = rows.filter(bid_of("ts") != F.lit(int(bid))).count()
+        if bad:
+            raise AssertionError(
+                f"stream batch {bid} received {bad} rows outside its "
+                "event-time slice"
+            )
+        if bid == 0:
+            merged = _scd2_history(rows)
+        else:
+            merged = scd2_merge(
+                spark.read.parquet(store_dir(bid - 1)), rows
+            ).drop("src")
+        merged = local_checkpoint(merged, eager=False)
+        n_cur = (
+            merged.filter(F.col("is_current"))
+            .join(rows.select("user_id").distinct(), "user_id", "left_semi")
+            .count()
+        )
+        n_users = rows.select("user_id").distinct().count()
+        if n_cur != n_users:
+            raise AssertionError(
+                f"stream batch {bid}: {n_cur} current rows for {n_users} "
+                "batch users — the SCD2 invariant broke"
+            )
+        # state-version-per-batch: replay overwrites v{bid} recomputed
+        # from v{bid-1} (idempotent even though merge itself is not)
+        merged.write.mode("overwrite").parquet(store_dir(bid))
+        release_new_since(ledger_before)
+
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(indir)
+        .writeStream.foreachBatch(handle)
+        .option("checkpointLocation", os.path.join(stage, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    final = spark.read.parquet(store_dir(2))
+    return final.select(
+        "user_id",
+        "version",
+        "tier",
+        "valid_from_us",
+        "valid_to_us",
+        "is_current",
+        F.least(
+            F.lit(2),
+            F.expr(f"(valid_from_us - {lo}L) * 3L div {span}L"),
+        ).alias("arrived"),
+    )
+
+
+def stream_scd2_merge_sql() -> str:
+    """Batch twin: the full q179 history + arrived = the event-time
+    third that opened each version — the chained stream merges must
+    land exactly here."""
+    return """
+    WITH span AS (
+      SELECT min(epoch_us(ts)) AS lo,
+             max(epoch_us(ts)) - min(epoch_us(ts)) + 1 AS n FROM events
+    ),
+    e AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN value < 100 THEN 'low'
+                  WHEN value < 500 THEN 'mid'
+                  ELSE 'high' END AS tier
+      FROM events),
+    c AS (
+      SELECT *, CASE WHEN lag(tier) OVER w IS NULL
+                       OR lag(tier) OVER w <> tier THEN 1 ELSE 0 END AS chg
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    v AS (
+      SELECT user_id, tier, ts,
+             CAST(sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS version
+      FROM c),
+    g AS (
+      SELECT user_id, version, min(tier) AS tier,
+             min(epoch_us(ts)) AS valid_from_us
+      FROM v GROUP BY 1, 2)
+    SELECT user_id, version, tier, valid_from_us,
+           lead(valid_from_us) OVER (PARTITION BY user_id ORDER BY version)
+             AS valid_to_us,
+           lead(valid_from_us) OVER (PARTITION BY user_id ORDER BY version)
+             IS NULL AS is_current,
+           least(2, cast(((valid_from_us - span.lo) * 3) // span.n as bigint))
+             AS arrived
+    FROM g, span
+    """

@@ -163,3 +163,24 @@ def test_vacuum_compacts_and_drops_emptied_groups(spark, tmp_path):
     assert _rows_key(
         kept, "ship_month", "l_returnflag", "n_rows", "max_price"
     ) == exp
+
+
+def test_quarterly_derivation_roundtrip(spark, tmp_path):
+    """q263: the quarterly rollup served from a PERSISTED monthly view
+    equals the in-plan derivation (and, via the driver oracle, the
+    direct corpus rollup) — the lattice edge is store-serveable."""
+    li = _load(spark)
+    got = _rows_key(
+        AV.derived_quarterly_view(li),
+        "ship_quarter", "l_returnflag", "n_rows", "sum_qty", "revenue",
+        "max_price",
+    )
+    AV.agg_partials(li).write.parquet(str(tmp_path / "monthly"))
+    rt = AV.derived_quarterly_view(
+        li, view_store=spark.read.parquet(str(tmp_path / "monthly"))
+    )
+    assert _rows_key(
+        rt, "ship_quarter", "l_returnflag", "n_rows", "sum_qty", "revenue",
+        "max_price",
+    ) == got
+    assert got and all(g[0].count("-Q") == 1 for g in got)

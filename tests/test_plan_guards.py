@@ -56,6 +56,7 @@ ALLOWED = {
     "q244_upsert_aware_bm25",    # 1-row avgdl/n_docs-stats broadcast (q106 pattern)
     "q245_stream_incremental_bm25",  # same 1-row stats broadcast on the post-drain read
     "q251_full_vocab_bm25",      # 1-row avgdl-stats (q106 pattern) + 1-row vocab-audit broadcasts
+    "q262_scd2_incremental_merge",  # 1-row event-time frontier broadcast (q03 pattern)
 }
 
 

@@ -402,3 +402,94 @@ def test_stream_triangles_hash_match_at_10x(spark, synth_dir):
     the prefix-graph recomputes."""
     name = "q248_stream_incremental_triangles"
     assert_matches(QUERIES[name](spark, synth_dir), ORACLE[name], synth_dir)
+
+
+# -- round-10 additions: retrain loop, store GC, full-vocab index,
+# -- phash matrix, aggregate-view matrix ------------------------------------
+
+
+def test_ivf_retrain_refresh_hash_match_at_10x(spark, synth_ivf_dir):
+    """q249 at 10x: the trigger-consuming refit + atomic swap +
+    continued maintenance under the NEW quantizer must equal the full
+    recompute under the refit quantizer as the drifted corpus and cell
+    populations grow 10x."""
+    name = "q249_ivf_retrain_refresh"
+    assert_matches(QUERIES[name](spark, synth_ivf_dir), ORACLE[name], synth_ivf_dir)
+
+
+def test_triangle_store_vacuum_hash_match_at_10x(spark, synth_dir):
+    """q250 at 10x: the weighted-edge GC rewrite (support decrements,
+    last-supporting-order deaths) + post-vacuum refresh must equal the
+    full post-delete recompute as edge multiplicity grows 10x."""
+    name = "q250_triangle_store_vacuum"
+    assert_matches(QUERIES[name](spark, synth_dir), ORACLE[name], synth_dir)
+
+
+def test_full_vocab_bm25_hash_match_at_10x(spark, synth_dir):
+    """q251 at 10x: the pruned posting-list read off the range-clustered
+    full-vocabulary store must equal the full recompute as the
+    vocabulary (token remap multiplies distinct tokens) and posting
+    lists grow 10x — and the vocab_size audit column must track the
+    10x corpus vocabulary exactly."""
+    name = "q251_full_vocab_bm25"
+    assert_matches(QUERIES[name](spark, synth_dir), ORACLE[name], synth_dir)
+
+
+#: phash maintenance matrix at 10x — candidate generation is a 16-bit
+#: chunk equi-join, so 10x docs means 10x bucket populations; every cell's
+#: maintained result must still equal its full-recompute oracle
+PHASH_MATRIX = [
+    "q252_incremental_phash_pairs",
+    "q253_delete_aware_phash_pairs",
+    "q254_upsert_aware_phash_pairs",
+    "q255_stream_incremental_phash",
+    "q256_phash_store_vacuum",
+]
+
+
+@pytest.mark.parametrize("name", PHASH_MATRIX)
+def test_phash_matrix_hash_match_at_10x(spark, synth_dir, name):
+    assert_matches(QUERIES[name](spark, synth_dir), ORACLE[name], synth_dir)
+
+
+#: aggregate-view maintenance matrix at 10x — group keys (month x flag)
+#: are volume-stable, so 10x rows means 10x per-group populations: the
+#: exact-decimal retract/add algebra and bounded max re-scans must not
+#: move a cent vs the full rollup
+AGGVIEW_MATRIX = [
+    "q257_incremental_agg_view",
+    "q258_delete_aware_agg_view",
+    "q259_upsert_aware_agg_view",
+    "q260_stream_agg_view",
+    "q261_agg_view_vacuum",
+]
+
+
+@pytest.mark.parametrize("name", AGGVIEW_MATRIX)
+def test_aggview_matrix_hash_match_at_10x(spark, synth_dir, name):
+    assert_matches(QUERIES[name](spark, synth_dir), ORACLE[name], synth_dir)
+
+
+def test_scd2_merge_hash_match_at_10x(spark, synth_dir):
+    """q262 at 10x: merge-from-current-row must equal the full q179
+    history recompute as per-user event chains, batch-user counts, and
+    version counts grow 10x — prefix-stability of version assignment is
+    exactly what must survive scale."""
+    name = "q262_scd2_incremental_merge"
+    assert_matches(QUERIES[name](spark, synth_dir), ORACLE[name], synth_dir)
+
+
+def test_quarterly_derivation_hash_match_at_10x(spark, synth_dir):
+    """q263 at 10x: the monthly->quarterly lattice edge (exact-decimal
+    partial re-combination) must equal the direct corpus rollup as
+    per-group populations grow 10x."""
+    name = "q263_derived_quarterly_view"
+    assert_matches(QUERIES[name](spark, synth_dir), ORACLE[name], synth_dir)
+
+
+def test_stream_scd2_merge_hash_match_at_10x(spark, synth_dir):
+    """q264 at 10x: three chained store-version merges over 10x event
+    volume must land exactly on the full q179 recompute (stream ==
+    batch for chained stateful merges)."""
+    name = "q264_stream_scd2_merge"
+    assert_matches(QUERIES[name](spark, synth_dir), ORACLE[name], synth_dir)

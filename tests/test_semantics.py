@@ -2564,3 +2564,75 @@ def test_q241_rrf_python_recompute(spark):
     if both:
         best_single = min(rrf(r) for r in only_lex + only_vec)
         assert max(rrf(r) for r in both) > best_single
+
+
+def test_q262_merge_equals_full_history_and_planted_edges(spark, tmp_path):
+    """q262's merge-from-current-row == full q179 recompute, on a
+    PLANTED event set that exercises every merge edge: same-tier
+    continuation (current row extends — version survives, valid_to
+    stays open), tier change (current row closes at the first batch
+    event's timestamp), multiple changes within one batch, and a
+    brand-new user with no t0 history (versions start at 1).  Also the
+    persisted-store roundtrip: merge off a parquet read-back of the t0
+    history is byte-equal to the in-plan derivation."""
+    import datetime
+
+    from bigdatamining_graduate_spark.plans.queries import (
+        _scd2_history,
+        scd2_merge,
+    )
+
+    def ts(day, h=0):
+        return datetime.datetime(2024, 1, day, h)
+
+    # tiers: low < 100 <= mid < 500 <= high — events carry tier directly
+    rows = [
+        # u1: t0 low->mid; batch continues mid (extend), then -> high
+        (1, 1, ts(1), "low"), (1, 2, ts(2), "mid"),
+        (1, 10, ts(20), "mid"), (1, 11, ts(21), "high"),
+        # u2: t0 only (untouched — carries verbatim)
+        (2, 3, ts(1), "high"), (2, 4, ts(3), "low"),
+        # u3: batch only (brand-new user, two changes)
+        (3, 12, ts(20), "low"), (3, 13, ts(22), "high"),
+        # u4: t0 one version; batch same tier only (pure extension)
+        (4, 5, ts(2), "mid"), (4, 14, ts(25), "mid"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts timestamp, tier string"
+    )
+    cut = ts(10)
+    t0 = ev.filter(F.col("ts") <= F.lit(cut))
+    batch = ev.filter(F.col("ts") > F.lit(cut))
+
+    cols = ("user_id", "version", "tier", "valid_from_us",
+            "valid_to_us", "is_current")
+
+    def key(df):
+        return sorted(tuple(r[c] for c in cols) for r in df.collect())
+
+    full = key(_scd2_history(ev))
+    merged = scd2_merge(_scd2_history(t0), batch)
+    assert key(merged) == full
+
+    # per-row provenance: untouched user 2 all carried; u3 all merged;
+    # u1's closed t0 row carried, active + new rows merged
+    src = {(r.user_id, r.version): r.src for r in merged.collect()}
+    assert src[(2, 1)] == "carried" and src[(2, 2)] == "carried"
+    assert src[(3, 1)] == "merged" and src[(3, 2)] == "merged"
+    assert src[(1, 1)] == "carried"          # closed before the frontier
+    assert src[(1, 2)] == "merged"           # active row re-emitted
+    assert src[(1, 3)] == "merged"           # opened by the batch
+    assert src[(4, 1)] == "merged"           # extended in place
+
+    # the extension edge: u4 still has ONE version, still current
+    u4 = [r for r in merged.collect() if r.user_id == 4]
+    assert len(u4) == 1 and u4[0].is_current and u4[0].version == 1
+    # the close edge: u1 v2 closes exactly at its first batch change ts
+    u1v2 = [r for r in merged.collect() if r.user_id == 1 and r.version == 2][0]
+    assert u1v2.valid_to_us == int(ts(21).timestamp() * 1_000_000)
+    assert not u1v2.is_current
+
+    # persisted-store roundtrip
+    _scd2_history(t0).write.parquet(str(tmp_path / "scd2"))
+    rt = scd2_merge(spark.read.parquet(str(tmp_path / "scd2")), batch)
+    assert key(rt) == full
