@@ -137,6 +137,9 @@ HEADLINE = [
     "q261_agg_view_vacuum",       # OLAP store compaction (retraction partials netted out)
     "q262_scd2_incremental_merge",  # SCD2 MERGE from the current row only
     "q263_derived_quarterly_view",  # lattice edge: quarterly served from the monthly view
+    "q264_stream_scd2_merge",     # chained per-trigger SCD2 merges (state-version-per-batch)
+    "q265_scd2_late_backfill",    # out-of-order arrivals: bounded per-user re-derivation
+    "q266_store_gc_trigger",      # dead-row basis-point audit that fires the vacuums
 ]
 
 

@@ -13323,6 +13323,189 @@ def q264_stream_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q265_scd2_late_backfill",
+    oracle=f"""
+    WITH e AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN value < {_Q179_LOW} THEN 'low'
+                  WHEN value < {_Q179_MID} THEN 'mid'
+                  ELSE 'high' END AS tier,
+             ({{LATE}} = 0) AS is_late
+      FROM events),
+    c AS (
+      SELECT *, CASE WHEN lag(tier) OVER w IS NULL
+                       OR lag(tier) OVER w <> tier THEN 1 ELSE 0 END AS chg
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    v AS (
+      SELECT user_id, is_late, tier, ts,
+             CAST(sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS version
+      FROM c),
+    g AS (
+      SELECT user_id, version, min(tier) AS tier,
+             min(epoch_us(ts)) AS valid_from_us
+      FROM v GROUP BY 1, 2),
+    lusers AS (SELECT DISTINCT user_id FROM e WHERE is_late)
+    SELECT g.user_id, g.version, g.tier, g.valid_from_us,
+           lead(valid_from_us) OVER (PARTITION BY g.user_id ORDER BY version)
+             AS valid_to_us,
+           lead(valid_from_us) OVER (PARTITION BY g.user_id ORDER BY version)
+             IS NULL AS is_current,
+           CASE WHEN l.user_id IS NOT NULL THEN 'reversioned'
+                ELSE 'carried' END AS src
+    FROM g LEFT JOIN lusers l ON l.user_id = g.user_id
+    """.replace(
+        "{LATE}",
+        "(" + portable_hash64_sql("cast(event_id as varchar)", "late") + " % 10)",
+    ),
+)
+def q265_scd2_late_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATE-event backfill for the SCD2 history — the arrival shape
+    q262's merge provably CANNOT handle: a late event lands BEFORE the
+    store's frontier, so prefix-stability breaks — every version of the
+    affected user after the insertion point may renumber, retier, or
+    change validity, and no seed-from-current-row exists.  The honest
+    maintenance (the q229 bounded-recompute discipline): users touched
+    by a late event (deterministic 10% event slice, salt "late")
+    re-derive their FULL per-user history from their events; everyone
+    else carries verbatim from the store.  Bounded by |affected users'
+    events|, never the corpus — per-user histories are independent
+    (the window partitions on user_id), which is exactly what makes
+    the per-user re-derivation sound.
+
+    The DuckDB oracle is the full q179 recompute over all events with
+    reversioned/carried provenance — the driver hash-match proves
+    carried ∪ re-derived == full recompute.  The q262-vs-q265 pair
+    documents the real CDC design rule: in-order arrivals merge from
+    the current row; out-of-order arrivals force a bounded backfill.
+
+    Scale: the late slice selects ~10% of users; their event re-read
+    is a semi-join-pruned scan (user_id pushed down at the shuffle);
+    the carried store never recomputes.  Reference anchor: extends
+    q179/q217/q262."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", _q179_tier().alias("tier")
+    )
+    late = (
+        portable_hash64(F.col("event_id").cast("string"), salt="late") % 10
+        == 0
+    )
+    store = local_checkpoint(_scd2_history(ev.filter(~late)), eager=False)
+    lusers = ev.filter(late).select("user_id").distinct()
+    carried = store.join(lusers, "user_id", "left_anti").withColumn(
+        "src", F.lit("carried")
+    )
+    affected_ev = ev.join(lusers, "user_id", "left_semi")
+    reversioned = _scd2_history(affected_ev).withColumn(
+        "src", F.lit("reversioned")
+    )
+    return carried.unionByName(reversioned)
+
+
+def _q266_oracle() -> str:
+    from ..operators.dedup import (
+        LSH_BANDS,
+        MINHASH_K,
+        _band_cols,
+        doc_grams_sql,
+    )
+    from ..functions.hashing import affine_minhash_exprs_sql
+
+    delta = (
+        f"({portable_hash64_sql('cast(doc_id as varchar)', 'ilsh')} % 10) >= 8"
+    )
+
+    def dead(col: str) -> str:
+        return (
+            f"(({portable_hash64_sql(f'cast({col} as varchar)', 'idel')}"
+            f" % 10) = 0)"
+        )
+
+    mixed = affine_minhash_exprs_sql(portable_hash64_sql("gram"), MINHASH_K)
+    mins = ",\n        ".join(
+        f"min({mixed[i]}) AS mh{i}" for i in range(MINHASH_K)
+    )
+    band_selects = "\n      UNION ALL ".join(
+        f"SELECT doc_id, {j} AS band,"
+        f" md5(concat_ws('|', {', '.join(_band_cols(j))})) AS bh FROM sig"
+        for j in range(LSH_BANDS)
+    )
+    agree = " + ".join(
+        f"(CASE WHEN sa.mh{i} = sb.mh{i} THEN 1 ELSE 0 END)"
+        for i in range(MINHASH_K)
+    )
+    return f"""
+    WITH t0 AS (SELECT doc_id, text FROM documents WHERE NOT ({delta})),
+    grams AS ({doc_grams_sql(table="t0")}),
+    sig AS (SELECT doc_id, {mins} FROM grams GROUP BY doc_id),
+    bands AS ({band_selects}),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh
+                               AND a.doc_id < b.doc_id
+    ),
+    pairs AS (
+      SELECT doc_a, doc_b FROM cand
+      JOIN sig sa ON sa.doc_id = doc_a
+      JOIN sig sb ON sb.doc_id = doc_b
+      WHERE ({agree}) / {float(MINHASH_K)} >= 0.5
+    ),
+    stats AS (
+      SELECT 'sig_store' AS store, count(*) AS rows_total,
+             count(*) FILTER (WHERE {dead('doc_id')}) AS rows_dead
+      FROM t0
+      UNION ALL
+      SELECT 'pair_store', count(*),
+             count(*) FILTER (WHERE {dead('doc_a')} OR {dead('doc_b')})
+      FROM pairs
+    )
+    SELECT store, rows_total, rows_dead,
+           cast((rows_dead * 10000) // rows_total as bigint) AS dead_bp,
+           (rows_dead * 10000) // rows_total >= 500 AS fire_vacuum
+    FROM stats
+    """
+
+
+@register("q266_store_gc_trigger", oracle=_q266_oracle())
+def q266_store_gc_trigger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Store-GC TRIGGER — the q234 drift-trigger discipline applied to
+    the dedup stores (every vacuum cell so far — q235/q239/q250/q256/
+    q261 — runs unconditionally; a production compactor runs when THIS
+    fires): after the deletion cycle, audit the LSH signature + pair
+    stores for dead-row fractions in exact basis points (rows_dead ×
+    10000 div rows_total — integer arithmetic, so the DuckDB twin
+    reproduces the flags bit-for-bit, the q234 rule), and fire the
+    vacuum flag at ≥ 5%.  The signature store's dead fraction is the
+    deletion slice itself (~10%); the pair store amplifies it (a pair
+    dies with EITHER endpoint, ~19%) — the audit measures exactly that
+    amplification, which is why pair stores hit compaction cadence
+    first in production.
+
+    Scale: one |store|-sized aggregate per store on the audit cadence;
+    the pair store derivation here is the driver-contract stand-in for
+    reading the persisted store's tombstone ledger.  Reference anchor:
+    extends q234/q235 (``hw3/hw3.py:125-172`` refresh discipline)."""
+    docs = load_table(spark, sf_dir, "documents")
+    t0 = docs.filter(~DD._incr_delta_flag())
+    dead = DD._incr_deleted_flag
+    sig_stats = t0.agg(
+        F.count("*").alias("rows_total"),
+        F.count(F.when(dead("doc_id"), 1)).alias("rows_dead"),
+    ).select(F.lit("sig_store").alias("store"), "rows_total", "rows_dead")
+    pairs = DD.lsh_candidate_pairs(DD.minhash_signatures(t0), 0.5)
+    pair_stats = pairs.agg(
+        F.count("*").alias("rows_total"),
+        F.count(F.when(dead("doc_a") | dead("doc_b"), 1)).alias("rows_dead"),
+    ).select(F.lit("pair_store").alias("store"), "rows_total", "rows_dead")
+    return (
+        sig_stats.unionByName(pair_stats)
+        .withColumn("dead_bp", F.expr("rows_dead * 10000L div rows_total"))
+        .withColumn("fire_vacuum", F.col("dead_bp") >= 500)
+    )
+
+
+@register(
     "q263_derived_quarterly_view",
     oracle=AV.derived_quarterly_view_sql(),
 )

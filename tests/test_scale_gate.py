@@ -493,3 +493,19 @@ def test_stream_scd2_merge_hash_match_at_10x(spark, synth_dir):
     batch for chained stateful merges)."""
     name = "q264_stream_scd2_merge"
     assert_matches(QUERIES[name](spark, synth_dir), ORACLE[name], synth_dir)
+
+
+def test_scd2_late_backfill_hash_match_at_10x(spark, synth_dir):
+    """q265 at 10x: carried ∪ per-user re-derivation must equal the
+    full recompute as late-touched user counts and their event chains
+    grow 10x."""
+    name = "q265_scd2_late_backfill"
+    assert_matches(QUERIES[name](spark, synth_dir), ORACLE[name], synth_dir)
+
+
+def test_store_gc_trigger_hash_match_at_10x(spark, synth_dir):
+    """q266 at 10x: the dead-row basis-point audit must stay bit-exact
+    as store row counts grow 10x (integer flag arithmetic — the q234
+    rule applied to store GC)."""
+    name = "q266_store_gc_trigger"
+    assert_matches(QUERIES[name](spark, synth_dir), ORACLE[name], synth_dir)

@@ -2636,3 +2636,40 @@ def test_q262_merge_equals_full_history_and_planted_edges(spark, tmp_path):
     _scd2_history(t0).write.parquet(str(tmp_path / "scd2"))
     rt = scd2_merge(spark.read.parquet(str(tmp_path / "scd2")), batch)
     assert key(rt) == full
+
+
+def test_q265_late_event_renumbers_versions(spark):
+    """The q265 claim in miniature: a LATE event landing between two
+    existing versions renumbers everything after it (v2 'high' becomes
+    v3), which is exactly why q262's seed-from-current-row merge cannot
+    absorb it — and why the bounded per-user re-derivation must equal
+    the full recompute."""
+    import datetime
+
+    from bigdatamining_graduate_spark.plans.queries import _scd2_history
+
+    def ts(day):
+        return datetime.datetime(2024, 1, day)
+
+    ev = spark.createDataFrame(
+        [(1, 1, ts(1), "low"), (1, 2, ts(5), "high"),
+         (1, 3, ts(3), "mid"),          # the late arrival
+         (2, 4, ts(1), "mid")],
+        "user_id long, event_id long, ts timestamp, tier string",
+    )
+    on_time = ev.filter(F.col("event_id") != 3)
+    store = _scd2_history(on_time)
+    s1 = {r.version: r.tier for r in store.filter("user_id = 1").collect()}
+    assert s1 == {1: "low", 2: "high"}
+
+    # carried (untouched users) + per-user re-derivation == full recompute
+    lusers = ev.filter(F.col("event_id") == 3).select("user_id").distinct()
+    carried = store.join(lusers, "user_id", "left_anti")
+    redone = _scd2_history(ev.join(lusers, "user_id", "left_semi"))
+    cols = ("user_id", "version", "tier", "valid_from_us",
+            "valid_to_us", "is_current")
+    key = lambda df: sorted(tuple(r[c] for c in cols) for r in df.collect())  # noqa: E731
+    assert key(carried.unionByName(redone)) == key(_scd2_history(ev))
+
+    r1 = {r.version: r.tier for r in redone.filter("user_id = 1").collect()}
+    assert r1 == {1: "low", 2: "mid", 3: "high"}  # renumbered + split
