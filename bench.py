@@ -140,6 +140,7 @@ HEADLINE = [
     "q264_stream_scd2_merge",     # chained per-trigger SCD2 merges (state-version-per-batch)
     "q265_scd2_late_backfill",    # out-of-order arrivals: bounded per-user re-derivation
     "q266_store_gc_trigger",      # dead-row basis-point audit that fires the vacuums
+    "q267_triggered_store_vacuum",  # trigger-consuming conditional vacuum (mixed-state refresh)
 ]
 
 

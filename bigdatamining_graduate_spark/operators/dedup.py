@@ -1690,3 +1690,89 @@ def vacuumed_refresh_pairs_sql(threshold: float) -> str:
     JOIN sig sb ON sb.doc_id = doc_b
     WHERE ({agree}) / {float(MINHASH_K)} >= {threshold}
     """
+
+
+#: q267 compaction policy: fire when dead rows cost more than the rewrite.
+#: The signature store is doc-sized (cheap rewrite) — fire at 5%; the pair
+#: store is collision-sized, often orders of magnitude larger (expensive
+#: rewrite, and readers can tombstone-filter cheaply) — fire at 50%.
+SIG_FIRE_BP = 500
+PAIR_FIRE_BP = 5000
+
+
+def triggered_vacuum_refresh(
+    spark, docs: DataFrame, threshold: float, stage_dir: str | None = None
+) -> DataFrame:
+    """CONDITIONAL store compaction — the q266 trigger gets its consumer
+    (q267; the r9 verdict's own criterion: a trigger nobody consumes is
+    an open loop): build the t0 signature + pair stores as accreted
+    small files, apply the deletion cycle, AUDIT each store's dead-row
+    basis points from the stores themselves (q266's integer
+    arithmetic), and vacuum ONLY the stores whose flag fires —
+    per-store policy thresholds (:data:`SIG_FIRE_BP` /
+    :data:`PAIR_FIRE_BP`) express the real compaction economics: the
+    doc-sized signature store rewrites cheaply (5%), the
+    collision-sized pair store does not (50%), so under a 10% deletion
+    the signature store compacts and the pair store stays accreted.
+
+    The NEXT insert refresh then runs against the MIXED physical state
+    a production loop actually inhabits: vacuumed signature store read
+    directly, unvacuumed pair store tombstone-filtered AT READ (two
+    anti-joins — q253's maintenance as a read-path adapter).  The
+    DuckDB oracle is the q235 identity (incremental recompute over the
+    remaining corpus), deliberately proven through a second,
+    physically different path: q235 proves vacuum-everything, q267
+    proves vacuum-when-fired + filter-when-not.
+
+    Scale: the audit is one aggregate per store; the conditional saves
+    the pair store's O(|store|) rewrite until it actually pays for
+    itself.  Reference anchor: extends q234/q235
+    (``hw3/hw3.py:125-172`` refresh discipline)."""
+    import os
+
+    from ..staging import staging_dir
+
+    stage = stage_dir or staging_dir(prefix="bdm_triggered_vacuum_")
+    sig_dir = os.path.join(stage, "sig_store")
+    pair_dir = os.path.join(stage, "pair_store")
+    remaining = docs.filter(~_incr_deleted_flag())
+    t0 = docs.filter(~_incr_delta_flag())
+    sig_t0 = local_checkpoint(minhash_signatures(t0), eager=False)
+    pairs_t0 = lsh_candidate_pairs(sig_t0, threshold).select("doc_a", "doc_b")
+    sig_t0.repartition(8).write.mode("overwrite").parquet(sig_dir)
+    pairs_t0.repartition(8).write.mode("overwrite").parquet(pair_dir)
+    tombstones = docs.filter(_incr_deleted_flag()).select("doc_id")
+
+    def dead_bp(df: DataFrame, keys: tuple[str, ...]) -> int:
+        dead = None
+        for k in keys:
+            f = _incr_deleted_flag(k)
+            dead = f if dead is None else (dead | f)
+        row = df.agg(
+            F.count("*").alias("n"),
+            F.count(F.when(dead, 1)).alias("d"),
+        ).collect()[0]
+        return (row.d * 10000) // row.n if row.n else 0
+
+    fired = {}
+    for store, keys, bar in (
+        (sig_dir, ("doc_id",), SIG_FIRE_BP),
+        (pair_dir, ("doc_a", "doc_b"), PAIR_FIRE_BP),
+    ):
+        bp = dead_bp(spark.read.parquet(store), keys)
+        fired[store] = bp >= bar
+        if fired[store]:
+            vacuum_parquet_store(spark, store, tombstones, keys)
+    sig_read = spark.read.parquet(sig_dir)
+    if not fired[sig_dir]:  # unvacuumed store: tombstone-filter at read
+        sig_read = sig_read.join(tombstones, "doc_id", "left_anti")
+    pair_read = spark.read.parquet(pair_dir)
+    if not fired[pair_dir]:
+        pair_read = pair_read.join(
+            tombstones.select(F.col("doc_id").alias("doc_a")), "doc_a", "left_anti"
+        ).join(
+            tombstones.select(F.col("doc_id").alias("doc_b")), "doc_b", "left_anti"
+        )
+    return incremental_lsh_pairs(
+        remaining, threshold, base_sig=sig_read, carried_pairs=pair_read
+    )

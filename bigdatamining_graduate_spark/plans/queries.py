@@ -13506,6 +13506,35 @@ def q266_store_gc_trigger(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q267_triggered_store_vacuum",
+    oracle=DD.vacuumed_refresh_pairs_sql(0.5),
+)
+def q267_triggered_store_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The q266 trigger gets its CONSUMER (the r9 verdict's own
+    criterion: a trigger nobody consumes is an open loop): audit each
+    accreted store's dead-row basis points from the stores themselves,
+    vacuum ONLY where the per-store policy fires (signature store at
+    5% — doc-sized, cheap rewrite; pair store at 50% — collision-sized,
+    expensive rewrite, readers can tombstone-filter cheaply), then run
+    the NEXT insert refresh against the MIXED physical state a
+    production loop actually inhabits: vacuumed signature store read
+    directly, unvacuumed pair store tombstone-filtered at read (q253's
+    anti-joins as a read-path adapter).
+
+    The DuckDB oracle is the q235 identity — the incremental recompute
+    over the remaining corpus — deliberately proven through a second,
+    physically different path: q235 proves vacuum-everything, q267
+    proves vacuum-when-fired + filter-when-not.  Fired/not-fired store
+    state (file counts) is pinned in ``tests/test_store_vacuum.py``.
+
+    Scale: one aggregate per store per audit; the conditional defers
+    the pair store's O(|store|) rewrite until it pays for itself.
+    Reference anchor: extends q234/q235 (``hw3/hw3.py:125-172``)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return DD.triggered_vacuum_refresh(spark, docs, 0.5)
+
+
+@register(
     "q263_derived_quarterly_view",
     oracle=AV.derived_quarterly_view_sql(),
 )

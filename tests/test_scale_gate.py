@@ -509,3 +509,11 @@ def test_store_gc_trigger_hash_match_at_10x(spark, synth_dir):
     rule applied to store GC)."""
     name = "q266_store_gc_trigger"
     assert_matches(QUERIES[name](spark, synth_dir), ORACLE[name], synth_dir)
+
+
+def test_triggered_vacuum_hash_match_at_10x(spark, synth_dir):
+    """q267 at 10x: the conditional vacuum (sig fires, pair doesn't)
+    plus mixed-state refresh must equal the incremental recompute over
+    the remaining corpus as store sizes grow 10x."""
+    name = "q267_triggered_store_vacuum"
+    assert_matches(QUERIES[name](spark, synth_dir), ORACLE[name], synth_dir)

@@ -108,3 +108,35 @@ def test_label_store_compaction_lossless(spark, tmp_path):
     assert audit["rows_after"] == audit["rows_before"]
     back = spark.read.parquet(store)
     assert sorted((r.doc_id, r.component, r.csize) for r in back.collect()) == expected
+
+
+def test_triggered_vacuum_fires_selectively_and_matches(spark, tmp_path):
+    """q267: under the 10% deletion the SIGNATURE store's audit fires
+    (≥ 5%) and compacts 8→1 files; the PAIR store's does NOT (dead
+    fraction ~19% < the 50% policy bar) and stays accreted at 8 files —
+    and the refresh against that MIXED state still equals the in-plan
+    incremental recompute over the remaining corpus (the q235
+    identity via a physically different path)."""
+    import glob
+    import os
+
+    docs = _docs(spark)
+    stage = str(tmp_path / "stage")
+    os.makedirs(stage)
+    out = DD.triggered_vacuum_refresh(spark, docs, THRESH, stage_dir=stage)
+
+    sig_files = glob.glob(os.path.join(stage, "sig_store", "*.parquet"))
+    pair_files = glob.glob(os.path.join(stage, "pair_store", "*.parquet"))
+    assert len(sig_files) == 1, "signature store should have fired + compacted"
+    assert len(pair_files) == 8, "pair store should have stayed accreted"
+    # the unvacuumed pair store still physically holds dead rows...
+    dead_kept = (
+        spark.read.parquet(os.path.join(stage, "pair_store"))
+        .filter(DD._incr_deleted_flag("doc_a") | DD._incr_deleted_flag("doc_b"))
+        .count()
+    )
+    assert dead_kept > 0
+    # ...but the read-path tombstone filter hides them exactly
+    remaining = docs.filter(~DD._incr_deleted_flag())
+    recompute = DD.incremental_lsh_pairs(remaining, THRESH)
+    assert _pairs_key(out) == _pairs_key(recompute)

@@ -95,6 +95,24 @@ NOTES = {
     "q224_lsh_rerank_topk": "LSH bucket equi-join + exact rerank window",
     "q225_bloom_prefilter": "32-row bloom broadcast, 4 probes/user",
     "q226_prefixspan_patterns": "PrefixSpan fit over (user,day) seqs",
+    "q249_ivf_retrain_refresh": "drift-triggered refit + rename-swap",
+    "q250_triangle_store_vacuum": "weighted-edge GC rewrite + refresh",
+    "q251_full_vocab_bm25": "token-IN pushed to range-clustered store",
+    "q252_incremental_phash_pairs": "batch-only fingerprint + chunk join",
+    "q253_delete_aware_phash_pairs": "2 anti-joins, no fingerprint kernel",
+    "q254_upsert_aware_phash_pairs": "changed payloads re-fingerprint only",
+    "q255_stream_incremental_phash": "3 triggers vs parquet phash store",
+    "q256_phash_store_vacuum": "tombstone GC + 8->1 compaction + refresh",
+    "q257_incremental_agg_view": "store∪batch partials, 1 combine",
+    "q258_delete_aware_agg_view": "decimal retraction + bounded max re-scan",
+    "q259_upsert_aware_agg_view": "retract old + add new, counts conserved",
+    "q260_stream_agg_view": "partials per trigger, combine-on-read",
+    "q261_agg_view_vacuum": "retraction partials netted, rename-swap",
+    "q262_scd2_incremental_merge": "seed-from-current-row window merge",
+    "q263_derived_quarterly_view": "monthly->quarterly partial re-combine",
+    "q264_stream_scd2_merge": "chained store_v{bid} functional merges",
+    "q265_scd2_late_backfill": "per-user re-derivation, semi-join pruned",
+    "q266_store_gc_trigger": "dead-row basis-point audit, exact flags",
 }
 
 TABLE_HEAD = "| Query | sf | sec (warm) | sec (cold) | Notes | Run date |"
