@@ -74,9 +74,9 @@ def _flag(col: str, salt: str):
 
 def _flag_sql(col: str, salt: str) -> str:
     return (
-        f"({portable_hash64_sql(f'cast({col} as varchar)', '{salt}')}"
+        f"({portable_hash64_sql(f'cast({col} as varchar)', salt)}"
         f" % {AGV_BUCKETS})"
-    ).replace("'{salt}'", f"'{salt}'")
+    )
 
 
 def arrival_flag(col: str = "l_orderkey"):
