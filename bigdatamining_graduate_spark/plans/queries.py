@@ -6747,7 +6747,19 @@ from ..sources import sinks as _SNK  # noqa: E402
 
 # per-process output roots: two concurrent sessions on the same fixture
 # (e.g. bench + test run) must not race overwrite-vs-read-back on one dir
-_Q165_DIR = f"/tmp/bdm_zorder_roundtrip_{_os.getpid()}"
+def _q165_dir() -> str:
+    """Per-process z-order sink dir under the session staging root
+    (removed at interpreter exit — same r9-ADVICE leak class as the
+    q167 warehouse)."""
+    from ..staging import staging_dir
+
+    global _Q165_DIR_CACHE
+    if _Q165_DIR_CACHE is None:
+        _Q165_DIR_CACHE = staging_dir(prefix="bdm_zorder_roundtrip_")
+    return _Q165_DIR_CACHE
+
+
+_Q165_DIR_CACHE = None
 _Q165_UX = (3, 6)    # selective 2-dim predicate the z-layout serves
 _Q165_HY = (9, 12)
 
@@ -6785,7 +6797,7 @@ def q165_zorder_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("user_id") % (1 << _Z_BITS)).alias("ux"),
         F.hour("ts").alias("hy"),
     )
-    out = _os.path.join(_Q165_DIR, _os.path.basename(sf_dir.rstrip("/")))
+    out = _os.path.join(_q165_dir(), _os.path.basename(sf_dir.rstrip("/")))
     _SNK.zorder_write(ev, out, dims=["ux", "hy"], bits=_Z_BITS, num_files=16)
     back = spark.read.parquet(out)
     return (
@@ -6802,7 +6814,17 @@ def q165_zorder_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_Q166_DIR = f"/tmp/bdm_delimtext_roundtrip_{_os.getpid()}"
+def _q166_dir() -> str:
+    """Per-process DataSource sink dir under the session staging root."""
+    from ..staging import staging_dir
+
+    global _Q166_DIR_CACHE
+    if _Q166_DIR_CACHE is None:
+        _Q166_DIR_CACHE = staging_dir(prefix="bdm_delimtext_roundtrip_")
+    return _Q166_DIR_CACHE
+
+
+_Q166_DIR_CACHE = None
 
 
 @register(
@@ -6838,7 +6860,7 @@ def q166_datasource_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         & F.col("source").isNotNull()
         & F.col("n_chars").isNotNull()
     )
-    out = _os.path.join(_Q166_DIR, _os.path.basename(sf_dir.rstrip("/")))
+    out = _os.path.join(_q166_dir(), _os.path.basename(sf_dir.rstrip("/")))
     clean.select(
         F.concat_ws("::", "doc_id", "lang", "source", "n_chars").alias("value")
     ).write.mode("overwrite").text(out)
@@ -6865,7 +6887,22 @@ def q166_datasource_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _Q167_BUCKETS = 8
-_Q167_WH = f"/tmp/bdm_bucketed_roundtrip_{_os.getpid()}"
+
+
+def _q167_wh() -> str:
+    """Per-process bucketed-table warehouse under the session staging
+    root (removed at interpreter exit — the r9 ADVICE leak class; the
+    old module-level /tmp/bdm_bucketed_roundtrip_{pid} constant left
+    one directory behind per bench/driver/test invocation)."""
+    from ..staging import staging_dir
+
+    global _Q167_WH_DIR
+    if _Q167_WH_DIR is None:
+        _Q167_WH_DIR = staging_dir(prefix="bdm_bucketed_roundtrip_")
+    return _Q167_WH_DIR
+
+
+_Q167_WH_DIR = None
 
 
 @register(
@@ -6905,7 +6942,7 @@ def q167_bucketed_join_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             load_table(spark, sf_dir, "orders")
             .write.bucketBy(_Q167_BUCKETS, "o_orderkey")
             .sortBy("o_orderkey")
-            .option("path", f"{_Q167_WH}/{ob}")
+            .option("path", f"{_q167_wh()}/{ob}")
             .mode("overwrite")
             .saveAsTable(ob)
         )
@@ -6913,7 +6950,7 @@ def q167_bucketed_join_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             load_table(spark, sf_dir, "lineitem")
             .write.bucketBy(_Q167_BUCKETS, "l_orderkey")
             .sortBy("l_orderkey")
-            .option("path", f"{_Q167_WH}/{lb}")
+            .option("path", f"{_q167_wh()}/{lb}")
             .mode("overwrite")
             .saveAsTable(lb)
         )

@@ -96,9 +96,9 @@ def test_zorder_roundtrip_layout_prunes(spark):
     import pyspark.sql.functions as F
 
     from bigdatamining_graduate_spark.plans.queries import (
-        _Q165_DIR,
         _Q165_HY,
         _Q165_UX,
+        _q165_dir,
         QUERIES,
     )
 
@@ -114,7 +114,7 @@ def test_zorder_roundtrip_layout_prunes(spark):
                  "GreaterThanOrEqual(hy,", "LessThanOrEqual(hy,"):
         assert frag in pushed, pushed
     q165.count()
-    back = spark.read.parquet(f"{_Q165_DIR}/sf0.01")
+    back = spark.read.parquet(f"{_q165_dir()}/sf0.01")
     boxes = (
         back.groupBy(F.input_file_name().alias("f"))
         .agg(
