@@ -156,15 +156,21 @@ def agg_partials(li: DataFrame) -> DataFrame:
     )
 
 
-def combine_partials(parts: DataFrame) -> DataFrame:
-    """Associative merge of POSITIVE partials: one |groups|-sized
-    combine (sum the sums, max the maxes) — the map-side-combine
-    algebra run store-side."""
+def combine_partials(parts: DataFrame, *extra) -> DataFrame:
+    """Associative merge of partials: one |groups|-sized combine (sum
+    the sums, max the maxes) — the map-side-combine algebra run
+    store-side.  The ONE copy of the merge algebra: every maintenance
+    cell (q257 merge, q260 serve, q261 vacuum net) routes through it,
+    passing its provenance aggregates via ``extra``.  Under retraction
+    partials the summed columns net correctly (negative rows cancel);
+    MAX does not — retraction rows carry NULL max_price (ignored by
+    ``F.max``) and the caller re-derives dirty groups (q261)."""
     return parts.groupBy(*VIEW_KEYS).agg(
         F.sum("n_rows").cast("long").alias("n_rows"),
         F.sum("sum_qty").cast(SUM_QTY_DEC).alias("sum_qty"),
         F.sum("revenue").cast(REVENUE_DEC).alias("revenue"),
         F.max("max_price").alias("max_price"),
+        *extra,
     )
 
 
@@ -228,11 +234,8 @@ def incremental_agg_view(
     ).unionByName(
         dv.withColumn("in_store", F.lit(0)).withColumn("in_batch", F.lit(1))
     )
-    merged = tagged.groupBy(*VIEW_KEYS).agg(
-        F.sum("n_rows").cast("long").alias("n_rows"),
-        F.sum("sum_qty").cast(SUM_QTY_DEC).alias("sum_qty"),
-        F.sum("revenue").cast(REVENUE_DEC).alias("revenue"),
-        F.max("max_price").alias("max_price"),
+    merged = combine_partials(
+        tagged,
         F.max("in_store").alias("in_store"),
         F.max("in_batch").alias("in_batch"),
     )
@@ -504,13 +507,9 @@ def vacuumed_agg_view(
     ).write.mode("append").parquet(store_dir)
     # vacuum: net combine + dirty-group max recovery + rename-swap
     parts = spark.read.parquet(store_dir)
-    net = parts.groupBy(*VIEW_KEYS).agg(
-        F.sum("n_rows").cast("long").alias("n_rows"),
-        F.sum("sum_qty").cast(SUM_QTY_DEC).alias("sum_qty"),
-        F.sum("revenue").cast(REVENUE_DEC).alias("revenue"),
-        F.max("max_price").alias("max_price"),
-        F.max("is_retract").alias("dirty"),
-    ).filter(F.col("n_rows") > 0)
+    net = combine_partials(parts, F.max("is_retract").alias("dirty")).filter(
+        F.col("n_rows") > 0
+    )
     keys = list(VIEW_KEYS)
     t0_remaining = t0.filter(~deleted_flag())
     remax = (

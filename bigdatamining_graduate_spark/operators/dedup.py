@@ -1521,6 +1521,7 @@ def vacuum_parquet_store(
     tombstones: DataFrame | None = None,
     key_cols: tuple[str, ...] = (),
     target_files: int = 1,
+    range_cluster_cols: tuple[str, ...] = (),
 ) -> dict:
     """Tombstone GC + small-file compaction for a persisted parquet
     store.  Drops every row whose ``key_cols`` value appears in
@@ -1532,7 +1533,13 @@ def vacuum_parquet_store(
 
     Scale: one scan + anti-join(s) + one write — O(|store|), run on the
     compaction cadence, never per-refresh; ``target_files`` maps to the
-    file-size target of OPTIMIZE (here 1, at scale |store| / 1 GB)."""
+    file-size target of OPTIMIZE (here 1, at scale |store| / 1 GB).
+
+    ``range_cluster_cols``: when set, the compacted rewrite is
+    ``repartitionByRange`` on these columns instead of ``coalesce`` —
+    compaction must PRESERVE the layout a pruned-read store depends on
+    (q251's token-clustered postings: losing the clustering would keep
+    every row but break file skipping)."""
     import glob as _glob
     import os
     import shutil
@@ -1553,7 +1560,12 @@ def vacuum_parquet_store(
                 tombstones.select(F.col(tomb_col).alias(kc)), kc, "left_anti"
             )
     tmp = store_dir.rstrip("/") + ".vacuum_tmp"
-    out.coalesce(target_files).write.mode("overwrite").parquet(tmp)
+    compacted = (
+        out.repartitionByRange(target_files, *range_cluster_cols)
+        if range_cluster_cols
+        else out.coalesce(target_files)
+    )
+    compacted.write.mode("overwrite").parquet(tmp)
     rows_after = spark.read.parquet(tmp).count()
     old = store_dir.rstrip("/") + ".vacuum_old"
     os.rename(store_dir, old)
@@ -1690,6 +1702,74 @@ def vacuumed_refresh_pairs_sql(threshold: float) -> str:
     JOIN sig sb ON sb.doc_id = doc_b
     WHERE ({agree}) / {float(MINHASH_K)} >= {threshold}
     """
+
+
+def atomic_published_refresh(
+    spark, docs: DataFrame, threshold: float, root: str | None = None
+) -> DataFrame:
+    """Cross-store ATOMIC PUBLISH on the dedup store pair (q271 —
+    VERDICT r10 #6): the signature + pair stores are DEPENDENT (a pair
+    row only means something against the signature snapshot it was
+    derived from), yet every swap so far is per-store — q267 proves
+    mixed state is servable, this proves readers never see it.  The
+    lifecycle: publish v1 (t0 signatures + pairs) under a
+    manifest-pointer root, run the deletion cycle computing v2 of BOTH
+    stores from the v1 reads, publish v2 with ONE pointer flip
+    (``sources/publish.py`` — both directories fully written first),
+    then run the next insert refresh resolving both stores THROUGH the
+    pointer.
+
+    The output carries the resolved ``published_version`` as an audit
+    column and the oracle pins it to 2 — if the flip does not run, the
+    reader resolves v1 (undeleted stores), both the version column and
+    the pair set diverge, and the driver row reds out (the q249
+    swap-must-run discipline).  Crash-between-writes invisibility is
+    pinned in ``tests/test_publish.py``.
+
+    Scale: identical data movement to q235 (the writes and anti-joins
+    are the same); the protocol adds one metadata write per publish.
+    Reference anchor: extends q235/q267 (``hw3/hw3.py:125-172``)."""
+    from ..sources.publish import (
+        current_version,
+        publish_version,
+        read_current,
+    )
+    from ..staging import staging_dir
+
+    root = root or staging_dir(prefix="bdm_publish_")
+    t0 = docs.filter(~_incr_delta_flag())
+    sig_t0 = local_checkpoint(minhash_signatures(t0), eager=False)
+    pairs_t0 = lsh_candidate_pairs(sig_t0, threshold).select("doc_a", "doc_b")
+    publish_version(root, 1, {"sig": sig_t0, "pair": pairs_t0})
+    # deletion cycle: v2 of BOTH stores derives from the v1 reads
+    tomb = docs.filter(_incr_deleted_flag()).select("doc_id")
+    sig_v2 = read_current(spark, root, "sig").join(tomb, "doc_id", "left_anti")
+    pair_v2 = (
+        read_current(spark, root, "pair")
+        .join(tomb.select(F.col("doc_id").alias("doc_a")), "doc_a", "left_anti")
+        .join(tomb.select(F.col("doc_id").alias("doc_b")), "doc_b", "left_anti")
+        .select("doc_a", "doc_b")
+    )
+    publish_version(root, 2, {"sig": sig_v2, "pair": pair_v2})
+    # next insert refresh resolves both stores through the pointer
+    remaining = docs.filter(~_incr_deleted_flag())
+    ver = current_version(root)
+    return incremental_lsh_pairs(
+        remaining,
+        threshold,
+        base_sig=read_current(spark, root, "sig"),
+        carried_pairs=read_current(spark, root, "pair"),
+    ).withColumn("published_version", F.lit(ver).cast("long"))
+
+
+def atomic_published_refresh_sql(threshold: float) -> str:
+    """DuckDB twin: the q235 refresh identity + the pinned committed
+    version (2) — red if the pointer flip does not actually run."""
+    return (
+        f"SELECT doc_a, doc_b, sig_match, src,"
+        f" cast(2 as bigint) AS published_version"
+        f" FROM ({vacuumed_refresh_pairs_sql(threshold)})"
+    )
 
 
 #: q267 compaction policy: fire when dead rows cost more than the rewrite.

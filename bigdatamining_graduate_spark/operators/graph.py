@@ -832,12 +832,15 @@ def incremental_triangles(
     return out.join(deg, "node").select("node", "deg", "tri_cnt", "tri_new")
 
 
-def _tri_sql_pipeline(pred: str, sfx: str) -> str:
+def _tri_sql_pipeline(pred: str, sfx: str, p_expr: str = "l_partkey") -> str:
     """One q110 triangle pipeline as suffixed CTEs over lineitem rows
-    matching ``pred`` — composed twice by the incremental oracle."""
+    matching ``pred`` — composed twice by the incremental oracle.
+    ``p_expr`` overrides the part-node expression (default keeps the
+    q246/q247 oracle text byte-identical); q270's t1 pipeline passes
+    the content-revision remap here."""
     return f"""
     op{sfx} AS MATERIALIZED (
-      SELECT DISTINCT l_orderkey AS k, l_partkey AS p FROM lineitem
+      SELECT DISTINCT l_orderkey AS k, {p_expr} AS p FROM lineitem
       WHERE {pred}
     ),
     pairs{sfx} AS MATERIALIZED (
@@ -911,19 +914,28 @@ def _tri_deleted_sql(col: str = "l_orderkey") -> str:
     )
 
 
-def _weighted_pairs(lineitem: DataFrame) -> DataFrame:
-    """(pa, pb, w): canonical co-purchase edges with their supporting-
-    order counts — the WEIGHTED edge-store row format deletion needs
-    (an edge dies only when its LAST supporting order does)."""
-    op = lineitem.select("l_orderkey", "l_partkey").distinct()
-    a = op.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pa"))
-    b = op.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pb"))
+def _weighted_pairs_from_op(op: DataFrame) -> DataFrame:
+    """(pa, pb, w) from (k, p) order-part rows — factored so q270 can
+    pair REVISED order content (remapped part nodes) with the same
+    plan."""
+    a = op.select("k", F.col("p").alias("pa"))
+    b = op.select("k", F.col("p").alias("pb"))
     return (
         a.join(b, "k")
         .filter(F.col("pa") < F.col("pb"))
         .groupBy("pa", "pb")
         .agg(F.count("*").cast("long").alias("w"))
     )
+
+
+def _weighted_pairs(lineitem: DataFrame) -> DataFrame:
+    """(pa, pb, w): canonical co-purchase edges with their supporting-
+    order counts — the WEIGHTED edge-store row format deletion needs
+    (an edge dies only when its LAST supporting order does)."""
+    op = lineitem.select(
+        F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("p")
+    ).distinct()
+    return _weighted_pairs_from_op(op)
 
 
 def delete_aware_triangles(
@@ -1012,6 +1024,237 @@ def delete_aware_triangles_sql() -> str:
     FROM per_node_r r
     JOIN deg_r d ON d.node = r.node
     LEFT JOIN per_node_b b ON b.node = r.node
+    """
+
+
+INCR_TRU_BUCKETS = 10  # l_orderkey hash bucket 0 (salt "itru") = revised
+_TRI_REMAP_MOD = 3     # 1/3 of a revised order's parts swap out
+_TRI_REMAP_OFFSET = 10_000_000  # remapped part-node id offset (> any partkey)
+
+
+def _tri_revised_flag(col: str = "l_orderkey"):
+    from ..functions.hashing import portable_hash64
+
+    return (
+        portable_hash64(F.col(col).cast("string"), salt="itru")
+        % INCR_TRU_BUCKETS
+        == 0
+    )
+
+
+def _tri_revised_sql(col: str = "l_orderkey") -> str:
+    from ..functions.hashing import portable_hash64_sql
+
+    return (
+        f"(({portable_hash64_sql(f'cast({col} as varchar)', 'itru')}"
+        f" % {INCR_TRU_BUCKETS}) = 0)"
+    )
+
+
+def _tri_remap_flag(k, p):
+    from ..functions.hashing import portable_hash64
+
+    pair = F.concat_ws("|", k.cast("string"), p.cast("string"))
+    return portable_hash64(pair, salt="itrm") % _TRI_REMAP_MOD == 0
+
+
+def _tri_remap_sql(k: str = "l_orderkey", p: str = "l_partkey") -> str:
+    from ..functions.hashing import portable_hash64_sql
+
+    pair = f"concat(cast({k} as varchar), '|', cast({p} as varchar))"
+    return f"(({portable_hash64_sql(pair, 'itrm')} % {_TRI_REMAP_MOD}) = 0)"
+
+
+def _op_t1(lineitem: DataFrame) -> DataFrame:
+    """(k, p) order-part rows AFTER content revision: for revised
+    orders (salt "itru"), 1/3 of the parts (salt "itrm" on the (order,
+    part) pair) swap to new part nodes at ``p + _TRI_REMAP_OFFSET`` —
+    payload bytes genuinely move, dropping old pairs AND minting new
+    ones in the same batch.  The remap is injective (offset exceeds
+    every real partkey), so distinct (k, p) rows stay distinct."""
+    op = lineitem.select(
+        F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("p")
+    ).distinct()
+    remapped = F.when(
+        _tri_revised_flag("k") & _tri_remap_flag(F.col("k"), F.col("p")),
+        F.col("p") + F.lit(_TRI_REMAP_OFFSET),
+    ).otherwise(F.col("p"))
+    return op.select("k", remapped.alias("p"))
+
+
+def upsert_aware_triangles(
+    lineitem: DataFrame,
+    edge_store: DataFrame | None = None,
+    tri_store: DataFrame | None = None,
+) -> DataFrame:
+    """UPSERT-side triangle maintenance (q270 — VERDICT r10 #5, the
+    graph family's missing arrival shape: q246 insert / q247 delete /
+    q248 stream / q250 vacuum existed; this is order-content
+    MODIFICATION, support moving up AND down in ONE pass): a 10% order
+    slice revises its content between snapshots — removed (order,
+    part) pairs DECREMENT the weighted edge store's support, added
+    pairs INCREMENT it, edges die exactly when support nets to zero
+    and are born when it rises from zero, in one merge.
+
+    The per-edge support delta derives from the REVISED orders only
+    (c_new − c_old per canonical pair — |revised|-bounded, never a
+    re-pairing of the corpus); one full-outer merge against the store
+    nets the weights.  Triangle maintenance runs BOTH q247's and
+    q246's kernels in the same pass: destroyed = t0 triangles touching
+    ≥ 1 removed edge (attributed over the t0 adjacency), created = t1
+    triangles touching ≥ 1 added edge (attributed over the t1
+    adjacency) — the two sets are provably disjoint (a destroyed
+    triangle lost an edge, a created one gained one), so per-node
+    tri_cnt = carried − destroyed + created is exact.  Simultaneous
+    create-and-destroy in one batch is pinned in
+    ``tests/test_incremental_triangles.py`` (the q232 split+merge
+    discipline).
+
+    The DuckDB oracle runs the FULL q110 pipeline over the t0 AND t1
+    graphs, derives removed/added as the pair-set differences, and
+    counts destroyed/created directly off the full triangle lists —
+    a physically different derivation, so the driver hash-match proves
+    the delta algebra, not just the totals.  Output: (node, deg,
+    tri_cnt, tri_created, tri_destroyed), nodes in ≥ 1 t1 triangle.
+
+    Scale: delta is |revised-order pairs|; the merge is one store-
+    keyed full-outer join; both kernels are per-marked-edge
+    O(deg(u) + deg(v)) intersections (AQE picks the probe strategy —
+    the q247 broadcast caveat applies to both directions).  Reference
+    anchor: extends q110/q246/q247 (Suri & Vassilvitskii WWW'11,
+    adapted to bidirectional deltas)."""
+    revised = _tri_revised_flag()
+    store = local_checkpoint(
+        edge_store if edge_store is not None else _weighted_pairs(lineitem),
+        eager=False,
+    )
+    carried = (
+        tri_store
+        if tri_store is not None
+        else triangle_counts(lineitem).select("node", "tri_cnt")
+    ).select("node", F.col("tri_cnt").alias("tri_base"))
+    rev_li = lineitem.filter(revised)
+    c_old = _weighted_pairs(rev_li).select(
+        "pa", "pb", F.col("w").alias("co")
+    )
+    c_new = _weighted_pairs_from_op(_op_t1(rev_li)).select(
+        "pa", "pb", F.col("w").alias("cn")
+    )
+    delta = (
+        c_old.join(c_new, ["pa", "pb"], "full_outer")
+        .select(
+            "pa",
+            "pb",
+            (
+                F.coalesce(F.col("cn"), F.lit(0))
+                - F.coalesce(F.col("co"), F.lit(0))
+            ).alias("d"),
+        )
+        .filter(F.col("d") != 0)
+    )
+    merged = local_checkpoint(
+        store.join(delta, ["pa", "pb"], "full_outer").select(
+            "pa",
+            "pb",
+            F.coalesce(F.col("w"), F.lit(0)).alias("w0"),
+            (
+                F.coalesce(F.col("w"), F.lit(0))
+                + F.coalesce(F.col("d"), F.lit(0))
+            ).alias("w1"),
+        ),
+        eager=False,
+    )
+    removed = merged.filter(
+        (F.col("w0") > 0) & (F.col("w1") <= 0)
+    ).select("pa", "pb")
+    added = merged.filter(
+        (F.col("w0") == 0) & (F.col("w1") > 0)
+    ).select("pa", "pb")
+    t1_edges = local_checkpoint(
+        merged.filter(F.col("w1") > 0).select("pa", "pb"), eager=False
+    )
+    destroyed, _t0_deg = _attributed_delta_counts(
+        removed, store.select("pa", "pb"), broadcast_marked=False
+    )
+    destroyed = destroyed.select("node", F.col("td").alias("tdst"))
+    created, deg = _attributed_delta_counts(
+        added, t1_edges, broadcast_marked=False
+    )
+    created = created.select("node", F.col("td").alias("tcr"))
+    out = (
+        carried.join(destroyed, "node", "full_outer")
+        .join(created, "node", "full_outer")
+        .select(
+            "node",
+            (
+                F.coalesce(F.col("tri_base"), F.lit(0))
+                - F.coalesce(F.col("tdst"), F.lit(0))
+                + F.coalesce(F.col("tcr"), F.lit(0))
+            ).cast("long").alias("tri_cnt"),
+            F.coalesce(F.col("tcr"), F.lit(0)).cast("long").alias("tri_created"),
+            F.coalesce(F.col("tdst"), F.lit(0)).cast("long").alias("tri_destroyed"),
+        )
+        .filter(F.col("tri_cnt") > 0)
+    )
+    return out.join(deg, "node").select(
+        "node", "deg", "tri_cnt", "tri_created", "tri_destroyed"
+    )
+
+
+def upsert_aware_triangles_sql() -> str:
+    """DuckDB twin: the FULL q110 pipeline over the t0 AND t1 graphs;
+    removed/added = pair-set differences; destroyed/created counted
+    directly off the full triangle lists (no attribution needed — each
+    triangle appears once, so a plain any-edge-marked test suffices)."""
+    t1_p = (
+        f"CASE WHEN {_tri_revised_sql()} AND {_tri_remap_sql()}"
+        f" THEN l_partkey + {_TRI_REMAP_OFFSET} ELSE l_partkey END"
+    )
+    tri_edges = lambda sfx: f"""(
+      SELECT src, v, w, least(src, v) AS ea, greatest(src, v) AS eb FROM tris{sfx}
+      UNION ALL
+      SELECT src, v, w, least(src, w), greatest(src, w) FROM tris{sfx}
+      UNION ALL
+      SELECT src, v, w, least(v, w), greatest(v, w) FROM tris{sfx}
+    )"""
+    return f"""
+    WITH {_tri_sql_pipeline("TRUE", "_0")},
+    {_tri_sql_pipeline("TRUE", "_1", p_expr=t1_p)},
+    removed AS (
+      SELECT pa, pb FROM pairs_0 EXCEPT SELECT pa, pb FROM pairs_1
+    ),
+    added AS (
+      SELECT pa, pb FROM pairs_1 EXCEPT SELECT pa, pb FROM pairs_0
+    ),
+    hit0 AS (
+      SELECT DISTINCT src, v, w
+      FROM {tri_edges('_0')} te JOIN removed r ON te.ea = r.pa AND te.eb = r.pb
+    ),
+    hit1 AS (
+      SELECT DISTINCT src, v, w
+      FROM {tri_edges('_1')} te JOIN added a ON te.ea = a.pa AND te.eb = a.pb
+    ),
+    destroyed AS (
+      SELECT node, count(*) AS td FROM (
+        SELECT src AS node FROM hit0
+        UNION ALL SELECT v FROM hit0
+        UNION ALL SELECT w FROM hit0
+      ) GROUP BY node
+    ),
+    created AS (
+      SELECT node, count(*) AS tc FROM (
+        SELECT src AS node FROM hit1
+        UNION ALL SELECT v FROM hit1
+        UNION ALL SELECT w FROM hit1
+      ) GROUP BY node
+    )
+    SELECT f.node, d.deg, f.tri_cnt,
+           cast(coalesce(c.tc, 0) as bigint) AS tri_created,
+           cast(coalesce(ds.td, 0) as bigint) AS tri_destroyed
+    FROM per_node_1 f
+    JOIN deg_1 d ON d.node = f.node
+    LEFT JOIN created c ON c.node = f.node
+    LEFT JOIN destroyed ds ON ds.node = f.node
     """
 
 

@@ -202,10 +202,19 @@ def delete_aware_bm25(
     return _bm25_from_stores(dl, tf)
 
 
-def _bm25_sql(where: str) -> str:
+def _bm25_sql(where: str, vocab: bool = False) -> str:
     """q106's oracle parameterized by a corpus predicate — the full
-    recompute both maintenance identities are proven against."""
+    recompute both maintenance identities are proven against.
+    ``vocab=True`` adds the corpus-wide ``vocab_size`` audit column
+    (the full-vocabulary proofs q251/q269 carry) as a parameter rather
+    than post-hoc string surgery on the generated SQL (the q254
+    fragility class ADVICE r10 flagged)."""
     terms_sql = "(" + ", ".join(f"'{t}'" for t in BM25_TERMS) + ")"
+    vocab_item = (
+        ",\n           (SELECT count(DISTINCT token) FROM tok) AS vocab_size"
+        if vocab
+        else ""
+    )
     return f"""
     WITH corpus AS (
       SELECT doc_id, text FROM documents WHERE {where}
@@ -231,7 +240,7 @@ def _bm25_sql(where: str) -> str:
       JOIN dl l ON l.doc_id = t.doc_id
       CROSS JOIN stats s
     )
-    SELECT doc_id, round(sum(part), 6) AS bm25
+    SELECT doc_id, round(sum(part), 6) AS bm25{vocab_item}
     FROM scored GROUP BY doc_id
     ORDER BY bm25 DESC, doc_id ASC LIMIT {BM25_TOP}
     """
@@ -418,17 +427,11 @@ def full_vocab_bm25_sql() -> str:
         f"({portable_hash64_sql('cast(doc_id as varchar)', 'ilsh')}"
         f" % {INCR_LSH_BUCKETS}) >= {INCR_LSH_HIST}"
     )
-    inner = _bm25_sql("TRUE").replace(
-        "SELECT doc_id, round(sum(part), 6) AS bm25\n    FROM scored GROUP BY doc_id",
-        "SELECT doc_id, round(sum(part), 6) AS bm25,\n"
-        "           (SELECT count(DISTINCT token) FROM tok) AS vocab_size\n"
-        "    FROM scored GROUP BY doc_id",
-    )
     return (
         f"SELECT doc_id, bm25,"
         f" CASE WHEN {delta} THEN 'batch' ELSE 'store' END AS src,"
         f" vocab_size"
-        f" FROM ({inner})"
+        f" FROM ({_bm25_sql('TRUE', vocab=True)})"
     )
 
 
@@ -454,4 +457,123 @@ def upsert_aware_bm25_sql() -> str:
         f"SELECT doc_id, bm25,"
         f" CASE WHEN {flag('doc_id')} THEN 'refreshed' ELSE 'carried' END AS src"
         f" FROM ({inner})"
+    )
+
+
+def vacuumed_bm25_refresh(
+    spark, docs: DataFrame, stage_dir: str | None = None
+) -> DataFrame:
+    """The full INVERTED-INDEX store lifecycle in one query (q269 —
+    VERDICT r10 #4, the last store family without a GC cell; the q235
+    mechanism on the lexical surface): build the t0 dl store (many
+    small files — per-batch accretion) and the FULL-VOCAB tf store
+    (q251's range-clustered-on-token layout), apply a deletion cycle
+    (the q229 tombstone slice, salt "idel"), VACUUM both stores —
+    tombstoned postings anti-joined out, files compacted,
+    rename-swapped — then run the NEXT q242 insert refresh reading the
+    VACUUMED stores back from parquet, with the SERVING read still
+    pruned to the query terms' posting lists.
+
+    The compaction detail that matters: the tf store's rewrite is
+    ``repartitionByRange`` on token, NOT ``coalesce`` — q251's pruned
+    read depends on term-clustered files for parquet min/max skipping,
+    and a layout-oblivious compactor would keep every row while
+    silently destroying file skipping.  PushedFilters on the
+    post-vacuum read and file/row shrinkage are pinned in
+    ``tests/test_lexical_index.py``.
+
+    The DuckDB oracle is the full-vocab BM25 recompute over the
+    REMAINING corpus (store ∪ batch minus deleted) with the q251
+    ``vocab_size`` audit — a compaction that dropped or duplicated any
+    posting list would shift idf/avgdl/vocab and red the driver row.
+
+    Scale: vacuum is one anti-join + one range write per store on the
+    compaction cadence; refresh O(|batch| tokens); serving reads only
+    the query terms' lists + the dl-store aggregate.  Reference
+    anchor: ``FinalProject/BDM_Final.py`` (TF-IDF rebuilt per run;
+    extension — no persisted index, no deletes)."""
+    import os
+
+    from ..staging import staging_dir
+    from .dedup import vacuum_parquet_store
+
+    stage = stage_dir or staging_dir(prefix="bdm_bm25_vac_")
+    dl_dir = os.path.join(stage, "dl_store")
+    tf_dir = os.path.join(stage, "tf_store")
+
+    delta = _incr_delta_flag()
+    deleted = _incr_deleted_flag()
+    t0_tok = local_checkpoint(_doc_tokens(docs.filter(~delta)), eager=False)
+    # accretion: many small files per store (what a refresh loop leaves)
+    _dl_from_tokens(t0_tok).repartition(8).write.mode("overwrite").parquet(
+        dl_dir
+    )
+    _tf_all_from_tokens(t0_tok).repartitionByRange(8, "token").write.mode(
+        "overwrite"
+    ).parquet(tf_dir)
+    tombstones = docs.filter(deleted).select("doc_id")
+    vacuum_parquet_store(spark, dl_dir, tombstones, ("doc_id",))
+    vacuum_parquet_store(
+        spark,
+        tf_dir,
+        tombstones,
+        ("doc_id",),
+        target_files=4,
+        range_cluster_cols=("token",),
+    )
+    # next insert refresh off the vacuumed stores: only the surviving
+    # batch is ever tokenized
+    batch_tok = local_checkpoint(
+        _doc_tokens(docs.filter(delta & ~deleted)), eager=False
+    )
+    dl = spark.read.parquet(dl_dir).unionByName(_dl_from_tokens(batch_tok))
+    tf_store = spark.read.parquet(tf_dir)
+    batch_tf = _tf_all_from_tokens(batch_tok)
+    vocab_row = (
+        tf_store.unionByName(batch_tf)
+        .agg(F.countDistinct("token").cast("long").alias("vocab_size"))
+    )
+    # the serving read: the store side prunes at the parquet scan
+    tf = tf_store.filter(F.col("token").isin(*BM25_TERMS)).unionByName(
+        batch_tf.filter(F.col("token").isin(*BM25_TERMS))
+    )
+    return (
+        _bm25_from_stores(dl, tf)
+        .crossJoin(F.broadcast(vocab_row))
+        .select(
+            "doc_id",
+            "bm25",
+            F.when(_incr_delta_flag(), F.lit("batch"))
+            .otherwise(F.lit("store"))
+            .alias("src"),
+            "vocab_size",
+        )
+    )
+
+
+def vacuumed_bm25_refresh_sql() -> str:
+    """DuckDB twin: the full-vocab BM25 recompute over the REMAINING
+    corpus + vocab audit + store/batch provenance — the identity the
+    vacuumed-index refresh must reproduce."""
+    from ..functions.hashing import portable_hash64_sql
+
+    from .dedup import (
+        INCR_DEL_BUCKETS,
+        INCR_LSH_BUCKETS,
+        INCR_LSH_HIST,
+    )
+
+    delta = (
+        f"({portable_hash64_sql('cast(doc_id as varchar)', 'ilsh')}"
+        f" % {INCR_LSH_BUCKETS}) >= {INCR_LSH_HIST}"
+    )
+    deleted = (
+        f"({portable_hash64_sql('cast(doc_id as varchar)', 'idel')}"
+        f" % {INCR_DEL_BUCKETS}) = 0"
+    )
+    return (
+        f"SELECT doc_id, bm25,"
+        f" CASE WHEN {delta} THEN 'batch' ELSE 'store' END AS src,"
+        f" vocab_size"
+        f" FROM ({_bm25_sql(f'NOT ({deleted})', vocab=True)})"
     )

@@ -601,16 +601,21 @@ def incremental_phash_pairs_sql(table: str = "documents", max_len: int = 4096) -
             f" % {INCR_LSH_BUCKETS}) >= {INCR_LSH_HIST})"
         )
 
-    return phash_pairs_sql(table, max_len).replace(
-        f"SELECT doc_a, doc_b, hamming FROM scored WHERE hamming <= {PHASH_HAM_MAX}",
-        f"SELECT doc_a, doc_b, hamming,\n"
-        f"           CASE WHEN {delta('doc_a')} OR {delta('doc_b')}\n"
-        f"                THEN 'fresh' ELSE 'carried' END AS src\n"
-        f"    FROM scored WHERE hamming <= {PHASH_HAM_MAX}",
+    return phash_pairs_sql(
+        table,
+        max_len,
+        src_case=(
+            f"CASE WHEN {delta('doc_a')} OR {delta('doc_b')}"
+            f" THEN 'fresh' ELSE 'carried' END"
+        ),
     )
 
 
-def phash_pairs_sql(table: str = "documents", max_len: int = 4096) -> str:
+def phash_pairs_sql(
+    table: str = "documents",
+    max_len: int = 4096,
+    src_case: str | None = None,
+) -> str:
     """DuckDB twin of :func:`phash_pairs` (ASCII fixture text = payload
     bytes, the q39 equivalence; shares every integer-threshold and
     chunk-packing convention with the Spark path).
@@ -619,8 +624,15 @@ def phash_pairs_sql(table: str = "documents", max_len: int = 4096) -> str:
     char unroll needs a static cap — but the Spark path fingerprints
     the FULL payload, so a doc longer than ``max_len`` must FAIL the
     oracle loudly (scalar ``error()`` guard below), never silently
-    truncate into a divergent hash."""
+    truncate into a divergent hash.
+
+    ``src_case``: optional SQL expression appended as a ``src``
+    provenance column on the final SELECT — the maintenance twins
+    (q252 fresh/carried, q254 refreshed/carried) pass theirs here
+    instead of string-patching the generated SQL, so edits to the
+    final SELECT can never silently strip their provenance."""
     per = PHASH_BUCKETS // PHASH_CHUNKS
+    src = f",\n           {src_case} AS src" if src_case else ""
     return f"""
     WITH chars AS (
       SELECT doc_id, length(text) AS n, i,
@@ -671,7 +683,8 @@ def phash_pairs_sql(table: str = "documents", max_len: int = 4096) -> str:
       JOIN ph pa ON pa.doc_id = doc_a
       JOIN ph pb ON pb.doc_id = doc_b
     )
-    SELECT doc_a, doc_b, hamming FROM scored WHERE hamming <= {PHASH_HAM_MAX}
+    SELECT doc_a, doc_b, hamming{src}
+    FROM scored WHERE hamming <= {PHASH_HAM_MAX}
     """
 
 
@@ -839,12 +852,13 @@ def upsert_aware_phash_pairs_sql(table: str = "documents", max_len: int = 4096) 
         f"(SELECT doc_id, CASE WHEN {flag('doc_id')} THEN text ||"
         f" '{INCR_UPD_SUFFIX}' ELSE text END AS text FROM {table}) t1"
     )
-    return phash_pairs_sql(t1, max_len).replace(
-        f"SELECT doc_a, doc_b, hamming FROM scored WHERE hamming <= {PHASH_HAM_MAX}",
-        f"SELECT doc_a, doc_b, hamming,\n"
-        f"           CASE WHEN {flag('doc_a')} OR {flag('doc_b')}\n"
-        f"                THEN 'refreshed' ELSE 'carried' END AS src\n"
-        f"    FROM scored WHERE hamming <= {PHASH_HAM_MAX}",
+    return phash_pairs_sql(
+        t1,
+        max_len,
+        src_case=(
+            f"CASE WHEN {flag('doc_a')} OR {flag('doc_b')}"
+            f" THEN 'refreshed' ELSE 'carried' END"
+        ),
     )
 
 

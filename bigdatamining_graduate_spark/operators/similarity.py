@@ -1071,6 +1071,49 @@ def ivf_search_index(
     )
 
 
+def portable_ivf_knn_sql(
+    query_pred_sql: str, k: int = 5, nprobe: int = 3
+) -> str:
+    """DuckDB twin of the q55 portable-IVF kNN (quantizer frozen on the
+    FULL corpus — a pure search query, no maintenance slice): the
+    :func:`_ivf_sql_core` CTEs produce the identical codes / seeds /
+    cell assignment, probe selection ranks seeds by integer code-space
+    d2 (ties to the smaller cell), and the rerank is the same
+    left-to-right double cosine every value-oracled retrieval query
+    uses (:func:`~..functions.vectors.cosine_sql`) with the
+    (cos DESC, neighbor_id) tiebreak.  Every stage is cross-engine
+    exact, which is what flips q55 from rows-only to hash-green."""
+    cos = V.cosine_sql("qv", "nv")
+    return f"""
+    WITH {_ivf_sql_core(base_pred="TRUE", src_item="'full' AS src")},
+    emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    probed AS (
+      SELECT vec_id AS query_id, cell FROM (
+        SELECT vec_id, cell,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY d2, cell) AS pr
+        FROM d2 WHERE {query_pred_sql})
+      WHERE pr <= {nprobe}
+    ),
+    cand AS (
+      SELECT p.query_id, a.vec_id AS neighbor_id, q.v AS qv, n.v AS nv
+      FROM probed p
+      JOIN assign a ON a.cell = p.cell
+      JOIN emb q ON q.vec_id = p.query_id
+      JOIN emb n ON n.vec_id = a.vec_id
+      WHERE p.query_id <> a.vec_id
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, {cos} AS sim,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY {cos} DESC, neighbor_id) AS rnk
+      FROM cand
+    )
+    SELECT query_id, neighbor_id, round(sim, 6) AS cos_sim, rnk
+    FROM ranked WHERE rnk <= {k}
+    """
+
+
 # -- IVF arrival-shape closure: delete / upsert / vacuum ----------------------
 #
 # q233 gave the vector store the INSERT shape of the incremental-maintenance

@@ -1488,23 +1488,32 @@ def q54_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q55_ivf_knn")  # KMeans coarse quantizer: no SQL oracle
+@register(
+    "q55_ivf_knn",
+    oracle=SIM.portable_ivf_knn_sql("vec_id % 100 = 0", k=5, nprobe=3),
+)
 def q55_ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-style ANN with multi-cell probing (nprobe=3): the second scale
-    path for similarity search next to sign-LSH (q30). See
-    ``operators/similarity.ivf_knn`` for the plan shape (literal-centroid
-    row-expanding probe selection, cell-id equi-join) and the measured
-    nprobe recall dial (SCALE.md §5). Seeded → deterministic rows; no
-    SQL oracle (KMeans centroids aren't SQL-expressible)."""
-    from ..ml.pipelines import SEED
+    """IVF-style ANN with multi-cell probing (nprobe=3): the second
+    scale path for similarity search next to sign-LSH (q30), rebuilt on
+    the PORTABLE frozen quantizer (VERDICT r10 #7) so the whole search
+    is value-oracled: int8 scalar quantization with corpus-frozen
+    stats, salted-hash seed centroids, integer code-space probe
+    selection, exact double-cosine rerank — every stage cross-engine
+    exact, flipping q55 from rows-only to hash-green.  The MLlib-KMeans
+    variant remains as :func:`~..operators.similarity.ivf_knn`
+    (recall-gated in ``tests/test_ml_quality.py``); recall parity of
+    the portable quantizer vs refit KMeans is measured in
+    ``tests/test_incremental_ivf.py``.
 
-    return SIM.ivf_knn(
+    Scale: assignment and probing are zero-shuffle maps under 1-row
+    broadcasts (the q233 plan); candidates come from a cell equi-join,
+    |probed cells| of the corpus per query, never all-pairs."""
+    return SIM.portable_ivf_search(
         load_table(spark, sf_dir, "embeddings"),
         F.col("vec_id") % 100 == 0,
         k=5,
-        n_cells=8,
         nprobe=3,
-        seed=SEED,
+        refit=True,
     )
 
 
@@ -13459,6 +13468,8 @@ def _q266_oracle() -> str:
             f" % 10) = 0)"
         )
 
+    from ..operators.dedup import PAIR_FIRE_BP, SIG_FIRE_BP
+
     mixed = affine_minhash_exprs_sql(portable_hash64_sql("gram"), MINHASH_K)
     mins = ",\n        ".join(
         f"min({mixed[i]}) AS mh{i}" for i in range(MINHASH_K)
@@ -13490,16 +13501,19 @@ def _q266_oracle() -> str:
     ),
     stats AS (
       SELECT 'sig_store' AS store, count(*) AS rows_total,
-             count(*) FILTER (WHERE {dead('doc_id')}) AS rows_dead
+             count(*) FILTER (WHERE {dead('doc_id')}) AS rows_dead,
+             {SIG_FIRE_BP} AS fire_bp
       FROM t0
       UNION ALL
       SELECT 'pair_store', count(*),
-             count(*) FILTER (WHERE {dead('doc_a')} OR {dead('doc_b')})
+             count(*) FILTER (WHERE {dead('doc_a')} OR {dead('doc_b')}),
+             {PAIR_FIRE_BP}
       FROM pairs
     )
     SELECT store, rows_total, rows_dead,
            cast((rows_dead * 10000) // rows_total as bigint) AS dead_bp,
-           (rows_dead * 10000) // rows_total >= 500 AS fire_vacuum
+           cast(fire_bp as bigint) AS fire_bp,
+           (rows_dead * 10000) // rows_total >= fire_bp AS fire_vacuum
     FROM stats
     """
 
@@ -13512,12 +13526,17 @@ def q266_store_gc_trigger(spark: SparkSession, sf_dir: str) -> DataFrame:
     fires): after the deletion cycle, audit the LSH signature + pair
     stores for dead-row fractions in exact basis points (rows_dead ×
     10000 div rows_total — integer arithmetic, so the DuckDB twin
-    reproduces the flags bit-for-bit, the q234 rule), and fire the
-    vacuum flag at ≥ 5%.  The signature store's dead fraction is the
-    deletion slice itself (~10%); the pair store amplifies it (a pair
-    dies with EITHER endpoint, ~19%) — the audit measures exactly that
-    amplification, which is why pair stores hit compaction cadence
-    first in production.
+    reproduces the flags bit-for-bit, the q234 rule), and fire each
+    store's vacuum flag against ITS OWN policy bar — the same
+    :data:`~..operators.dedup.SIG_FIRE_BP` (5%, doc-sized cheap
+    rewrite) and :data:`~..operators.dedup.PAIR_FIRE_BP` (50%,
+    collision-sized expensive rewrite) that the consumer q267 actually
+    enforces, so the published trigger flags ARE the ones the vacuum
+    loop consumes.  The signature store's dead fraction is the
+    deletion slice itself (~10%, fires); the pair store amplifies it
+    (a pair dies with EITHER endpoint, ~19%) yet does NOT fire — the
+    amplification is real but below the expensive-rewrite bar, which
+    is exactly the economics q267's conditional encodes.
 
     Scale: one |store|-sized aggregate per store on the audit cadence;
     the pair store derivation here is the driver-contract stand-in for
@@ -13535,10 +13554,14 @@ def q266_store_gc_trigger(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("rows_total"),
         F.count(F.when(dead("doc_a") | dead("doc_b"), 1)).alias("rows_dead"),
     ).select(F.lit("pair_store").alias("store"), "rows_total", "rows_dead")
+    bars = F.when(F.col("store") == "sig_store", F.lit(DD.SIG_FIRE_BP)).otherwise(
+        F.lit(DD.PAIR_FIRE_BP)
+    )
     return (
         sig_stats.unionByName(pair_stats)
         .withColumn("dead_bp", F.expr("rows_dead * 10000L div rows_total"))
-        .withColumn("fire_vacuum", F.col("dead_bp") >= 500)
+        .withColumn("fire_bp", bars.cast("long"))
+        .withColumn("fire_vacuum", F.col("dead_bp") >= F.col("fire_bp"))
     )
 
 
@@ -13591,6 +13614,203 @@ def q263_derived_quarterly_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     Reference anchor: extension of ``hw2/BDM_hw2_final.py:203-206``."""
     li = load_table(spark, sf_dir, "lineitem")
     return AV.derived_quarterly_view(li)
+
+
+@register(
+    "q271_atomic_cross_store_publish",
+    oracle=DD.atomic_published_refresh_sql(0.5),
+)
+def q271_atomic_cross_store_publish(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Cross-store ATOMIC PUBLISH (VERDICT r10 #6): the dependent
+    sig+pair store pair refreshes under a manifest-pointer commit —
+    both new versions fully written, ONE ``os.replace`` flip, readers
+    resolve every store through the pointer and can never observe a
+    half-published refresh.  See ``sources/publish.py`` for the
+    protocol and :func:`~..operators.dedup.atomic_published_refresh`
+    for the lifecycle; crash-between-writes invisibility is pinned in
+    ``tests/test_publish.py``.  The oracle is the q235 refresh identity
+    + the pinned committed version, so a skipped flip reds the row."""
+    docs = load_table(spark, sf_dir, "documents")
+    return DD.atomic_published_refresh(spark, docs, 0.5)
+
+
+@register(
+    "q270_upsert_aware_triangles",
+    oracle=GR.upsert_aware_triangles_sql(),
+)
+def q270_upsert_aware_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph UPSERT cell (VERDICT r10 #5): order-content modification
+    moves co-purchase edge support UP and DOWN in one pass — removed
+    (order, part) pairs decrement the weighted edge store, added pairs
+    increment it, and the triangle store absorbs the simultaneously
+    created AND destroyed triangles exactly once each.  See
+    :func:`~..operators.graph.upsert_aware_triangles` for the delta
+    algebra, the disjointness proof, and the scale analysis; the
+    one-batch create-and-destroy case is pinned in
+    ``tests/test_incremental_triangles.py``."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return GR.upsert_aware_triangles(li)
+
+
+@register(
+    "q269_bm25_store_vacuum",
+    oracle=LX.vacuumed_bm25_refresh_sql(),
+)
+def q269_bm25_store_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INVERTED-INDEX store VACUUM + post-vacuum refresh (VERDICT r10
+    #4 — the last store family without a GC cell; q235/q239/q250/q256/
+    q261 covered dedup/IVF/graph/phash/OLAP): the q242 dl/tf postings
+    stores accrete small files, a deletion cycle tombstones the "idel"
+    slice, both stores vacuum (anti-join + compaction + rename-swap),
+    and the next q242 insert refresh runs off the vacuumed stores —
+    with the tf store's compaction REPRESERVING q251's range-clustered
+    token layout so the pruned serving read survives GC (PushedFilters
+    pinned in ``tests/test_lexical_index.py``).
+
+    See :func:`~..operators.lexical.vacuumed_bm25_refresh` for the
+    mechanism and the full scale analysis.  The DuckDB oracle is the
+    full-vocab BM25 recompute over the remaining corpus with the q251
+    vocab audit — dropped or duplicated postings red the row."""
+    docs = load_table(spark, sf_dir, "documents")
+    return LX.vacuumed_bm25_refresh(spark, docs)
+
+
+_GDPR_BUCKETS = 10  # user_id hash bucket 0 (salt "igdpr") = erasure request
+
+
+def _gdpr_erased_flag(col: str = "user_id"):
+    return (
+        portable_hash64(F.col(col).cast("string"), salt="igdpr")
+        % _GDPR_BUCKETS
+        == 0
+    )
+
+
+def _gdpr_erased_sql(col: str = "user_id") -> str:
+    return (
+        f"(({portable_hash64_sql(f'cast({col} as varchar)', 'igdpr')}"
+        f" % {_GDPR_BUCKETS}) = 0)"
+    )
+
+
+def scd2_gdpr_erase(spark: SparkSession, ev: DataFrame, stage_dir: str | None = None) -> DataFrame:
+    """The q268 lifecycle, factored so the planted test can inject a
+    stage dir and inspect the physical store: build the t0 history
+    store as MANY small files (per-merge accretion), ERASE the
+    requested users (whole per-user histories anti-joined out +
+    file compaction + rename-swap via
+    :func:`~..operators.dedup.vacuum_parquet_store`), then run the
+    next q262 merge off the erased store read back from parquet."""
+    import os
+
+    from ..operators.dedup import vacuum_parquet_store
+    from ..staging import staging_dir
+
+    stage = stage_dir or staging_dir(prefix="bdm_scd2_gdpr_")
+    store_dir = os.path.join(stage, "scd2_store")
+    cut = ev.agg(
+        (F.date_trunc("DAY", F.max("ts")) - F.expr("INTERVAL 6 DAYS")).alias(
+            "cut"
+        )
+    )
+    ev2 = ev.crossJoin(F.broadcast(cut))
+    t0 = ev2.filter(F.col("ts") <= F.col("cut")).drop("cut")
+    batch = ev2.filter(F.col("ts") > F.col("cut")).drop("cut")
+    _scd2_history(t0).repartition(8).write.mode("overwrite").parquet(
+        store_dir
+    )
+    erased = ev.select("user_id").distinct().filter(_gdpr_erased_flag())
+    vacuum_parquet_store(spark, store_dir, erased, ("user_id",))
+    return scd2_merge(
+        spark.read.parquet(store_dir), batch.filter(~_gdpr_erased_flag())
+    )
+
+
+@register(
+    "q268_scd2_gdpr_erase",
+    oracle=f"""
+    WITH cutoff AS (
+      SELECT date_trunc('day', max(ts)) - INTERVAL 6 DAY AS cut FROM events
+    ),
+    e AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN value < {_Q179_LOW} THEN 'low'
+                  WHEN value < {_Q179_MID} THEN 'mid'
+                  ELSE 'high' END AS tier
+      FROM events WHERE NOT {_gdpr_erased_sql()}),
+    c AS (
+      SELECT *, CASE WHEN lag(tier) OVER w IS NULL
+                       OR lag(tier) OVER w <> tier THEN 1 ELSE 0 END AS chg
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    v AS (
+      SELECT user_id, tier, ts,
+             CAST(sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS version
+      FROM c),
+    g AS (
+      SELECT user_id, version, min(tier) AS tier,
+             min(epoch_us(ts)) AS valid_from_us
+      FROM v GROUP BY 1, 2),
+    hist AS (
+      SELECT user_id, version, tier, valid_from_us,
+             lead(valid_from_us) OVER (PARTITION BY user_id ORDER BY version)
+               AS valid_to_us,
+             lead(valid_from_us) OVER (PARTITION BY user_id ORDER BY version)
+               IS NULL AS is_current
+      FROM g),
+    busers AS (
+      SELECT DISTINCT user_id FROM events, cutoff
+      WHERE ts > cut AND NOT {_gdpr_erased_sql()}
+    ),
+    vcut AS (
+      SELECT user_id, max(version) AS vc
+      FROM hist, cutoff WHERE valid_from_us <= epoch_us(cut)
+      GROUP BY user_id
+    )
+    SELECT h.user_id, h.version, h.tier, h.valid_from_us, h.valid_to_us,
+           h.is_current,
+           CASE WHEN b.user_id IS NOT NULL
+                 AND h.version >= coalesce(vc.vc, 0) THEN 'merged'
+                ELSE 'carried' END AS src
+    FROM hist h
+    LEFT JOIN busers b ON b.user_id = h.user_id
+    LEFT JOIN vcut vc ON vc.user_id = h.user_id
+    """,
+)
+def q268_scd2_gdpr_erase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 GDPR ERASURE + history compaction (VERDICT r10 #3 — the
+    delete shape the versioned store lacked: q179 builds, q262 merges,
+    q264 streams, q265 backfills, and until now nothing could FORGET a
+    user): a 10% user slice (salt "igdpr") files erasure requests.  The
+    history store — accreted as many small files by the per-merge
+    refresh loop — is rewritten WITHOUT those users' rows (whole
+    per-user histories drop in one anti-join: per-user independence,
+    the same property q265 leans on, makes erasure bounded and exact),
+    compacted 8→1 files, and rename-swapped so readers never see a
+    half-erased store.  The NEXT q262 merge then runs off the erased
+    store read back from parquet, with the arrival batch likewise
+    survivor-filtered (erasure covers in-flight events, not just
+    history).
+
+    The DuckDB oracle is the full q179 recompute over SURVIVING users'
+    events with q262's merged/carried provenance — the driver
+    hash-match proves erased-store merge == erased-corpus recompute.
+    Physical erasure (raw parquet holds zero erased-user rows) and
+    file compaction are pinned in ``tests/test_store_vacuum.py``.
+
+    Scale: erasure is one |store|-sized anti-join + rewrite on the
+    request cadence (at 100 TB: partition the history by a user-hash
+    bucket column and rewrite only buckets containing requests); the
+    follow-up merge stays O(|batch| + |batch users|).  Reference
+    anchor: extends q179/q262 (``hw3/hw3.py:125-172`` refresh
+    discipline); the reference cannot delete anything."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", _q179_tier().alias("tier")
+    )
+    return scd2_gdpr_erase(spark, ev)
 
 
 # --------------------------------------------------------------------------

@@ -1,0 +1,91 @@
+"""Cross-store ATOMIC PUBLISH: one manifest-pointer commit across
+dependent stores (VERDICT r10 #6).
+
+Every store swap so far is per-store rename-swap
+(``operators/dedup.vacuum_parquet_store`` / ``swap_parquet_store``) —
+atomic for ONE store, but a refresh that rewrites a dependent PAIR of
+stores (LSH signatures + candidate pairs, postings + doc lengths)
+exposes readers to a mixed state between the two swaps.  q267 proves
+the engine can SERVE mixed state when the read path adapts; this module
+gives the stronger production guarantee: readers never see it at all.
+
+The protocol is the Delta/Iceberg metadata-pointer commit reduced to
+its kernel:
+
+* every store version is an immutable directory
+  ``root/<store>/v<N>/`` — a publish only ever ADDS files;
+* ``root/CURRENT`` is a one-line pointer file naming the committed
+  version; readers resolve every store path through it at read time;
+* publish = write ALL stores' new versions fully, then one atomic
+  ``os.replace`` of the pointer.  A crash before the flip leaves the
+  old version pair fully readable (the new directories are unreferenced
+  garbage, collected on the next vacuum cadence); a crash after the
+  flip exposes the new pair, which is complete by write ordering.
+  There is no state in which a reader resolves store A at v2 and
+  store B at v1.
+
+At 100 TB the pointer file is object-store metadata (a conditional-put
+key); the data writes are the same immutable parquet directories.
+Mid-publish invisibility is pinned in ``tests/test_publish.py``.
+
+Reference anchor: extends ``sources/manifest.py`` (file-level stats
+manifest) with the commit half of the lakehouse metadata loop; the
+reference (``hw3/hw3.py:125-172``) rebuilds from scratch per run and
+has no publish protocol at all.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def _pointer(root: str) -> str:
+    return os.path.join(root, "CURRENT")
+
+
+def write_store_version(
+    df: DataFrame, root: str, store: str, version: int, target_files: int = 1
+) -> None:
+    """Write ONE store's new immutable version directory.  Does NOT
+    commit — the caller flips the pointer once every dependent store's
+    version is fully written (:func:`commit_version`).  Exposed
+    separately so the crash-between-writes test can stop here."""
+    out = os.path.join(root, store, f"v{version}")
+    df.coalesce(target_files).write.mode("overwrite").parquet(out)
+
+
+def commit_version(root: str, version: int) -> None:
+    """Atomically point readers at ``version`` — write-tmp +
+    ``os.replace`` (atomic rename on POSIX; conditional-put on an
+    object store).  This is the ONLY mutation readers can observe."""
+    tmp = _pointer(root) + ".tmp"
+    with open(tmp, "w") as f:
+        f.write(str(version))
+    os.replace(tmp, _pointer(root))
+
+
+def publish_version(
+    root: str,
+    version: int,
+    stores: dict[str, DataFrame],
+    target_files: int = 1,
+) -> None:
+    """The all-or-nothing publish: write EVERY store's new version
+    fully, then one pointer flip."""
+    for name, df in stores.items():
+        write_store_version(df, root, name, version, target_files)
+    commit_version(root, version)
+
+
+def current_version(root: str) -> int:
+    with open(_pointer(root)) as f:
+        return int(f.read().strip())
+
+
+def read_current(spark: SparkSession, root: str, store: str) -> DataFrame:
+    """Resolve ``store`` through the pointer — the only read path a
+    publish-protocol consumer uses."""
+    v = current_version(root)
+    return spark.read.parquet(os.path.join(root, store, f"v{v}"))

@@ -1537,12 +1537,8 @@ def stream_agg_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     parts = spark.read.option("recursiveFileLookup", "true").parquet(store_dir)
-    served = parts.groupBy(*AV.VIEW_KEYS).agg(
-        F.sum("n_rows").cast("long").alias("n_rows"),
-        F.sum("sum_qty").cast(AV.SUM_QTY_DEC).alias("sum_qty"),
-        F.sum("revenue").cast(AV.REVENUE_DEC).alias("revenue"),
-        F.max("max_price").alias("max_price"),
-        F.min("arrived").cast("long").alias("first_seen"),
+    served = AV.combine_partials(
+        parts, F.min("arrived").cast("long").alias("first_seen")
     )
     return AV._as_output(served, "first_seen")
 

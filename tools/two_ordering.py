@@ -9,9 +9,10 @@ reproduce >1.5x committed; otherwise it is driver-session warm-up noise
 (the r9 driver run showed exactly the front-of-run pattern: q36 2.48x,
 q01 1.98x, q29 1.70x, all code-unchanged since r8).
 
-Usage: python tools/two_ordering.py [A|B]
-  With no arg, prints instructions (each ordering must be its own
-  process so JIT/codegen warm-up state cannot leak between orderings).
+Usage: python tools/two_ordering.py            (driver: runs A then B)
+       python tools/two_ordering.py A out.json (one ordering -> out.json)
+  Each ordering runs as its own process so JIT/codegen warm-up state
+  cannot leak between orderings.
 """
 
 from __future__ import annotations
@@ -20,16 +21,20 @@ import json
 import os
 import subprocess
 import sys
+import tempfile
 import time
 
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, ROOT)
 
-# builder-committed r9 warm medians (BASELINE.md round-9 table)
+# builder-committed r10 warm medians (BASELINE.md round-10 table) for the
+# queries the r10 VERDICT flagged (>1.5x single-session driver ratios, plus
+# q250's committed-vs-driver contradiction).
 WATCHLIST = {
-    "q36_stream_hourly_counts": 1.55,
-    "q01_pricing_summary": 1.35,
-    "q29_knn_bruteforce": 0.97,
+    "q252_incremental_phash_pairs": 0.84,
+    "q249_ivf_retrain_refresh": 4.45,
+    "q47_stream_session_windows": 1.43,
+    "q250_triangle_store_vacuum": 22.52,
 }
 
 
@@ -62,24 +67,27 @@ def run_ordering(which: str) -> dict:
 
 
 def main() -> None:
-    if len(sys.argv) == 2 and sys.argv[1] in ("A", "B"):
+    if len(sys.argv) == 3 and sys.argv[1] in ("A", "B"):
         warm = run_ordering(sys.argv[1])
-        out = os.path.join(ROOT, f"/tmp/ordering_{sys.argv[1]}.json")
-        with open(out, "w") as f:
+        with open(sys.argv[2], "w") as f:
             json.dump(warm, f)
         print(json.dumps({k: warm.get(k) for k in WATCHLIST}))
         return
 
-    # driver mode: run both orderings as subprocesses, then adjudicate
+    # driver mode: run both orderings as subprocesses (each its own JVM,
+    # run-scoped output dir — concurrent protocol runs cannot collide),
+    # then adjudicate
+    outdir = tempfile.mkdtemp(prefix="bdm_two_ordering_")
+    outs = {w: os.path.join(outdir, f"ordering_{w}.json") for w in ("A", "B")}
     for which in ("A", "B"):
         print(f"=== ordering {which} ===", flush=True)
         subprocess.run(
-            [sys.executable, os.path.abspath(__file__), which],
+            [sys.executable, os.path.abspath(__file__), which, outs[which]],
             check=True,
             cwd=ROOT,
         )
-    a = json.load(open("/tmp/ordering_A.json"))
-    b = json.load(open("/tmp/ordering_B.json"))
+    a = json.load(open(outs["A"]))
+    b = json.load(open(outs["B"]))
     verdicts = {}
     for q, committed in WATCHLIST.items():
         ra, rb = a[q] / committed, b[q] / committed
