@@ -247,3 +247,62 @@ def test_triangle_store_vacuum_shrinks_and_preserves_semantics(spark, tmp_path):
     )
     assert _key(out) == _key(exp)
     assert out.agg(F.sum("tri_new")).collect()[0][0] > 0
+
+
+def test_upsert_creates_and_destroys_in_one_batch(spark):
+    """q270 (the q232 split+merge discipline on the graph): ONE revised
+    order simultaneously destroys a triangle (its remapped part's old
+    pairs lose their last support) and creates one (the remapped part
+    node pairs with the untouched parts).  A second, unrevised order
+    keeps one decremented edge alive (support 2 -> 1), proving the
+    weighted merge nets rather than deletes."""
+    # probe the deterministic slices for usable keys: a revised order R,
+    # an unrevised order S, and parts a/b (unremapped in R) + c
+    # (remapped in R)
+    ks = spark.createDataFrame(
+        [(k,) for k in range(1, 200)], "l_orderkey long"
+    ).select("l_orderkey", G._tri_revised_flag().alias("rev"))
+    revised = [r.l_orderkey for r in ks.collect() if r.rev]
+    unrevised = [r.l_orderkey for r in ks.collect() if not r.rev]
+    R, S = revised[0], unrevised[0]
+    ps = spark.createDataFrame(
+        [(R, p) for p in range(1, 80)], "k long, p long"
+    ).select("p", G._tri_remap_flag(F.col("k"), F.col("p")).alias("m"))
+    flags = {r.p: r.m for r in ps.collect()}
+    a, b = [p for p in sorted(flags) if not flags[p]][:2]
+    c = next(p for p in sorted(flags) if flags[p])
+    rows = [(R, a), (R, b), (R, c), (S, a), (S, c)]
+    li = spark.createDataFrame(rows, "l_orderkey long, l_partkey long")
+    out = {r.node: r for r in G.upsert_aware_triangles(li).collect()}
+    c2 = c + G._TRI_REMAP_OFFSET
+    # t0 triangle {a,b,c} destroyed (edge b-c lost its only support;
+    # edge a-c nets 2 -> 1 and SURVIVES via order S), t1 triangle
+    # {a,b,c2} created — same batch
+    assert set(out) == {a, b, c2}, out
+    assert (out[a].tri_cnt, out[a].tri_created, out[a].tri_destroyed) == (1, 1, 1)
+    assert out[a].deg == 3  # a-b, a-c (survived), a-c2
+    assert (out[b].tri_cnt, out[b].tri_created, out[b].tri_destroyed) == (1, 1, 1)
+    assert out[b].deg == 2
+    assert (out[c2].tri_cnt, out[c2].tri_created, out[c2].tri_destroyed) == (1, 1, 0)
+    assert out[c2].deg == 2
+
+
+def test_upsert_aware_equals_full_recompute(spark):
+    """q270 over the smoke fixture: carried − destroyed + created must
+    equal the full q110 recompute over the REVISED (t1) graph."""
+    li = _li(spark)
+    out = G.upsert_aware_triangles(li)
+    t1_pairs = (
+        G._op_t1(li)
+        .select(F.col("p").alias("pa"), "k")
+        .join(G._op_t1(li).select(F.col("p").alias("pb"), "k"), "k")
+        .filter(F.col("pa") < F.col("pb"))
+        .select("pa", "pb")
+        .distinct()
+    )
+    expected = {
+        (r.node, r.deg, r.tri_cnt)
+        for r in G.pairs_triangle_counts(t1_pairs).collect()
+    }
+    got = {(r.node, r.deg, r.tri_cnt) for r in out.collect()}
+    assert got == expected

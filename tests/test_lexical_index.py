@@ -227,3 +227,56 @@ def test_full_vocab_query_read_is_posting_list_pruned(spark, tmp_path):
         F.min("token").alias("lo"), F.max("token").alias("hi")
     ).collect()
     assert len(files) > 1
+
+
+def test_vacuumed_full_vocab_refresh_lifecycle(spark, tmp_path):
+    """q269: the full-vocab dl/tf stores accrete small files, vacuum
+    tombstones the deleted docs and compacts — PRESERVING the token
+    range-clustering the pruned read depends on — and the post-vacuum
+    refresh equals the delete-then-insert recompute."""
+    import glob
+    import os
+
+    docs = _docs(spark)
+    out = LX.vacuumed_bm25_refresh(spark, docs, stage_dir=str(tmp_path))
+    rows = out.collect()  # forces the lifecycle (stores written+vacuumed)
+    dl_dir = os.path.join(str(tmp_path), "dl_store")
+    tf_dir = os.path.join(str(tmp_path), "tf_store")
+
+    def n_files(d):
+        return len(glob.glob(os.path.join(d, "**", "*.parquet"), recursive=True))
+
+    # compaction targets: dl 8->1, tf 8->4 (range-clustered rewrite)
+    assert n_files(dl_dir) == 1
+    assert n_files(tf_dir) == 4
+    # physical erasure: no deleted doc's postings survive in the bytes
+    for d in (dl_dir, tf_dir):
+        raw = spark.read.parquet(d)
+        assert raw.filter(_incr_deleted_flag()).count() == 0
+        assert raw.count() > 0
+    # the vacuumed rewrite kept the pruned-read layout: the term filter
+    # still reaches the parquet scan as a pushed In(), and every file
+    # holds a contiguous token range
+    tf = spark.read.parquet(tf_dir).filter(F.col("token").isin(*LX.BM25_TERMS))
+    plan = tf._jdf.queryExecution().executedPlan().toString()
+    pushed = next(l for l in plan.splitlines() if "PushedFilters" in l)
+    assert "In(token" in pushed, pushed
+    spans = sorted(
+        (r.lo, r.hi)
+        for r in spark.read.parquet(tf_dir)
+        .select(F.input_file_name().alias("f"), "token")
+        .groupBy("f")
+        .agg(F.min("token").alias("lo"), F.max("token").alias("hi"))
+        .collect()
+    )
+    assert len(spans) == 4
+    for (_, hi_prev), (lo_next, _) in zip(spans, spans[1:]):
+        assert hi_prev <= lo_next  # contiguous, non-interleaved ranges
+    # refresh identity: vacuumed-store refresh == in-plan recompute over
+    # the remaining corpus (the oracle identity, engine-side)
+    remaining = docs.filter(~_incr_deleted_flag())
+    expected = sorted(
+        (r.doc_id, r.bm25, r.src)
+        for r in LX.incremental_bm25(remaining).collect()
+    )
+    assert sorted((r.doc_id, r.bm25, r.src) for r in rows) == expected

@@ -24,7 +24,7 @@ ALLOWED = {
     "q81_balanced_mixture",      # 1-row min-count broadcast
     "q88_pmi_collocations",      # 1-row corpus-size broadcast (q31 pattern)
     "q98_funnel_conversion",     # 1-row stage-count crossJoins (3 x 1-row)
-    "q55_ivf_knn",               # n_cells-row broadcast centroid probe table
+    "q55_ivf_knn",               # 1-row quantizer-stats + 1-row seed-array broadcasts (q233 pattern)
     "q103_unigram_logprob",      # 1-row corpus-total broadcast (q31 pattern)
     "q106_bm25_search",          # 1-row avgdl/N-docs broadcast (q31 pattern)
     "q109_parts_in_all_regions", # 1-row |region| divisor broadcast
@@ -57,6 +57,8 @@ ALLOWED = {
     "q245_stream_incremental_bm25",  # same 1-row stats broadcast on the post-drain read
     "q251_full_vocab_bm25",      # 1-row avgdl-stats (q106 pattern) + 1-row vocab-audit broadcasts
     "q262_scd2_incremental_merge",  # 1-row event-time frontier broadcast (q03 pattern)
+    "q268_scd2_gdpr_erase",      # 1-row event-time frontier broadcast (q262 pattern)
+    "q269_bm25_store_vacuum",    # 1-row avgdl-stats + 1-row vocab-audit broadcasts (q251 pattern)
 }
 
 

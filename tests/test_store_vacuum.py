@@ -140,3 +140,43 @@ def test_triggered_vacuum_fires_selectively_and_matches(spark, tmp_path):
     remaining = docs.filter(~DD._incr_deleted_flag())
     recompute = DD.incremental_lsh_pairs(remaining, THRESH)
     assert _pairs_key(out) == _pairs_key(recompute)
+
+
+def test_scd2_gdpr_erase_physically_removes_user_history(spark, tmp_path):
+    """q268: after the erasure rewrite, the raw parquet store holds
+    ZERO rows for erased users (physical deletion, not filtering), the
+    small-file accretion is compacted, and the follow-up merge emits
+    only surviving users."""
+    from pyspark.sql import functions as F
+
+    from bigdatamining_graduate_spark.plans import queries as Q
+    from bigdatamining_graduate_spark.sources.catalog import load_table
+
+    ev = load_table(spark, SF_SMOKE, "events").select(
+        "user_id", "event_id", "ts", Q._q179_tier().alias("tier")
+    )
+    erased = ev.select("user_id").distinct().filter(Q._gdpr_erased_flag())
+    n_erased = erased.count()
+    assert n_erased > 0  # the fixture genuinely erases someone
+    out = Q.scd2_gdpr_erase(spark, ev, stage_dir=str(tmp_path))
+    store_dir = str(tmp_path / "scd2_store")
+    # compaction: the 8-file accretion rewrote to the target (1 file)
+    assert _n_files(store_dir) == 1
+    # physical erasure: the raw store bytes hold no erased-user rows
+    raw = spark.read.parquet(store_dir)
+    assert raw.filter(Q._gdpr_erased_flag()).count() == 0
+    assert raw.count() > 0
+    # and the merged output never resurrects them
+    assert out.filter(Q._gdpr_erased_flag()).count() == 0
+    # the survivors' merge equals the full recompute over surviving
+    # events (the oracle identity, asserted engine-side too)
+    survivors_ev = ev.filter(~Q._gdpr_erased_flag())
+    expected = {
+        (r.user_id, r.version): (r.tier, r.valid_from_us, r.is_current)
+        for r in Q._scd2_history(survivors_ev).collect()
+    }
+    got = {
+        (r.user_id, r.version): (r.tier, r.valid_from_us, r.is_current)
+        for r in out.collect()
+    }
+    assert got == expected
