@@ -141,6 +141,10 @@ HEADLINE = [
     "q265_scd2_late_backfill",    # out-of-order arrivals: bounded per-user re-derivation
     "q266_store_gc_trigger",      # dead-row basis-point audit that fires the vacuums
     "q267_triggered_store_vacuum",  # trigger-consuming conditional vacuum (mixed-state refresh)
+    "q268_scd2_gdpr_erase",       # SCD2 user erasure: store rewrite + merge off erased store
+    "q269_bm25_store_vacuum",     # inverted-index GC (layout-preserving tf compaction)
+    "q270_upsert_aware_triangles",  # graph upsert: support up AND down in one pass
+    "q271_atomic_cross_store_publish",  # sig+pair refresh behind one pointer flip
 ]
 
 

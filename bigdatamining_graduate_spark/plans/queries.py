@@ -13886,77 +13886,85 @@ _DRIVER_VERIFIED = frozenset(
     # index-maintenance queries (q233-q248) and 34 staleness re-checks
     # (q68/q73/q94-q127 band) already listed above.
     + [f"q{i}" for i in range(233, 249)]
+    # CORRECTNESS_r10: 50/50 hash-green, zero red — the NINETEEN new
+    # round-10 queries (q249-q267; ADVICE r10 corrected the builder's
+    # 15-new miscount) and 31 staleness re-checks (q70-q157 band)
+    # already listed above.  q266 is deliberately NOT listed: its
+    # output schema changed round 11 (per-store fire_bp policy bars,
+    # ADVICE r10 #2), so it rotates back for re-verification.
+    + [f"q{i}" for i in range(249, 266)]
+    + ["q267"]
 )  # matched on the qNN prefix
 
-# Round-10 window (first 50 registry entries): the new round-10
-# capabilities (absent from both lists, they sort FIRST via the "not
-# verified and not deferred" bucket) + the STALEST oracle-backed rows,
-# per VERDICT r9 next-round #1: the full 36-row r4-era band (q70, q85,
-# q88, q90, q92, q93 and the q128-q164 region — every one last
-# driver-checked in CORRECTNESS_r04, five rounds ago), then the
-# stalest r5-era rows to fill the window (the six that were red in r4
-# and re-greened in r5 — q130/q133/q134/q148/q165/q166 appear in the
-# r4-era band's numeric gaps or the r5 head — plus q83/q167-q169).
-# The stale rows deliberately NOT rotated are rows-only by design
-# (q91 lang-classifier, q55 IVF recall gate, q54 HLL, q139/q162/q163
-# sketch ε-gates) — re-running them cannot upgrade their check; their
-# gates live in tests/test_ml_quality.py / test_sketches.py.  The
-# r4-era band is listed FIRST so that adding new round-10 queries
-# displaces the r5-era tail before the band the directive names.
-# Final round-10 count: 15 new capabilities (q249-q263) + 35 stale
-# re-checks = the 50-row window; q164 (the band's last row — a simple
-# max_by shape, 10x-gated locally) and the 10 r5-era rows displaced
-# past position 50 rotate round 11.
+# Round-11 window (first 50 registry entries), per VERDICT r10
+# next-round #1.  Accounting note (ADVICE r10 #1): round 10's window
+# actually held 19 new queries (q249-q267) + 31 stale re-checks (the
+# q70-q157 band), NOT the 15+35 the previous comment claimed —
+# q158-q161 and q164 were displaced past position 50 and stayed
+# r4-stale; they rotate NOW.
+#
+# Unverified bucket (sorts first automatically): the four new round-11
+# lifecycle queries (q268-q271) + q266 (fire_bp schema change) = 5.
+# _DEFERRED fills the remaining 45: the three MANDATORY rows whose sink
+# paths were rewritten by the r10 staging sweep (q165/q166/q167), every
+# remaining ≤r5-stale row — including the rows-only set the verdict
+# explicitly rotated this time (q91/q54/q139/q162/q163 refresh their
+# rows-only checks; q55 re-runs with its NEW value oracle and flips to
+# hash-green) — then the stalest r6-era rows as filler (q182-q189,
+# q216-q219; q220/q221 rotate round 12).  5 + 45 = exactly the 50-row
+# window: nothing listed here can be displaced.
 _DEFERRED = [
-    # -- r4-era greens (last driver check: CORRECTNESS_r04) --
-    "q70_winnow_fingerprints",
-    "q85_ann_lsh_wide",
-    "q88_pmi_collocations",
-    "q90_association_rules",
-    "q92_unpivot_measures",
-    "q93_order_quartiles",
-    "q128_dormant_prospects",
-    "q129_semdedup_discards",
-    "q131_doclen_cdf",
-    "q132_peak_concurrency",
-    "q135_status_priority_sets",
-    "q136_stream_dedup_watermarked",
-    "q137_stream_daily_peak_rate",
-    "q138_gram_novelty",
-    "q140_source_kl_divergence",
-    "q141_volume_shipping",
-    "q142_nation_segment_roster",
-    "q143_payload_phash_pairs",
-    "q144_hard_negatives",
-    "q145_lateral_recent_orders",
-    "q146_ppjoin_pairs",
-    "q147_temporal_split_audit",
-    "q149_benford_audit",
-    "q150_click_purchase_reconciliation",
-    "q151_rolling_hour_window",
-    "q152_fuzzy_name_pairs",
-    "q153_curation_v2",
-    "q154_fulfillment_sla",
-    "q155_returned_item_losses",
-    "q156_order_count_distribution",
-    "q157_forecast_revenue_change",
+    # -- MANDATORY (VERDICT r10 #1): sink paths rewritten in r10's
+    #    staging-root sweep; green rows predate five rounds of motion --
+    "q165_zorder_roundtrip",
+    "q166_datasource_roundtrip",
+    "q167_bucketed_join_roundtrip",
+    # -- oldest rows: r3/r4-era, incl. the rows-only set the verdict
+    #    rotated (q55 now carries a full value oracle) --
+    "q91_lang_classifier",
+    "q54_approx_distinct_users",
+    "q55_ivf_knn",
+    "q139_hll_weekly_rollup",
+    "q162_kll_price_quantiles",
+    "q163_theta_segment_overlap",
     "q158_disjunctive_discounts",
     "q159_supplier_part_variety",
     "q160_waiting_supplier",
     "q161_top_revenue_suppliers",
     "q164_best_order_no_window",
-    # -- r5-era (last driver check: CORRECTNESS_r05; the first six were
-    # r4 reds whose BIGINT-cast fixes were only ever verified once) --
+    # -- r5-era (last driver check: CORRECTNESS_r05) --
+    "q83_table_profile",
     "q130_source_temperature_mix",
     "q133_mad_outliers",
     "q134_last_touch_attribution",
     "q148_activity_streaks",
-    "q165_zorder_roundtrip",
-    "q166_datasource_roundtrip",
-    "q83_table_profile",
-    "q167_bucketed_join_roundtrip",
     "q168_cmsketch_heavy_hitters",
     "q169_part_communities",
+    "q170_part_kcore",
+    "q171_mincost_supplier",
+    "q172_important_stock",
+    "q173_excess_stock_suppliers",
+    "q174_profit_by_nation_year",
+    "q175_part_bfs_hops",
+    "q176_shipmode_priority",
+    "q177_context_packing",
+    "q178_phrase_search",
+    "q179_scd2_user_tiers",
+    "q180_vocab_broadcast_antijoin",
+    "q181_token_stats_hof",
+    # -- r6-era filler (stalest after r5) --
+    "q182_segment_nation_crosstab",
+    "q183_position_attribution",
+    "q184_source_quality_gate",
+    "q185_bigram_lm_quality",
+    "q186_event_type_psi",
+    "q187_token_entropy",
+    "q188_containment_pairs",
+    "q189_snapshot_diff",
+    "q216_cogroup_asof_attribution",
+    "q217_scd2_point_in_time_join",
+    "q218_pareto_coverage",
+    "q219_range_split_points",
 ]
 
 

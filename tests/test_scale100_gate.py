@@ -72,6 +72,12 @@ CHECKED = [
     # hash-match vs the watermark-cutoff batch oracle pins state-size
     # and emission behavior at volume (VERDICT r5 item #7)
     "q137_stream_daily_peak_rate",
+    # round 11 (VERDICT r10 #8): the first STORE-MAINTENANCE cell at
+    # 100x — the OLAP view's insert refresh over 60M lineitem rows.
+    # The exact-decimal partial combine is |groups|-bounded (~250 rows
+    # regardless of fact volume), so this is the cheapest cell that
+    # pins the store discipline with a 60M-row hash-match
+    "q257_incremental_agg_view",
 ]
 
 

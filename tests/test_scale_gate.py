@@ -517,3 +517,48 @@ def test_triggered_vacuum_hash_match_at_10x(spark, synth_dir):
     the remaining corpus as store sizes grow 10x."""
     name = "q267_triggered_store_vacuum"
     assert_matches(QUERIES[name](spark, synth_dir), ORACLE[name], synth_dir)
+
+
+# -- round-11 additions: GDPR erasure, inverted-index GC, graph upsert,
+# -- atomic publish, value-oracled portable-IVF kNN --------------------------
+
+
+def test_scd2_gdpr_erase_hash_match_at_10x(spark, synth_dir):
+    """q268 at 10x: the erased-store rewrite + survivor-filtered merge
+    must equal the full recompute over surviving users as per-user
+    histories and the erased-user slice grow 10x."""
+    name = "q268_scd2_gdpr_erase"
+    assert_matches(QUERIES[name](spark, synth_dir), ORACLE[name], synth_dir)
+
+
+def test_bm25_store_vacuum_hash_match_at_10x(spark, synth_dir):
+    """q269 at 10x: postings GC + the range-clustered tf rewrite + the
+    post-vacuum refresh must equal the full-vocab recompute over the
+    remaining corpus as posting lists and the vocabulary grow 10x."""
+    name = "q269_bm25_store_vacuum"
+    assert_matches(QUERIES[name](spark, synth_dir), ORACLE[name], synth_dir)
+
+
+def test_upsert_triangles_hash_match_at_10x(spark, synth_dir):
+    """q270 at 10x: the one-pass bidirectional support net + the two
+    delta kernels must equal the full t1 recompute as edge multiplicity
+    and the revised-order slice grow 10x — simultaneous create/destroy
+    populations both scale."""
+    name = "q270_upsert_aware_triangles"
+    assert_matches(QUERIES[name](spark, synth_dir), ORACLE[name], synth_dir)
+
+
+def test_atomic_publish_hash_match_at_10x(spark, synth_dir):
+    """q271 at 10x: the pointer-committed two-store refresh must equal
+    the q235 identity (and resolve version 2) as both stores grow
+    10x."""
+    name = "q271_atomic_cross_store_publish"
+    assert_matches(QUERIES[name](spark, synth_dir), ORACLE[name], synth_dir)
+
+
+def test_portable_ivf_knn_hash_match_at_10x(spark, synth_ivf_dir):
+    """q55 at 10x (newly value-oracled): frozen-quantizer assignment,
+    integer probe selection, and the exact cosine rerank must stay
+    cross-engine exact as cell populations grow 10x."""
+    name = "q55_ivf_knn"
+    assert_matches(QUERIES[name](spark, synth_ivf_dir), ORACLE[name], synth_ivf_dir)

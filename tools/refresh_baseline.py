@@ -112,7 +112,11 @@ NOTES = {
     "q263_derived_quarterly_view": "monthly->quarterly partial re-combine",
     "q264_stream_scd2_merge": "chained store_v{bid} functional merges",
     "q265_scd2_late_backfill": "per-user re-derivation, semi-join pruned",
-    "q266_store_gc_trigger": "dead-row basis-point audit, exact flags",
+    "q266_store_gc_trigger": "dead-row audit vs per-store policy bars",
+    "q268_scd2_gdpr_erase": "user-history anti-join + compaction + merge",
+    "q269_bm25_store_vacuum": "postings GC, range-clustered rewrite",
+    "q270_upsert_aware_triangles": "one-pass support net, 2 delta kernels",
+    "q271_atomic_cross_store_publish": "2-store refresh, 1 pointer flip",
 }
 
 TABLE_HEAD = "| Query | sf | sec (warm) | sec (cold) | Notes | Run date |"
