@@ -202,13 +202,16 @@ def delete_aware_bm25(
     return _bm25_from_stores(dl, tf)
 
 
-def _bm25_sql(where: str, vocab: bool = False) -> str:
+def _bm25_sql(
+    where: str, vocab: bool = False, table: str = "documents"
+) -> str:
     """q106's oracle parameterized by a corpus predicate — the full
     recompute both maintenance identities are proven against.
     ``vocab=True`` adds the corpus-wide ``vocab_size`` audit column
-    (the full-vocabulary proofs q251/q269 carry) as a parameter rather
-    than post-hoc string surgery on the generated SQL (the q254
-    fragility class ADVICE r10 flagged)."""
+    (the full-vocabulary proofs q251/q269 carry) and ``table``
+    overrides the corpus relation (q244's revised-text subquery) — both
+    parameters rather than post-hoc string surgery on the generated SQL
+    (the q254 fragility class ADVICE r10 flagged)."""
     terms_sql = "(" + ", ".join(f"'{t}'" for t in BM25_TERMS) + ")"
     vocab_item = (
         ",\n           (SELECT count(DISTINCT token) FROM tok) AS vocab_size"
@@ -217,7 +220,7 @@ def _bm25_sql(where: str, vocab: bool = False) -> str:
     )
     return f"""
     WITH corpus AS (
-      SELECT doc_id, text FROM documents WHERE {where}
+      SELECT doc_id, text FROM {table} WHERE {where}
     ),
     tok AS (
       SELECT doc_id, unnest({TX.tokenize_sql('text')}) AS token FROM corpus
@@ -447,12 +450,10 @@ def upsert_aware_bm25_sql() -> str:
         f" % {INCR_UPD_BUCKETS}) = 0"
     )
     t1 = (
-        f"SELECT doc_id, CASE WHEN {flag('doc_id')} THEN text ||"
-        f" '{INCR_UPD_SUFFIX}' ELSE text END AS text FROM documents"
+        f"(SELECT doc_id, CASE WHEN {flag('doc_id')} THEN text ||"
+        f" '{INCR_UPD_SUFFIX}' ELSE text END AS text FROM documents) t1"
     )
-    inner = _bm25_sql("TRUE").replace(
-        "SELECT doc_id, text FROM documents WHERE TRUE", t1
-    )
+    inner = _bm25_sql("TRUE", table=t1)
     return (
         f"SELECT doc_id, bm25,"
         f" CASE WHEN {flag('doc_id')} THEN 'refreshed' ELSE 'carried' END AS src"

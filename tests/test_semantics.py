@@ -350,10 +350,12 @@ def test_zorder_beats_insertion_order_locality(spark):
 
 
 def test_ivf_nprobe_recall_dial(spark):
-    """IVF ANN (q55): multi-cell probing is the recall/cost dial — pin
-    the measured floors (sf0.001: 0.52 / 0.84 / 1.0 at nprobe 1/3/5) and
-    strict monotonicity, so a quantizer or probe-selection regression
-    can't silently gut the index."""
+    """IVF ANN (the MLlib-KMeans variant; q55 itself now runs the
+    portable frozen quantizer with a value oracle): multi-cell probing
+    is the recall/cost dial — pin the measured floors (sf0.001:
+    0.52 / 0.84 / 1.0 at nprobe 1/3/5) and strict monotonicity, so a
+    quantizer or probe-selection regression can't silently gut the
+    index."""
     from bigdatamining_graduate_spark.operators.similarity import (
         ivf_knn,
         knn_bruteforce,
