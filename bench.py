@@ -145,6 +145,9 @@ HEADLINE = [
     "q269_bm25_store_vacuum",     # inverted-index GC (layout-preserving tf compaction)
     "q270_upsert_aware_triangles",  # graph upsert: support up AND down in one pass
     "q271_atomic_cross_store_publish",  # sig+pair refresh behind one pointer flip
+    "q272_published_version_diff",  # CDC read: diff two immutable published versions
+    "q273_scd2_horizon_compaction",  # history retention pruning + merge off compacted store
+    "q274_maintained_quarterly_view",  # monthly merge -> quarterly re-derivation chained
 ]
 
 

@@ -1729,28 +1729,9 @@ def atomic_published_refresh(
     Scale: identical data movement to q235 (the writes and anti-joins
     are the same); the protocol adds one metadata write per publish.
     Reference anchor: extends q235/q267 (``hw3/hw3.py:125-172``)."""
-    from ..sources.publish import (
-        current_version,
-        publish_version,
-        read_current,
-    )
-    from ..staging import staging_dir
+    from ..sources.publish import current_version, read_current
 
-    root = root or staging_dir(prefix="bdm_publish_")
-    t0 = docs.filter(~_incr_delta_flag())
-    sig_t0 = local_checkpoint(minhash_signatures(t0), eager=False)
-    pairs_t0 = lsh_candidate_pairs(sig_t0, threshold).select("doc_a", "doc_b")
-    publish_version(root, 1, {"sig": sig_t0, "pair": pairs_t0})
-    # deletion cycle: v2 of BOTH stores derives from the v1 reads
-    tomb = docs.filter(_incr_deleted_flag()).select("doc_id")
-    sig_v2 = read_current(spark, root, "sig").join(tomb, "doc_id", "left_anti")
-    pair_v2 = (
-        read_current(spark, root, "pair")
-        .join(tomb.select(F.col("doc_id").alias("doc_a")), "doc_a", "left_anti")
-        .join(tomb.select(F.col("doc_id").alias("doc_b")), "doc_b", "left_anti")
-        .select("doc_a", "doc_b")
-    )
-    publish_version(root, 2, {"sig": sig_v2, "pair": pair_v2})
+    root = _publish_deletion_cycle(spark, docs, threshold, root)
     # next insert refresh resolves both stores through the pointer
     remaining = docs.filter(~_incr_deleted_flag())
     ver = current_version(root)
@@ -1760,6 +1741,122 @@ def atomic_published_refresh(
         base_sig=read_current(spark, root, "sig"),
         carried_pairs=read_current(spark, root, "pair"),
     ).withColumn("published_version", F.lit(ver).cast("long"))
+
+
+def _publish_deletion_cycle(
+    spark, docs: DataFrame, threshold: float, root: str | None
+) -> str:
+    """The shared q271/q272 store history: publish v1 (t0 signatures +
+    pairs), run the deletion cycle deriving v2 of BOTH stores from the
+    v1 reads, publish v2 with one pointer flip.  Returns the root."""
+    from ..sources.publish import publish_version, read_current
+    from ..staging import staging_dir
+
+    root = root or staging_dir(prefix="bdm_publish_")
+    t0 = docs.filter(~_incr_delta_flag())
+    sig_t0 = local_checkpoint(minhash_signatures(t0), eager=False)
+    pairs_t0 = lsh_candidate_pairs(sig_t0, threshold).select("doc_a", "doc_b")
+    publish_version(root, 1, {"sig": sig_t0, "pair": pairs_t0})
+    tomb = docs.filter(_incr_deleted_flag()).select("doc_id")
+    sig_v2 = read_current(spark, root, "sig").join(tomb, "doc_id", "left_anti")
+    pair_v2 = (
+        read_current(spark, root, "pair")
+        .join(tomb.select(F.col("doc_id").alias("doc_a")), "doc_a", "left_anti")
+        .join(tomb.select(F.col("doc_id").alias("doc_b")), "doc_b", "left_anti")
+        .select("doc_a", "doc_b")
+    )
+    publish_version(root, 2, {"sig": sig_v2, "pair": pair_v2})
+    return root
+
+
+def published_version_diff(
+    spark, docs: DataFrame, threshold: float, root: str | None = None
+) -> DataFrame:
+    """VERSION-DIFF read (q272) — the change-data-feed between two
+    published snapshots, computed entirely from the immutable version
+    directories the q271 protocol leaves behind: after the deletion
+    cycle publishes v2, a TIME-TRAVEL read pins the pair store at v1
+    AND v2 (``sources/publish.read_version`` — ``VERSION AS OF``) and
+    one left join labels every v1 pair ``both`` (survived the publish)
+    or ``v1_only`` (tombstoned by it).  This is what makes a publish
+    AUDITABLE: downstream consumers diff two versions to learn exactly
+    what a refresh changed, without any change log being written —
+    immutability IS the change log.
+
+    The DuckDB oracle recomputes the t0 pair set and labels each pair
+    by whether an endpoint is in the deletion slice — the driver
+    hash-match proves the physical v1/v2 directories carry exactly the
+    logical snapshots.  Time-travel reproducibility is pinned in
+    ``tests/test_publish.py``.
+
+    Scale: the diff is one |v1 store|-sized join on the pair key; no
+    corpus access at all (the one re-derivation here is the
+    driver-contract stand-in for stores a prior run persisted).
+    Reference anchor: extends q271 (``hw3/hw3.py:125-172``); the
+    reference has no versioning of any kind."""
+    from ..sources.publish import read_version
+
+    root = _publish_deletion_cycle(spark, docs, threshold, root)
+    v1 = read_version(spark, root, "pair", 1)
+    v2 = read_version(spark, root, "pair", 2).withColumn("in2", F.lit(1))
+    return v1.join(v2, ["doc_a", "doc_b"], "left").select(
+        "doc_a",
+        "doc_b",
+        F.when(F.col("in2").isNotNull(), F.lit("both"))
+        .otherwise(F.lit("v1_only"))
+        .alias("status"),
+    )
+
+
+def published_version_diff_sql(threshold: float) -> str:
+    """DuckDB twin: the t0 pair set with each pair labeled by whether
+    the deletion cycle killed it — the logical diff the physical
+    version directories must reproduce."""
+    mixed = affine_minhash_exprs_sql(portable_hash64_sql("gram"), MINHASH_K)
+    mins = ",\n        ".join(
+        f"min({mixed[i]}) AS mh{i}" for i in range(MINHASH_K)
+    )
+    delta = (
+        f"(({portable_hash64_sql('cast(doc_id as varchar)', 'ilsh')}"
+        f" % {INCR_LSH_BUCKETS}) >= {INCR_LSH_HIST})"
+    )
+
+    def dead(col: str) -> str:
+        return (
+            f"(({portable_hash64_sql(f'cast({col} as varchar)', 'idel')}"
+            f" % {INCR_DEL_BUCKETS}) = 0)"
+        )
+
+    band_selects = "\n      UNION ALL ".join(
+        f"SELECT doc_id, {j} AS band,"
+        f" md5(concat_ws('|', {', '.join(_band_cols(j))})) AS bh FROM sig"
+        for j in range(LSH_BANDS)
+    )
+    agree = " + ".join(
+        f"(CASE WHEN sa.mh{i} = sb.mh{i} THEN 1 ELSE 0 END)"
+        for i in range(MINHASH_K)
+    )
+    return f"""
+    WITH t0 AS (SELECT doc_id, text FROM documents WHERE NOT {delta}),
+    grams AS ({doc_grams_sql(table="t0")}),
+    sig AS (SELECT doc_id, {mins} FROM grams GROUP BY doc_id),
+    bands AS ({band_selects}),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh
+                               AND a.doc_id < b.doc_id
+    ),
+    pairs AS (
+      SELECT doc_a, doc_b FROM cand
+      JOIN sig sa ON sa.doc_id = doc_a
+      JOIN sig sb ON sb.doc_id = doc_b
+      WHERE ({agree}) / {float(MINHASH_K)} >= {threshold}
+    )
+    SELECT doc_a, doc_b,
+           CASE WHEN {dead('doc_a')} OR {dead('doc_b')}
+                THEN 'v1_only' ELSE 'both' END AS status
+    FROM pairs
+    """
 
 
 def atomic_published_refresh_sql(threshold: float) -> str:

@@ -23,13 +23,28 @@ def dec(c: Column) -> Column:
     return c.cast(DEC)
 
 
+def dbl_sql(e: str) -> str:
+    """CORRECTLY-ROUNDED decimal→double for DuckDB oracle text.
+
+    DuckDB's direct ``cast(decimal as double)`` converts the int128
+    unscaled value to double and divides by 10^scale — two roundings,
+    which drifts 1 ULP from the correctly-rounded value once the
+    unscaled magnitude exceeds 2^53 (caught by the 100× gate: q01's
+    sum_charge over 60M rows, exact decimal ...874000, direct cast
+    ...87396 while Spark's BigDecimal.doubleValue is ...874).  The
+    varchar hop — exact decimal text → strtod — is correctly rounded
+    at every magnitude, and identical to the direct cast below 2^53,
+    so sf0.01 driver hashes are unchanged."""
+    return f"cast(cast({e} as varchar) as double)"
+
+
 def exact_sum(c: Column) -> Column:
     """Order-independent sum of a 2-decimal double, returned as double."""
     return F.sum(dec(c)).cast("double")
 
 
 def exact_sum_sql(e: str) -> str:
-    return f"cast(sum(cast({e} as {DEC})) as double)"
+    return dbl_sql(f"sum(cast({e} as {DEC}))")
 
 
 def exact_avg(c: Column) -> Column:
@@ -38,7 +53,7 @@ def exact_avg(c: Column) -> Column:
 
 
 def exact_avg_sql(e: str) -> str:
-    return f"(cast(sum(cast({e} as {DEC})) as double) / count({e}))"
+    return f"({dbl_sql(f'sum(cast({e} as {DEC}))')} / count({e}))"
 
 
 def revenue(price: Column, discount: Column) -> Column:

@@ -80,8 +80,8 @@ _Q01_CUTOFF = "2000-12-31 00:00:00"
     SELECT l_returnflag, l_linestatus,
            {N.exact_sum_sql('l_quantity')}                               AS sum_qty,
            {N.exact_sum_sql('l_extendedprice')}                          AS sum_base_price,
-           cast(sum({N.revenue_sql('l_extendedprice', 'l_discount')}) as double)  AS sum_disc_price,
-           cast(sum({N.charge_sql('l_extendedprice', 'l_discount', 'l_tax')}) as double) AS sum_charge,
+           {N.dbl_sql(f"sum({N.revenue_sql('l_extendedprice', 'l_discount')})")}  AS sum_disc_price,
+           {N.dbl_sql(f"sum({N.charge_sql('l_extendedprice', 'l_discount', 'l_tax')})")} AS sum_charge,
            {N.exact_avg_sql('l_quantity')}                               AS avg_qty,
            {N.exact_avg_sql('l_extendedprice')}                          AS avg_price,
            {N.exact_avg_sql('l_discount')}                               AS avg_disc,
@@ -2962,7 +2962,7 @@ _Q94_SEGMENT = "BUILDING"
     "q94_shipping_priority",
     oracle=f"""
     SELECT l_orderkey,
-           cast(sum({N.revenue_sql('l_extendedprice', 'l_discount')}) as double) AS revenue,
+           {N.dbl_sql(f"sum({N.revenue_sql('l_extendedprice', 'l_discount')})")} AS revenue,
            strftime(o_orderdate, '%Y-%m-%d') AS order_date, o_orderpriority
     FROM customer
     JOIN orders   ON c_custkey = o_custkey
@@ -3744,7 +3744,7 @@ def q107_part_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM lineitem GROUP BY l_partkey
     )
     SELECT p.p_brand,
-           cast(sum(cast(l.l_extendedprice as {N.DEC})) as double) / 7.0 AS avg_yearly
+           {N.dbl_sql(f"sum(cast(l.l_extendedprice as {N.DEC}))")} / 7.0 AS avg_yearly
     FROM lineitem l
     JOIN pavg a ON a.l_partkey = l.l_partkey
     JOIN part p ON p.p_partkey = l.l_partkey
@@ -6921,8 +6921,8 @@ _Q167_WH_DIR = None
            count(*) AS n_items,
            CAST(count(DISTINCT o.o_orderkey) AS BIGINT) AS n_orders,
            {N.exact_sum_sql('l.l_extendedprice')} AS sum_price,
-           cast(sum({N.revenue_sql('l.l_extendedprice', 'l.l_discount')})
-                as double) AS sum_revenue
+           {N.dbl_sql(f"sum({N.revenue_sql('l.l_extendedprice', 'l.l_discount')})")}
+                AS sum_revenue
     FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
     GROUP BY o.o_orderstatus
     """,
@@ -7381,12 +7381,12 @@ _Q174_NAME_PATTERN = "%o%"
     "q174_profit_by_nation_year",
     oracle=f"""
     SELECT n.n_name AS nation, year(o.o_orderdate) AS o_year,
-           cast(sum(
+           cast(cast(sum(
              {N.revenue_sql('l.l_extendedprice', 'l.l_discount')}
              - cast({PS.supplycost_sql('l.l_partkey', 'l.l_suppkey')}
                     as {N.DEC})
                * cast(l.l_quantity as decimal(12,2))
-           ) as double) AS sum_profit
+           ) as varchar) as double) AS sum_profit
     FROM lineitem l
     JOIN orders   o ON o.o_orderkey = l.l_orderkey
     JOIN part     p ON p.p_partkey  = l.l_partkey
@@ -13617,6 +13617,178 @@ def q263_derived_quarterly_view(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q272_published_version_diff",
+    oracle=DD.published_version_diff_sql(0.5),
+)
+def q272_published_version_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VERSION-DIFF (change-data-feed) read between two published
+    snapshots: q271's immutable version directories make every past
+    snapshot reproducible (``read_version`` — ``VERSION AS OF``), so
+    diffing v1 against v2 recovers exactly what the deletion publish
+    changed with no change log ever written.  See
+    :func:`~..operators.dedup.published_version_diff`; time-travel
+    reproducibility is pinned in ``tests/test_publish.py``."""
+    docs = load_table(spark, sf_dir, "documents")
+    return DD.published_version_diff(spark, docs, 0.5)
+
+
+_Q273_HORIZON_DAYS = 14  # retain versions open within frontier − 14 days
+
+
+def scd2_horizon_compact(
+    spark: SparkSession, ev: DataFrame, stage_dir: str | None = None
+) -> DataFrame:
+    """The q273 lifecycle: build the t0 history store (8-file
+    accretion), HORIZON-COMPACT it — drop every version that closed at
+    or before (day frontier − {hz} days), keeping all open rows and all
+    recent history; rewrite + rename-swap — then run the next q262
+    merge off the compacted store.  Factored so the planted test can
+    inject a stage dir and pin shrinkage + PIT-serving equivalence."""
+    import os
+
+    from ..operators.dedup import swap_parquet_store
+    from ..staging import staging_dir
+
+    stage = stage_dir or staging_dir(prefix="bdm_scd2_hz_")
+    store_dir = os.path.join(stage, "scd2_store")
+    cut = ev.agg(
+        (F.date_trunc("DAY", F.max("ts")) - F.expr("INTERVAL 6 DAYS")).alias(
+            "cut"
+        ),
+        F.unix_micros(
+            F.date_trunc("DAY", F.max("ts"))
+            - F.expr(f"INTERVAL {_Q273_HORIZON_DAYS} DAYS")
+        ).alias("hz_us"),
+    )
+    ev2 = ev.crossJoin(F.broadcast(cut))
+    t0 = ev2.filter(F.col("ts") <= F.col("cut")).drop("cut", "hz_us")
+    batch = ev2.filter(F.col("ts") > F.col("cut")).drop("cut", "hz_us")
+    _scd2_history(t0).repartition(8).write.mode("overwrite").parquet(
+        store_dir
+    )
+    kept = (
+        spark.read.parquet(store_dir)
+        .crossJoin(F.broadcast(cut.select("hz_us")))
+        .filter(
+            F.col("valid_to_us").isNull()
+            | (F.col("valid_to_us") > F.col("hz_us"))
+        )
+        .drop("hz_us")
+    )
+    swap_parquet_store(kept, store_dir)
+    return scd2_merge(spark.read.parquet(store_dir), batch)
+
+
+@register(
+    "q273_scd2_horizon_compaction",
+    oracle=f"""
+    WITH cutoff AS (
+      SELECT date_trunc('day', max(ts)) - INTERVAL 6 DAY AS cut,
+             epoch_us(date_trunc('day', max(ts))
+                      - INTERVAL {_Q273_HORIZON_DAYS} DAY) AS hz_us
+      FROM events
+    ),
+    e AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN value < {_Q179_LOW} THEN 'low'
+                  WHEN value < {_Q179_MID} THEN 'mid'
+                  ELSE 'high' END AS tier
+      FROM events),
+    c AS (
+      SELECT *, CASE WHEN lag(tier) OVER w IS NULL
+                       OR lag(tier) OVER w <> tier THEN 1 ELSE 0 END AS chg
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    v AS (
+      SELECT user_id, tier, ts,
+             CAST(sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS version
+      FROM c),
+    g AS (
+      SELECT user_id, version, min(tier) AS tier,
+             min(epoch_us(ts)) AS valid_from_us
+      FROM v GROUP BY 1, 2),
+    hist AS (
+      SELECT user_id, version, tier, valid_from_us,
+             lead(valid_from_us) OVER (PARTITION BY user_id ORDER BY version)
+               AS valid_to_us,
+             lead(valid_from_us) OVER (PARTITION BY user_id ORDER BY version)
+               IS NULL AS is_current
+      FROM g),
+    busers AS (
+      SELECT DISTINCT user_id FROM events, cutoff WHERE ts > cut
+    ),
+    vcut AS (
+      SELECT user_id, max(version) AS vc
+      FROM hist, cutoff WHERE valid_from_us <= epoch_us(cut)
+      GROUP BY user_id
+    )
+    SELECT h.user_id, h.version, h.tier, h.valid_from_us, h.valid_to_us,
+           h.is_current,
+           CASE WHEN b.user_id IS NOT NULL
+                 AND h.version >= coalesce(vc.vc, 0) THEN 'merged'
+                ELSE 'carried' END AS src
+    FROM hist h
+    LEFT JOIN busers b ON b.user_id = h.user_id
+    LEFT JOIN vcut vc ON vc.user_id = h.user_id
+    CROSS JOIN cutoff
+    WHERE h.valid_to_us IS NULL OR h.valid_to_us > cutoff.hz_us
+    """,
+)
+def q273_scd2_horizon_compaction(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """SCD2 HISTORY COMPACTION (the retention half of VERDICT r10 #3 —
+    q268 forgets USERS on request, this prunes everyone's DEEP history
+    on a cadence): versions that closed at or before the retention
+    horizon (day frontier − 14 days) are dropped from the persisted
+    store — open rows and recent history survive — the store rewrites
+    + rename-swaps, and the NEXT q262 merge runs off the compacted
+    store.  The design fact this proves: the merge only ever needs
+    each user's CURRENT row, and compaction never drops a current row,
+    so history pruning and the merge loop commute.  Point-in-time
+    serving (q217) stays exact for every as-of timestamp AFTER the
+    horizon — pinned with store shrinkage in
+    ``tests/test_store_vacuum.py``.
+
+    The DuckDB oracle is the full q179+q262 recompute with the same
+    horizon filter applied to the final intervals — the driver
+    hash-match proves the filter commutes with the store lifecycle AND
+    the subsequent merge.
+
+    Scale: compaction is one |store|-sized filter + rewrite on the
+    retention cadence (at 100 TB: partition the history by
+    valid_to-month and drop whole partitions); the merge stays
+    O(|batch| + |batch users|).  Reference anchor: extends q179/q262/
+    q268 (``hw3/hw3.py:125-172``); the reference retains nothing."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", _q179_tier().alias("tier")
+    )
+    return scd2_horizon_compact(spark, ev)
+
+
+@register(
+    "q274_maintained_quarterly_view",
+    oracle=AV.maintained_quarterly_view_sql(),
+)
+def q274_maintained_quarterly_view(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TWO-LEVEL lattice maintenance: the q257 insert refresh and the
+    q263 derivability edge CHAINED — the batch merges into the monthly
+    store, the quarterly view re-derives from the REFRESHED partials
+    (corpus never re-touched), and per-quarter ``touched``/``carried``
+    provenance exposes the maintenance footprint a refresh scheduler
+    invalidates caches with.  See
+    :func:`~..operators.aggview.maintained_quarterly_view`; the oracle
+    is the direct quarterly rollup over the whole corpus with the same
+    footprint provenance, so the hash-match proves maintenance and
+    derivability commute."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return AV.maintained_quarterly_view(li)
+
+
+@register(
     "q271_atomic_cross_store_publish",
     oracle=DD.atomic_published_refresh_sql(0.5),
 )
@@ -13903,15 +14075,15 @@ _DRIVER_VERIFIED = frozenset(
 # q158-q161 and q164 were displaced past position 50 and stayed
 # r4-stale; they rotate NOW.
 #
-# Unverified bucket (sorts first automatically): the four new round-11
-# lifecycle queries (q268-q271) + q266 (fire_bp schema change) = 5.
-# _DEFERRED fills the remaining 45: the three MANDATORY rows whose sink
+# Unverified bucket (sorts first automatically): the seven new round-11
+# lifecycle queries (q268-q274) + q266 (fire_bp schema change) = 8.
+# _DEFERRED fills the remaining 42: the three MANDATORY rows whose sink
 # paths were rewritten by the r10 staging sweep (q165/q166/q167), every
 # remaining ≤r5-stale row — including the rows-only set the verdict
 # explicitly rotated this time (q91/q54/q139/q162/q163 refresh their
 # rows-only checks; q55 re-runs with its NEW value oracle and flips to
 # hash-green) — then the stalest r6-era rows as filler (q182-q189,
-# q216-q219; q220/q221 rotate round 12).  5 + 45 = exactly the 50-row
+# q217; q216/q218-q221 rotate round 12).  8 + 42 = exactly the 50-row
 # window: nothing listed here can be displaced.
 _DEFERRED = [
     # -- MANDATORY (VERDICT r10 #1): sink paths rewritten in r10's
@@ -13961,10 +14133,7 @@ _DEFERRED = [
     "q187_token_entropy",
     "q188_containment_pairs",
     "q189_snapshot_diff",
-    "q216_cogroup_asof_attribution",
     "q217_scd2_point_in_time_join",
-    "q218_pareto_coverage",
-    "q219_range_split_points",
 ]
 
 

@@ -87,5 +87,15 @@ def current_version(root: str) -> int:
 def read_current(spark: SparkSession, root: str, store: str) -> DataFrame:
     """Resolve ``store`` through the pointer — the only read path a
     publish-protocol consumer uses."""
-    v = current_version(root)
-    return spark.read.parquet(os.path.join(root, store, f"v{v}"))
+    return read_version(spark, root, store, current_version(root))
+
+
+def read_version(
+    spark: SparkSession, root: str, store: str, version: int
+) -> DataFrame:
+    """TIME-TRAVEL read: pin ``store`` at an explicit published
+    version.  Version directories are immutable, so any reader can
+    reproduce any past snapshot exactly until the GC cadence collects
+    it — the lakehouse ``VERSION AS OF`` primitive, and what makes the
+    q272 version-diff (change-data-feed) read possible."""
+    return spark.read.parquet(os.path.join(root, store, f"v{version}"))

@@ -84,3 +84,18 @@ def test_pointer_flip_is_single_atomic_rename(tmp_path):
     assert not os.path.exists(os.path.join(root, "CURRENT.tmp"))
     PB.commit_version(root, 8)
     assert PB.current_version(root) == 8
+
+
+def test_time_travel_reads_are_reproducible(spark, tmp_path):
+    """q272's primitive: after CURRENT moves to v2, read_version(1)
+    still reproduces the v1 snapshot exactly — immutability IS the
+    change log."""
+    root = str(tmp_path / "root")
+    PB.publish_version(
+        root, 1, {"a": _mk(spark, [1, 2]), "b": _mk(spark, [10])}
+    )
+    PB.publish_version(root, 2, {"a": _mk(spark, [3]), "b": _mk(spark, [30])})
+    assert PB.current_version(root) == 2
+    assert _vals(PB.read_version(spark, root, "a", 1)) == [1, 2]
+    assert _vals(PB.read_version(spark, root, "b", 1)) == [10]
+    assert _vals(PB.read_version(spark, root, "a", 2)) == [3]

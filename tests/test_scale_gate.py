@@ -562,3 +562,26 @@ def test_portable_ivf_knn_hash_match_at_10x(spark, synth_ivf_dir):
     cross-engine exact as cell populations grow 10x."""
     name = "q55_ivf_knn"
     assert_matches(QUERIES[name](spark, synth_ivf_dir), ORACLE[name], synth_ivf_dir)
+
+
+def test_version_diff_hash_match_at_10x(spark, synth_dir):
+    """q272 at 10x: the physical v1/v2 directory diff must equal the
+    logical snapshot diff as both published versions grow 10x."""
+    name = "q272_published_version_diff"
+    assert_matches(QUERIES[name](spark, synth_dir), ORACLE[name], synth_dir)
+
+
+def test_scd2_horizon_compaction_hash_match_at_10x(spark, synth_dir):
+    """q273 at 10x: horizon pruning must commute with the store
+    lifecycle and the subsequent merge as per-user version chains grow
+    10x."""
+    name = "q273_scd2_horizon_compaction"
+    assert_matches(QUERIES[name](spark, synth_dir), ORACLE[name], synth_dir)
+
+
+def test_maintained_quarterly_hash_match_at_10x(spark, synth_dir):
+    """q274 at 10x: the chained monthly-merge -> quarterly-derivation
+    must equal the direct corpus rollup (maintenance and derivability
+    commute) as per-group populations grow 10x."""
+    name = "q274_maintained_quarterly_view"
+    assert_matches(QUERIES[name](spark, synth_dir), ORACLE[name], synth_dir)

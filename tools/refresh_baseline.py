@@ -117,6 +117,9 @@ NOTES = {
     "q269_bm25_store_vacuum": "postings GC, range-clustered rewrite",
     "q270_upsert_aware_triangles": "one-pass support net, 2 delta kernels",
     "q271_atomic_cross_store_publish": "2-store refresh, 1 pointer flip",
+    "q272_published_version_diff": "v1 vs v2 store join, no corpus access",
+    "q273_scd2_horizon_compaction": "retention filter + swap + merge",
+    "q274_maintained_quarterly_view": "merge + lattice re-derivation chained",
 }
 
 TABLE_HEAD = "| Query | sf | sec (warm) | sec (cold) | Notes | Run date |"
