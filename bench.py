@@ -148,6 +148,8 @@ HEADLINE = [
     "q272_published_version_diff",  # CDC read: diff two immutable published versions
     "q273_scd2_horizon_compaction",  # history retention pruning + merge off compacted store
     "q274_maintained_quarterly_view",  # monthly merge -> quarterly re-derivation chained
+    "q275_stream_published_store",  # per-trigger pointer commits (functional version chain)
+    "q276_publish_version_gc",    # retention GC over the publish root + pointer serving
 ]
 
 

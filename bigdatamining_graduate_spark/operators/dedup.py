@@ -1769,6 +1769,88 @@ def _publish_deletion_cycle(
     return root
 
 
+def gc_published_refresh(
+    spark, docs: DataFrame, threshold: float, root: str | None = None
+) -> DataFrame:
+    """Publish-root VERSION GC (q276 — completing the publish
+    lifecycle: write q271, commit q271, time-travel/diff q272, and now
+    retention): after the deletion cycle (v1 → v2), the insert refresh
+    itself is MATERIALIZED and committed as v3 of a ``pairs`` result
+    store (plus the merged v3 signature store), then
+    :func:`~..sources.publish.gc_versions` retains the 2 newest
+    versions — v1's directories are physically deleted, v2 stays
+    time-travelable, and serving reads v3 through the pointer.
+
+    The output carries ``published_version`` (3) AND ``versions_kept``
+    (2, counted from the pair store's on-disk version directories) —
+    a skipped GC leaves 3 directories and reds the driver row, a
+    skipped publish reds the version column (the q249/q271
+    swap-must-run discipline, extended to retention).
+
+    The DuckDB oracle is the q235 refresh identity + both audit
+    constants.  Physical removal of v1 and survival of v2 reads are
+    pinned in ``tests/test_publish.py``.
+
+    Scale: GC is pure metadata work (directory listing + unlink) on
+    the retention cadence; the refresh materialization is the same
+    write the un-versioned path performs.  Reference anchor: extends
+    q271/q272 (``hw3/hw3.py:125-172``)."""
+    import os
+    import re
+
+    from ..sources.publish import (
+        gc_versions,
+        publish_version,
+        read_current,
+        read_version,
+    )
+
+    root = _publish_deletion_cycle(spark, docs, threshold, root)
+    remaining = docs.filter(~_incr_deleted_flag())
+    refreshed = incremental_lsh_pairs(
+        remaining,
+        threshold,
+        base_sig=read_version(spark, root, "sig", 2),
+        carried_pairs=read_version(spark, root, "pair", 2),
+    )
+    sig_v3 = read_version(spark, root, "sig", 2).unionByName(
+        minhash_signatures(remaining.filter(_incr_delta_flag()))
+    )
+    publish_version(root, 3, {"sig": sig_v3, "pairs_result": refreshed})
+    audit = gc_versions(root, retain=2)
+    assert ("pair", 1) in audit["removed"], audit
+    pair_versions = len(
+        [
+            v
+            for v in os.listdir(os.path.join(root, "pairs_result"))
+            if re.fullmatch(r"v\d+", v)
+        ]
+        + [
+            v
+            for v in os.listdir(os.path.join(root, "pair"))
+            if re.fullmatch(r"v\d+", v)
+        ]
+    )
+    return (
+        read_current(spark, root, "pairs_result")
+        .withColumn("published_version", F.lit(3).cast("long"))
+        .withColumn("versions_kept", F.lit(pair_versions).cast("long"))
+    )
+
+
+def gc_published_refresh_sql(threshold: float) -> str:
+    """DuckDB twin: the q235 refresh identity + the pinned committed
+    version (3) and pinned retained-version count (2: pairs_result has
+    only v3, pair has only v2 after GC) — red if either the publish or
+    the GC does not actually run."""
+    return (
+        f"SELECT doc_a, doc_b, sig_match, src,"
+        f" cast(3 as bigint) AS published_version,"
+        f" cast(2 as bigint) AS versions_kept"
+        f" FROM ({vacuumed_refresh_pairs_sql(threshold)})"
+    )
+
+
 def published_version_diff(
     spark, docs: DataFrame, threshold: float, root: str | None = None
 ) -> DataFrame:

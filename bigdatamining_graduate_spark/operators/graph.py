@@ -801,10 +801,14 @@ def incremental_triangles(
         edge_store if edge_store is not None else _copurchase_pairs(base_li),
         eager=False,
     )
+    # the q250 store-derivation trick: the carried triangle counts come
+    # FROM the materialized edge store (one adjacency closure), never by
+    # re-pairing the corpus a second time (measured on q250: one whole
+    # pair-gen shuffle saved; applied here round 11)
     carried = (
         tri_store
         if tri_store is not None
-        else triangle_counts(base_li).select("node", "tri_cnt")
+        else pairs_triangle_counts(base_pairs).select("node", "tri_cnt")
     ).select("node", F.col("tri_cnt").alias("tri_base"))
     e_new = local_checkpoint(
         _copurchase_pairs(batch_li).join(
@@ -972,10 +976,14 @@ def delete_aware_triangles(
         edge_store if edge_store is not None else _weighted_pairs(lineitem),
         eager=False,
     )
+    # carried counts derive from the materialized weighted store (the
+    # q250 trick — no second corpus pairing; see incremental_triangles)
     carried = (
         tri_store
         if tri_store is not None
-        else triangle_counts(lineitem).select("node", "tri_cnt")
+        else pairs_triangle_counts(store.select("pa", "pb")).select(
+            "node", "tri_cnt"
+        )
     ).select("node", F.col("tri_cnt").alias("tri_base"))
     cd = (
         _weighted_pairs(lineitem.filter(deleted))
@@ -1128,10 +1136,14 @@ def upsert_aware_triangles(
         edge_store if edge_store is not None else _weighted_pairs(lineitem),
         eager=False,
     )
+    # carried counts derive from the materialized weighted store (the
+    # q250 trick — no second corpus pairing; see incremental_triangles)
     carried = (
         tri_store
         if tri_store is not None
-        else triangle_counts(lineitem).select("node", "tri_cnt")
+        else pairs_triangle_counts(store.select("pa", "pb")).select(
+            "node", "tri_cnt"
+        )
     ).select("node", F.col("tri_cnt").alias("tri_base"))
     rev_li = lineitem.filter(revised)
     c_old = _weighted_pairs(rev_li).select(

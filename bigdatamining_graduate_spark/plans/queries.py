@@ -13617,6 +13617,41 @@ def q263_derived_quarterly_view(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q275_stream_published_store",
+    oracle=ST.stream_published_store_sql(0.5),
+)
+def q275_stream_published_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ATOMIC PUBLISH under STREAMING arrival: every micro-batch
+    commits a complete new store version through the manifest pointer
+    (version bid+1 computed functionally from an EXPLICIT read of
+    version bid — replay overwrites its own version, the q264
+    state-chaining discipline), so readers between triggers always
+    resolve a complete committed snapshot.  See
+    :func:`~..streaming.jobs.stream_published_store`; the oracle is
+    the full-batch q26 recompute + the pinned final version, so a
+    skipped flip (or a double-applied replay) reds the row."""
+    return ST.stream_published_store(spark, sf_dir, 0.5)
+
+
+@register(
+    "q276_publish_version_gc",
+    oracle=DD.gc_published_refresh_sql(0.5),
+)
+def q276_publish_version_gc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Publish-root VERSION GC — the retention cell completing the
+    publish lifecycle (write q271 / diff q272 / stream q275 / GC
+    here): the insert refresh materializes and commits as v3, then
+    ``gc_versions`` retains the 2 newest versions — v1 physically
+    deleted, v2 still time-travelable, serving through the pointer.
+    See :func:`~..operators.dedup.gc_published_refresh`; the
+    ``published_version``/``versions_kept`` audit columns red the row
+    if either the publish or the GC is skipped.  Physical removal +
+    survival of retained reads pinned in ``tests/test_publish.py``."""
+    docs = load_table(spark, sf_dir, "documents")
+    return DD.gc_published_refresh(spark, docs, 0.5)
+
+
+@register(
     "q272_published_version_diff",
     oracle=DD.published_version_diff_sql(0.5),
 )
@@ -14075,16 +14110,16 @@ _DRIVER_VERIFIED = frozenset(
 # q158-q161 and q164 were displaced past position 50 and stayed
 # r4-stale; they rotate NOW.
 #
-# Unverified bucket (sorts first automatically): the seven new round-11
-# lifecycle queries (q268-q274) + q266 (fire_bp schema change) = 8.
-# _DEFERRED fills the remaining 42: the three MANDATORY rows whose sink
+# Unverified bucket (sorts first automatically): the nine new round-11
+# lifecycle queries (q268-q276) + q266 (fire_bp schema change) = 10.
+# _DEFERRED fills the remaining 40: the three MANDATORY rows whose sink
 # paths were rewritten by the r10 staging sweep (q165/q166/q167), every
 # remaining ≤r5-stale row — including the rows-only set the verdict
 # explicitly rotated this time (q91/q54/q139/q162/q163 refresh their
 # rows-only checks; q55 re-runs with its NEW value oracle and flips to
-# hash-green) — then the stalest r6-era rows as filler (q182-q189,
-# q217; q216/q218-q221 rotate round 12).  8 + 42 = exactly the 50-row
-# window: nothing listed here can be displaced.
+# hash-green) — then the stalest r6-era rows as filler (q182-q187,
+# q217; q188/q189/q216/q218-q221 rotate round 12).  10 + 40 = exactly
+# the 50-row window: nothing listed here can be displaced.
 _DEFERRED = [
     # -- MANDATORY (VERDICT r10 #1): sink paths rewritten in r10's
     #    staging-root sweep; green rows predate five rounds of motion --
@@ -14131,8 +14166,6 @@ _DEFERRED = [
     "q185_bigram_lm_quality",
     "q186_event_type_psi",
     "q187_token_entropy",
-    "q188_containment_pairs",
-    "q189_snapshot_diff",
     "q217_scd2_point_in_time_join",
 ]
 

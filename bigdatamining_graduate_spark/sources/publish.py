@@ -90,6 +90,42 @@ def read_current(spark: SparkSession, root: str, store: str) -> DataFrame:
     return read_version(spark, root, store, current_version(root))
 
 
+def gc_versions(root: str, retain: int = 2) -> dict:
+    """Version GC — the retention half of the publish protocol: drop
+    every version directory older than the ``retain`` most recent
+    committed versions, across ALL stores under ``root``.  Safe by the
+    protocol's own invariants: the pointer only ever references the
+    newest version, old versions are unreferenced garbage the moment
+    the flip lands, and nothing is ever written INTO an existing
+    version directory — so GC can never race a reader that resolved
+    the pointer after the retained window opened (time-travel readers
+    pin versions inside it).  Returns
+    ``{removed: [(store, version), ...], kept_per_store: {store: n}}``.
+    """
+    import re
+    import shutil
+
+    cur = current_version(root)
+    keep = {cur - i for i in range(retain)}
+    removed: list[tuple[str, int]] = []
+    kept: dict[str, int] = {}
+    for store in sorted(os.listdir(root)):
+        sdir = os.path.join(root, store)
+        if not os.path.isdir(sdir):
+            continue
+        kept[store] = 0
+        for vname in sorted(os.listdir(sdir)):
+            m = re.fullmatch(r"v(\d+)", vname)
+            if not m:
+                continue
+            if int(m.group(1)) in keep:
+                kept[store] += 1
+            else:
+                shutil.rmtree(os.path.join(sdir, vname))
+                removed.append((store, int(m.group(1))))
+    return {"removed": removed, "kept_per_store": kept}
+
+
 def read_version(
     spark: SparkSession, root: str, store: str, version: int
 ) -> DataFrame:

@@ -1723,3 +1723,127 @@ def stream_scd2_merge_sql() -> str:
              AS arrived
     FROM g, span
     """
+
+
+def stream_published_store(
+    spark: SparkSession, sf_dir: str, threshold: float = 0.5
+) -> DataFrame:
+    """ATOMIC PUBLISH under STREAMING arrival (q275 — the q271
+    protocol meeting the q230 arrival shape): documents arrive in three
+    staged micro-batches and each trigger COMMITS a complete new
+    signature-store version through the manifest pointer — version
+    ``bid + 1`` is computed functionally from version ``bid`` read by
+    EXPLICIT pin (``read_version``, never ``read_current``), so a
+    replayed micro-batch recomputes and overwrites ITS OWN version
+    instead of double-appending (q264's state-chaining discipline
+    expressed in publish-protocol versions; Spark's foreachBatch
+    exactly-once contract).  Readers between any two triggers resolve
+    the pointer to a complete committed snapshot — never a
+    half-ingested one.
+
+    Per-trigger asserts: the pointer advanced to ``bid + 1`` and the
+    committed version's row count equals the cumulative arrival —
+    self-checking plumbing.  After the drain, serving runs the LSH
+    pair pipeline off the pointer-resolved store; since the three
+    batches partition the corpus, the result must equal the full-batch
+    q26 recompute — the DuckDB oracle — plus the pinned final version
+    (3), which reds the row if any trigger's flip was skipped.
+
+    Scale: per-trigger work is O(|batch|) signing + one store-sized
+    rewrite (at 100 TB the version write is an APPEND of the batch's
+    files plus a manifest listing both, not a data rewrite — the
+    pointer flip is identical); the serving read never sees partial
+    state.  Reference anchor: ``hw3/hw3.py:125-172`` (extension — the
+    reference has zero streaming and no versioning)."""
+    import glob
+    import os
+    import shutil
+
+    from ..operators import dedup as DD
+    from ..sources.publish import (
+        commit_version,
+        current_version,
+        publish_version,
+        read_current,
+        read_version,
+        write_store_version,
+    )
+    from ..staging import staging_dir
+
+    docs = spark.read.parquet(table_path(sf_dir, "documents")).select(
+        "doc_id", "text"
+    )
+    stage = staging_dir(prefix="bdm_stream_publish_")
+    indir = os.path.join(stage, "in")
+    root = os.path.join(stage, "store_root")
+    os.makedirs(indir)
+    os.makedirs(root)
+    bflag = _stream_lsh_batch_flag()
+    counts = []
+    for i in range(STREAM_LSH_BATCHES):
+        part = docs.filter(bflag == i)
+        counts.append(part.count())
+        part_dir = os.path.join(stage, f"part{i}")
+        part.coalesce(1).write.parquet(part_dir)
+        dst = os.path.join(indir, f"batch{i}.parquet")
+        shutil.move(
+            glob.glob(os.path.join(part_dir, "part-*.parquet"))[0], dst
+        )
+        os.utime(dst, (1_700_000_000 + i * 100, 1_700_000_000 + i * 100))
+    # v0: the committed EMPTY store — batch 0's functional predecessor
+    publish_version(root, 0, {"sig": DD.minhash_signatures(docs.limit(0))})
+
+    def handle(batch_df: DataFrame, bid: int) -> None:
+        from ..checkpoints import release_new_since, tracked_ids
+
+        ledger_before = tracked_ids()
+        prev = read_version(spark, root, "sig", int(bid))
+        write_store_version(
+            prev.unionByName(DD.minhash_signatures(batch_df)),
+            root,
+            "sig",
+            int(bid) + 1,
+        )
+        commit_version(root, int(bid) + 1)
+        got = current_version(root)
+        if got != int(bid) + 1:
+            raise AssertionError(
+                f"trigger {bid}: pointer at {got}, expected {int(bid) + 1}"
+            )
+        n = read_current(spark, root, "sig").count()
+        expect = sum(counts[: int(bid) + 1])
+        if n != expect:
+            raise AssertionError(
+                f"trigger {bid}: committed store has {n} signatures, "
+                f"cumulative arrival is {expect}"
+            )
+        release_new_since(ledger_before)
+
+    q = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(indir)
+        .writeStream.foreachBatch(handle)
+        .option("checkpointLocation", os.path.join(stage, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    ver = current_version(root)
+    sig = read_current(spark, root, "sig")
+    return DD.lsh_candidate_pairs(sig, threshold).withColumn(
+        "published_version", F.lit(ver).cast("long")
+    )
+
+
+def stream_published_store_sql(threshold: float = 0.5) -> str:
+    """Batch twin: the full-corpus LSH pair recompute (the three
+    micro-batches partition the corpus) + the pinned final committed
+    version."""
+    from ..operators.dedup import minhash_lsh_pairs_sql
+
+    return (
+        f"SELECT doc_a, doc_b, sig_match,"
+        f" cast({STREAM_LSH_BATCHES} as bigint) AS published_version"
+        f" FROM ({minhash_lsh_pairs_sql(threshold)})"
+    )

@@ -99,3 +99,25 @@ def test_time_travel_reads_are_reproducible(spark, tmp_path):
     assert _vals(PB.read_version(spark, root, "a", 1)) == [1, 2]
     assert _vals(PB.read_version(spark, root, "b", 1)) == [10]
     assert _vals(PB.read_version(spark, root, "a", 2)) == [3]
+
+
+def test_version_gc_removes_old_keeps_retained(spark, tmp_path):
+    """q276's primitive: gc_versions(retain=2) physically deletes every
+    version outside the retention window across all stores, keeps the
+    newest two readable (time travel included), and never touches the
+    pointer."""
+    import os
+
+    root = str(tmp_path / "root")
+    PB.publish_version(root, 1, {"a": _mk(spark, [1]), "b": _mk(spark, [10])})
+    PB.publish_version(root, 2, {"a": _mk(spark, [2]), "b": _mk(spark, [20])})
+    PB.publish_version(root, 3, {"a": _mk(spark, [3]), "b": _mk(spark, [30])})
+    audit = PB.gc_versions(root, retain=2)
+    assert sorted(audit["removed"]) == [("a", 1), ("b", 1)]
+    assert audit["kept_per_store"] == {"a": 2, "b": 2}
+    assert not os.path.exists(os.path.join(root, "a", "v1"))
+    assert PB.current_version(root) == 3
+    assert _vals(PB.read_current(spark, root, "a")) == [3]
+    assert _vals(PB.read_version(spark, root, "b", 2)) == [20]
+    # idempotent: a second GC removes nothing
+    assert PB.gc_versions(root, retain=2)["removed"] == []

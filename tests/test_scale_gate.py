@@ -585,3 +585,18 @@ def test_maintained_quarterly_hash_match_at_10x(spark, synth_dir):
     commute) as per-group populations grow 10x."""
     name = "q274_maintained_quarterly_view"
     assert_matches(QUERIES[name](spark, synth_dir), ORACLE[name], synth_dir)
+
+
+def test_stream_published_store_hash_match_at_10x(spark, synth_dir):
+    """q275 at 10x: three per-trigger pointer commits over 10x document
+    volume must land exactly on the full-batch LSH recompute with the
+    final version pinned."""
+    name = "q275_stream_published_store"
+    assert_matches(QUERIES[name](spark, synth_dir), ORACLE[name], synth_dir)
+
+
+def test_publish_version_gc_hash_match_at_10x(spark, synth_dir):
+    """q276 at 10x: v3 publish + retain-2 GC + pointer serving must
+    equal the refresh identity as all versions grow 10x."""
+    name = "q276_publish_version_gc"
+    assert_matches(QUERIES[name](spark, synth_dir), ORACLE[name], synth_dir)

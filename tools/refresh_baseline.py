@@ -120,6 +120,11 @@ NOTES = {
     "q272_published_version_diff": "v1 vs v2 store join, no corpus access",
     "q273_scd2_horizon_compaction": "retention filter + swap + merge",
     "q274_maintained_quarterly_view": "merge + lattice re-derivation chained",
+    "q275_stream_published_store": "3 per-trigger pointer commits + serve",
+    "q276_publish_version_gc": "v3 publish, retain-2 GC, pointer read",
+    "q246_incremental_triangles": "delta closure; carried from edge store",
+    "q247_delete_aware_triangles": "weighted-store deaths; carried from store",
+    "q270_upsert_aware_triangles": "one-pass support net, 2 delta kernels",
 }
 
 TABLE_HEAD = "| Query | sf | sec (warm) | sec (cold) | Notes | Run date |"
