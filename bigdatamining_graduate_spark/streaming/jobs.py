@@ -1209,8 +1209,10 @@ def stream_incremental_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
             GR._copurchase_pairs(batch_df), eager=False
         )
         if not glob.glob(os.path.join(edge_store, "*", "*.parquet")):
-            # bootstrap trigger: this prefix graph's full closure
-            contrib = GR.triangle_counts(batch_df).select(
+            # bootstrap trigger: this prefix graph's full closure —
+            # derived FROM the checkpointed batch edges (the q250
+            # store-derivation trick; no second pairing of the batch)
+            contrib = GR.pairs_triangle_counts(batch_edges).select(
                 "node", F.col("tri_cnt").alias("td")
             )
             new_edges = batch_edges
