@@ -150,6 +150,8 @@ HEADLINE = [
     "q274_maintained_quarterly_view",  # monthly merge -> quarterly re-derivation chained
     "q275_stream_published_store",  # per-trigger pointer commits (functional version chain)
     "q276_publish_version_gc",    # retention GC over the publish root + pointer serving
+    "q277_schema_evolved_store",  # mixed-schema mergeSchema read across store generations
+    "q278_manifest_pruned_rollup",  # incremental stats manifest + file-pruned serving read
 ]
 
 

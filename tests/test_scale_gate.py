@@ -600,3 +600,17 @@ def test_publish_version_gc_hash_match_at_10x(spark, synth_dir):
     equal the refresh identity as all versions grow 10x."""
     name = "q276_publish_version_gc"
     assert_matches(QUERIES[name](spark, synth_dir), ORACLE[name], synth_dir)
+
+
+def test_schema_evolved_store_hash_match_at_10x(spark, synth_dir):
+    """q277 at 10x: the mixed-schema mergeSchema read must stay
+    lossless as both generations grow 10x."""
+    name = "q277_schema_evolved_store"
+    assert_matches(QUERIES[name](spark, synth_dir), ORACLE[name], synth_dir)
+
+
+def test_manifest_pruned_rollup_hash_match_at_10x(spark, synth_dir):
+    """q278 at 10x: incremental manifest maintenance + file pruning
+    must stay lossless as file counts and row volumes grow 10x."""
+    name = "q278_manifest_pruned_rollup"
+    assert_matches(QUERIES[name](spark, synth_dir), ORACLE[name], synth_dir)

@@ -311,3 +311,81 @@ def test_jsonl_corrupt_record_capture(spark, tmp_path):
         .collect()
     )
     assert sorted(r["a"] for r in dropped) == [1, 3]
+
+
+def test_schema_evolution_is_read_side_only(spark, tmp_path):
+    """q277: the v1 files physically LACK the evolved column (no
+    rewrite ever happened), a v1-file-only read has no such column,
+    and the mergeSchema read unifies both generations losslessly."""
+    import glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    from bigdatamining_graduate_spark.plans.queries import (
+        schema_evolved_quality_rollup,
+    )
+    from bigdatamining_graduate_spark.sources.catalog import load_table
+    from .conftest import SF_SMOKE
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    out = schema_evolved_quality_rollup(spark, docs, stage_dir=str(tmp_path))
+    rows = {r.quality: (r.n_docs, r.sum_tokens) for r in out.collect()}
+    assert set(rows) == {"legacy", "good", "low"}, rows
+    store = os.path.join(str(tmp_path), "stats_store")
+    files = glob.glob(os.path.join(store, "*.parquet"))
+    legacy = [f for f in files if "quality" not in spark.read.parquet(f).columns]
+    evolved = [f for f in files if "quality" in spark.read.parquet(f).columns]
+    assert legacy and evolved  # both generations physically coexist
+
+    # lossless unification: merged read covers every doc exactly once
+    merged = spark.read.option("mergeSchema", "true").parquet(store)
+    assert merged.count() == docs.count()
+    assert merged.filter(F.col("quality").isNull()).count() == rows["legacy"][0]
+
+
+def test_manifest_prunes_files_and_stays_lossless(spark, tmp_path):
+    """q278: the manifest read opens strictly fewer files than the
+    store holds (skipping is real on the range-clustered layout), the
+    incremental append stats only the new files, and the pruned result
+    equals the unpruned filtered read."""
+    import glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    from bigdatamining_graduate_spark.plans.queries import (
+        _Q278_HI,
+        _Q278_LO,
+        manifest_pruned_rollup,
+    )
+    from bigdatamining_graduate_spark.sources.catalog import load_table
+    from bigdatamining_graduate_spark.sources.manifest import (
+        collect_manifest,
+        prune_files,
+    )
+    from .conftest import SF_SMOKE
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    out = manifest_pruned_rollup(spark, ev, stage_dir=str(tmp_path))
+    got = {r.event_type: (r.n, round(r.sum_value, 2)) for r in out.collect()}
+    store = os.path.join(str(tmp_path), "events_store")
+    n_files = len(glob.glob(os.path.join(store, "*.parquet")))
+    assert n_files == 10  # 8 base + 2 appended
+    man = collect_manifest(spark, store, ["value"])
+    assert man.count() == n_files
+    survivors = prune_files(man, {"value": (_Q278_LO, _Q278_HI)})
+    assert 0 < len(survivors) < n_files  # skipping actually happened
+    expected = {
+        r.event_type: (r.n, round(r.sum_value, 2))
+        for r in ev.filter(F.col("value").between(_Q278_LO, _Q278_HI))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(20,2)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .collect()
+    }
+    assert got == expected

@@ -122,6 +122,8 @@ NOTES = {
     "q274_maintained_quarterly_view": "merge + lattice re-derivation chained",
     "q275_stream_published_store": "3 per-trigger pointer commits + serve",
     "q276_publish_version_gc": "v3 publish, retain-2 GC, pointer read",
+    "q277_schema_evolved_store": "mergeSchema read, legacy rows coalesced",
+    "q278_manifest_pruned_rollup": "file-pruned read, exact re-filter",
     "q246_incremental_triangles": "delta closure; carried from edge store",
     "q247_delete_aware_triangles": "weighted-store deaths; carried from store",
     "q270_upsert_aware_triangles": "one-pass support net, 2 delta kernels",
