@@ -1849,3 +1849,175 @@ def stream_published_store_sql(threshold: float = 0.5) -> str:
         f" cast({STREAM_LSH_BATCHES} as bigint) AS published_version"
         f" FROM ({minhash_lsh_pairs_sql(threshold)})"
     )
+
+
+def stream_session_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q282's session merge run as an ACTUAL stream (q284): events
+    arrive in three EVENT-TIME-ordered micro-batches (equal
+    epoch-microsecond thirds of the fixture span, exact integer
+    arithmetic — the q264 slicing), and each trigger merges the
+    arriving batch into the persisted session store via the q282
+    merge-from-final-session step.  State is versioned PER BATCH ID
+    (``store_v{bid}`` = merge(``store_v{bid-1}``, batch) — the q264
+    functional state-chaining shape), so a replayed micro-batch
+    recomputes its version from its predecessor and overwrites it:
+    the non-idempotent merge becomes idempotent under the foreachBatch
+    replay contract.  The handler asserts per-trigger slice fidelity
+    and the frontier invariant (after the merge, the store's latest
+    session ends exactly one gap after the batch's latest event).
+
+    After the drain, the final store must equal the full
+    sessionization recompute, with ``arrived`` = the micro-batch that
+    LAST TOUCHED each session (a pure function of the session's final
+    event time, so the DuckDB twin states it in closed form) — the
+    stream == batch identity for chained session merges, including
+    sessions EXTENDED ACROSS trigger boundaries (a batch-1 event
+    within one gap of a batch-0 session's end grows that session in
+    place; the recompute cannot tell).
+
+    Scale: per-trigger work is O(|batch| + |batch users|); earlier
+    sessions are never re-derived.  Kafka source + an upsert sink is
+    the same production shape.  Reference anchor: extends q190/q282;
+    the reference has zero streaming."""
+    import glob
+    import os
+    import shutil
+
+    from ..operators.sessions import (
+        GAP_US,
+        full_sessions_derived,
+        merge_sessions_step,
+    )
+    from ..sources.catalog import load_table
+    from ..staging import staging_dir
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts"
+    )
+    lo, hi = ev.agg(
+        F.min(F.unix_micros("ts")), F.max(F.unix_micros("ts"))
+    ).collect()[0]
+    span = hi - lo + 1
+
+    def bid_of(col):
+        # exact integer division (`div`), matching DuckDB's `//`
+        return F.least(
+            F.lit(2),
+            F.expr(f"(unix_micros({col}) - {lo}L) * 3L div {span}L"),
+        )
+
+    stage = staging_dir(prefix="bdm_stream_sessions_")
+    indir = os.path.join(stage, "in")
+    os.makedirs(indir)
+    for i in range(3):
+        part_dir = os.path.join(stage, f"part{i}")
+        ev.filter(bid_of("ts") == i).coalesce(1).write.parquet(part_dir)
+        dst = os.path.join(indir, f"batch{i}.parquet")
+        shutil.move(
+            glob.glob(os.path.join(part_dir, "part-*.parquet"))[0], dst
+        )
+        os.utime(dst, (1_700_000_000 + i * 100, 1_700_000_000 + i * 100))
+    schema = spark.read.parquet(os.path.join(indir, "batch0.parquet")).schema
+
+    def store_dir(v: int) -> str:
+        return os.path.join(stage, f"store_v{v}")
+
+    def handle(batch_df: DataFrame, bid: int) -> None:
+        from ..checkpoints import (
+            local_checkpoint,
+            release_new_since,
+            tracked_ids,
+        )
+
+        ledger_before = tracked_ids()
+        rows = local_checkpoint(batch_df, eager=False)
+        bad = rows.filter(bid_of("ts") != F.lit(int(bid))).count()
+        if bad:
+            raise AssertionError(
+                f"stream batch {bid} received {bad} rows outside its "
+                "event-time slice"
+            )
+        batch_rows = rows.select(
+            "user_id", F.unix_micros("ts").alias("tus"), "event_id"
+        )
+        if bid == 0:
+            merged = full_sessions_derived(rows)
+        else:
+            merged = merge_sessions_step(
+                spark.read.parquet(store_dir(bid - 1)), batch_rows
+            ).drop("src")
+        merged = local_checkpoint(merged, eager=False)
+        # frontier invariant: the latest stored session ends exactly
+        # one gap after the batch's latest event (1-row control scalars)
+        mx_end = merged.agg(F.max("session_end_us")).collect()[0][0]
+        mx_tus = rows.agg(F.max(F.unix_micros("ts"))).collect()[0][0]
+        if mx_end != mx_tus + GAP_US:
+            raise AssertionError(
+                f"stream batch {bid}: store frontier {mx_end} != batch "
+                f"max {mx_tus} + gap"
+            )
+        # state-version-per-batch: replay overwrites v{bid} recomputed
+        # from v{bid-1} (idempotent even though merge itself is not)
+        merged.write.mode("overwrite").parquet(store_dir(bid))
+        release_new_since(ledger_before)
+
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(indir)
+        .writeStream.foreachBatch(handle)
+        .option("checkpointLocation", os.path.join(stage, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    final = spark.read.parquet(store_dir(2))
+    arrived = F.least(
+        F.lit(2).cast("long"),
+        F.expr(
+            f"(session_end_us - {GAP_US}L - {lo}L) * 3L div {span}L"
+        ),
+    )
+    return final.select(
+        "user_id",
+        "session_start_us",
+        "session_end_us",
+        "n_events",
+        arrived.cast("long").alias("arrived"),
+    )
+
+
+def stream_session_merge_sql() -> str:
+    """Batch twin: the full sessionization recompute + the closed-form
+    last-touching micro-batch id."""
+    from ..operators.sessions import GAP_US
+
+    return f"""
+    WITH b AS (
+      SELECT min(epoch_us(ts)) AS lo, max(epoch_us(ts)) AS hi FROM events
+    ),
+    g AS (
+      SELECT user_id, event_id, epoch_us(ts) AS tus,
+             CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                  OR epoch_us(ts) - lag(epoch_us(ts)) OVER w >= {GAP_US}
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    s AS (
+      SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY tus, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+      FROM g
+    ),
+    sess AS (
+      SELECT user_id,
+             min(tus) AS session_start_us,
+             max(tus) + {GAP_US} AS session_end_us,
+             count(*) AS n_events
+      FROM s GROUP BY user_id, sid
+    )
+    SELECT user_id, session_start_us, session_end_us, n_events,
+           least(2, (session_end_us - {GAP_US} - lo) * 3 // (hi - lo + 1))
+             AS arrived
+    FROM sess, b
+    """

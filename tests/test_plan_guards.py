@@ -60,6 +60,7 @@ ALLOWED = {
     "q268_scd2_gdpr_erase",      # 1-row event-time frontier broadcast (q262 pattern)
     "q269_bm25_store_vacuum",    # 1-row avgdl-stats + 1-row vocab-audit broadcasts (q251 pattern)
     "q273_scd2_horizon_compaction",  # 1-row frontier/horizon broadcast (q262 pattern)
+    "q282_incremental_sessions",  # 1-row event-time frontier broadcast (q262 pattern)
 }
 
 

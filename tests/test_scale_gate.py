@@ -614,3 +614,25 @@ def test_manifest_pruned_rollup_hash_match_at_10x(spark, synth_dir):
     must stay lossless as file counts and row volumes grow 10x."""
     name = "q278_manifest_pruned_rollup"
     assert_matches(QUERIES[name](spark, synth_dir), ORACLE[name], synth_dir)
+
+
+#: classical-IVM family at 10x (round-11 continuation): delta-rule join
+#: view, dimension-delete ripple, refcounted distinct view, incremental
+#: sessionization — the shapes where 10x volume changes term sizes
+#: (delta joins), ripple fan-out (orders per erased customer), aux-store
+#: cardinality (refcount pairs), and per-user session density
+IVM_FAMILY = [
+    "q279_incremental_join_view",
+    "q280_join_view_delete_ripple",
+    "q281_distinct_count_view",
+    "q282_incremental_sessions",
+    "q283_delete_aware_sessions",
+    "q284_stream_session_merge",
+    "q285_join_view_upsert_ripple",
+    "q286_distinct_view_vacuum",
+]
+
+
+@pytest.mark.parametrize("name", IVM_FAMILY)
+def test_ivm_family_hash_match_at_10x(spark, synth_dir, name):
+    assert_matches(QUERIES[name](spark, synth_dir), ORACLE[name], synth_dir)
