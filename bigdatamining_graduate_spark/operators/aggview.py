@@ -137,14 +137,20 @@ def _with_keys(li: DataFrame) -> DataFrame:
     )
 
 
-def agg_partials(li: DataFrame) -> DataFrame:
+def agg_partials(li: DataFrame, *extra_keys) -> DataFrame:
     """Mergeable partial aggregates of a row set: COUNT/SUM in exact
     decimals (associative — merge order cannot move a cent), plus the
-    per-partial MAX (mergeable under union, NOT under retraction)."""
+    per-partial MAX (mergeable under union, NOT under retraction).
+
+    ``extra_keys`` appends slice columns to the grouping (the round-11
+    one-pass derivations: ONE corpus scan produces per-slice partials
+    whose associative combines reproduce every slice aggregate the
+    maintenance cells previously re-scanned the corpus for — guide
+    §1.2 "remove unnecessary passes")."""
     N = _N()
     return (
         _with_keys(li)
-        .groupBy(*VIEW_KEYS)
+        .groupBy(*VIEW_KEYS, *extra_keys)
         .agg(
             F.count("*").alias("n_rows"),
             F.sum(N.dec(F.col("l_quantity"))).cast(SUM_QTY_DEC).alias("sum_qty"),
@@ -227,16 +233,28 @@ def incremental_agg_view(
     The DuckDB oracle is the full rollup over the whole corpus with the
     same provenance split — the driver hash-match proves merge ==
     recompute every round.  ``view_store`` injects the persisted t0
-    view (roundtrip test); default derives it in-plan."""
-    base = li.filter(~arrival_flag())
-    batch = li.filter(arrival_flag())
-    store = view_store if view_store is not None else agg_partials(base)
-    dv = agg_partials(batch)
-    tagged = store.withColumn("in_store", F.lit(1)).withColumn(
-        "in_batch", F.lit(0)
-    ).unionByName(
-        dv.withColumn("in_store", F.lit(0)).withColumn("in_batch", F.lit(1))
-    )
+    view (roundtrip test); default derives BOTH side's partials from
+    ONE corpus scan grouped by (keys, arrival slice) — round 11, the
+    base/batch split previously cost two scans (guide §1.2)."""
+    if view_store is not None:
+        store = view_store
+        dv = agg_partials(li.filter(arrival_flag()))
+        tagged = store.withColumn("in_store", F.lit(1)).withColumn(
+            "in_batch", F.lit(0)
+        ).unionByName(
+            dv.withColumn("in_store", F.lit(0)).withColumn("in_batch", F.lit(1))
+        )
+    else:
+        parts = agg_partials(li, arrival_flag().alias("arr"))
+        tagged = parts.select(
+            *VIEW_KEYS,
+            "n_rows",
+            "sum_qty",
+            "revenue",
+            "max_price",
+            F.when(F.col("arr"), F.lit(0)).otherwise(F.lit(1)).alias("in_store"),
+            F.when(F.col("arr"), F.lit(1)).otherwise(F.lit(0)).alias("in_batch"),
+        )
     merged = combine_partials(
         tagged,
         F.max("in_store").alias("in_store"),
@@ -266,7 +284,10 @@ def incremental_agg_view_sql(table: str = "lineitem") -> str:
 # -- delete (q258) ------------------------------------------------------------
 
 def apply_retractions(
-    store: DataFrame, dead_partials: DataFrame, remaining_rows: DataFrame
+    store: DataFrame,
+    dead_partials: DataFrame,
+    remaining_rows: DataFrame | None,
+    remax: DataFrame | None = None,
 ) -> DataFrame:
     """Subtract the dead rows' exact partials (pre-aggregated by the
     caller, who also owns their materialization) from the store and
@@ -274,8 +295,9 @@ def apply_retractions(
     decimal subtraction (exact), groups emptied by the retraction drop
     out (n_rows = 0), and — since MAX is not self-maintainable under
     deletion — each affected group re-scans ITS remaining rows for the
-    new max (semi-join bounded, the q229 discipline).  Untouched groups
-    carry verbatim."""
+    new max (semi-join bounded, the q229 discipline).  A caller that
+    already holds per-group surviving maxima (the round-11 one-pass
+    partials) passes them as ``remax`` and skips the row re-scan."""
     dd = dead_partials
     keys = list(VIEW_KEYS)
     carried = store.join(dd.select(*keys), keys, "left_anti")
@@ -294,12 +316,13 @@ def apply_retractions(
         )
         .filter(F.col("n_rows") > 0)
     )
-    remax = (
-        _with_keys(remaining_rows)
-        .join(dd.select(*keys), keys, "left_semi")
-        .groupBy(*keys)
-        .agg(F.max("l_extendedprice").alias("max_price"))
-    )
+    if remax is None:
+        remax = (
+            _with_keys(remaining_rows)
+            .join(dd.select(*keys), keys, "left_semi")
+            .groupBy(*keys)
+            .agg(F.max("l_extendedprice").alias("max_price"))
+        )
     return carried.unionByName(adj.join(remax, keys))
 
 
@@ -313,20 +336,35 @@ def delete_aware_agg_view(
     DuckDB oracle is the full rollup over the remaining corpus (with
     'adjusted'/'carried' provenance), so the driver hash-match proves
     subtraction + bounded max-recompute == recompute.  ``view_store``
-    injects the persisted t0 view (roundtrip test)."""
+    injects the persisted t0 view (roundtrip test); the default path
+    derives store/dead/surviving-max partials from ONE corpus scan
+    grouped by (keys, deleted slice) — round 11, previously three
+    scans (guide §1.2): the store is the associative combine over both
+    slices, the retraction is the deleted slice, and the surviving
+    per-group max is the live slice's partial max (max over a
+    partition of rows is the partition-wise max — no row re-scan)."""
     from ..checkpoints import local_checkpoint
 
-    # group-sized intermediates consumed by 2-3 joins each: materialize
-    # once instead of re-scanning the corpus per consumer (the q233
-    # recomputed-subtree trap, caught here by the scan ratchet)
-    store = local_checkpoint(
-        view_store if view_store is not None else agg_partials(li),
-        eager=False,
-    )
-    dd = local_checkpoint(
-        agg_partials(li.filter(deleted_flag())), eager=False
-    )
-    out = apply_retractions(store, dd, li.filter(~deleted_flag()))
+    keys = list(VIEW_KEYS)
+    if view_store is not None:
+        store = local_checkpoint(view_store, eager=False)
+        dd = local_checkpoint(
+            agg_partials(li.filter(deleted_flag())), eager=False
+        )
+        out = apply_retractions(store, dd, li.filter(~deleted_flag()))
+    else:
+        parts = local_checkpoint(
+            agg_partials(li, deleted_flag().alias("dead")), eager=False
+        )
+        store = combine_partials(parts)
+        dd = local_checkpoint(
+            parts.filter(F.col("dead")).drop("dead"), eager=False
+        )
+        remax = (
+            parts.filter(~F.col("dead"))
+            .select(*keys, "max_price")
+        )
+        out = apply_retractions(store, dd, None, remax=remax)
     dd_keys = dd.select(*VIEW_KEYS).withColumn("touched", F.lit(1))
     return _as_output(
         out.join(dd_keys, list(VIEW_KEYS), "left").withColumn(
@@ -379,7 +417,12 @@ def upsert_aware_agg_view(
     The DuckDB oracle is the full rollup over the t1 corpus with
     'revised'/'carried' provenance — hash-match proves the retract+add
     algebra.  ``view_store`` injects the persisted t0 view (roundtrip
-    test)."""
+    test); the default path derives store/old/new/t1-max partials from
+    ONE corpus scan grouped by (keys, revised slice) with dual
+    old-value/new-value aggregates per row — round 11, previously four
+    scans (guide §1.2).  Exactness carries: the per-row revised values
+    are the same expressions the t1 projection applied, and every
+    combine is associative decimal/max algebra."""
     changed = updated_flag()
     t1 = li.withColumn(
         "l_quantity",
@@ -394,21 +437,65 @@ def upsert_aware_agg_view(
     )
     from ..checkpoints import local_checkpoint
 
-    store = local_checkpoint(
-        view_store if view_store is not None else agg_partials(li),
-        eager=False,
-    )
-    old = local_checkpoint(agg_partials(li.filter(changed)), eager=False)
-    new = local_checkpoint(agg_partials(t1.filter(changed)), eager=False)
     keys = list(VIEW_KEYS)
+    if view_store is not None:
+        store = local_checkpoint(view_store, eager=False)
+        old = local_checkpoint(agg_partials(li.filter(changed)), eager=False)
+        new = local_checkpoint(agg_partials(t1.filter(changed)), eager=False)
+        remax = (
+            _with_keys(t1)
+            .join(old.select(*keys), keys, "left_semi")
+            .groupBy(*keys)
+            .agg(F.max("l_extendedprice").alias("max_price"))
+        )
+    else:
+        N = _N()
+        new_price = F.col("l_extendedprice") + F.lit(UPD_PRICE_DELTA)
+        parts = local_checkpoint(
+            _with_keys(li)
+            .groupBy(*keys, changed.alias("chg"))
+            .agg(
+                F.count("*").alias("n_rows"),
+                F.sum(N.dec(F.col("l_quantity")))
+                .cast(SUM_QTY_DEC)
+                .alias("sum_qty"),
+                F.sum(N.revenue(F.col("l_extendedprice"), F.col("l_discount")))
+                .cast(REVENUE_DEC)
+                .alias("revenue"),
+                F.max("l_extendedprice").alias("max_price"),
+                F.sum(N.dec(F.col("l_quantity") + F.lit(UPD_QTY_DELTA)))
+                .cast(SUM_QTY_DEC)
+                .alias("sum_qty_new"),
+                F.sum(N.revenue(new_price, F.col("l_discount")))
+                .cast(REVENUE_DEC)
+                .alias("revenue_new"),
+                F.max(new_price).alias("max_price_new"),
+            ),
+            eager=False,
+        )
+        store = combine_partials(parts)
+        old = parts.filter(F.col("chg")).select(
+            *keys, "n_rows", "sum_qty", "revenue", "max_price"
+        )
+        new = parts.filter(F.col("chg")).select(
+            *keys,
+            "n_rows",
+            F.col("sum_qty_new").alias("sum_qty"),
+            F.col("revenue_new").alias("revenue"),
+            F.col("max_price_new").alias("max_price"),
+        )
+        # per-group max over the t1 rows: revised rows contribute their
+        # shifted max, unrevised rows their original — one combine of
+        # the same partials, no row re-scan
+        remax = parts.groupBy(*keys).agg(
+            F.max(
+                F.when(F.col("chg"), F.col("max_price_new")).otherwise(
+                    F.col("max_price")
+                )
+            ).alias("max_price")
+        )
     carried = store.join(old.select(*keys), keys, "left_anti").withColumn(
         "src", F.lit("carried")
-    )
-    remax = (
-        _with_keys(t1)
-        .join(old.select(*keys), keys, "left_semi")
-        .groupBy(*keys)
-        .agg(F.max("l_extendedprice").alias("max_price"))
     )
     revised = (
         store.alias("s")
@@ -486,21 +573,32 @@ def vacuumed_agg_view(
     recomputes every rollup per run)."""
     import os
 
+    from ..checkpoints import local_checkpoint
     from ..staging import staging_dir
     from .dedup import swap_parquet_store
 
     stage = stage_dir or staging_dir(prefix="bdm_aggview_vacuum_")
     store_dir = os.path.join(stage, "view_store")
     t0 = li.filter(~arrival_flag())
-    # accretion: four positive partial appends (sub-slices, salt "vagv")
+    # ONE t0 scan produces per-(keys, sub-slice, deleted) partials; every
+    # accreted file set, the retraction partials, and the surviving
+    # per-group maxima are associative combines of it (round 11 — the
+    # accretion loop alone previously re-scanned the corpus four times,
+    # guide §1.2)
     sub = portable_hash64(F.col("l_orderkey").cast("string"), salt="vagv") % 4
+    slices = local_checkpoint(
+        agg_partials(t0, sub.alias("sub"), deleted_flag().alias("dead")),
+        eager=False,
+    )
+    # accretion: four positive partial appends (sub-slices, salt "vagv");
+    # each append is the sub-slice's combine — row-identical to the
+    # direct per-slice aggregate, reading cached partials not the corpus
     for i in range(4):
-        agg_partials(t0.filter(sub == i)).withColumn(
+        combine_partials(slices.filter(F.col("sub") == i)).withColumn(
             "is_retract", F.lit(0)
         ).write.mode("append").parquet(store_dir)
     # deletion cycle: retraction partials (restricted to t0 orders)
-    dead = t0.filter(deleted_flag())
-    agg_partials(dead).select(
+    combine_partials(slices.filter(F.col("dead"))).select(
         *VIEW_KEYS,
         (-F.col("n_rows")).cast("long").alias("n_rows"),
         (-F.col("sum_qty")).cast(SUM_QTY_DEC).alias("sum_qty"),
@@ -514,12 +612,13 @@ def vacuumed_agg_view(
         F.col("n_rows") > 0
     )
     keys = list(VIEW_KEYS)
-    t0_remaining = t0.filter(~deleted_flag())
+    # surviving max per dirty group = combine of the live slices' partial
+    # maxima (max over a partition of rows is the partition-wise max)
     remax = (
-        _with_keys(t0_remaining)
-        .join(net.filter(F.col("dirty") == 1).select(*keys), keys, "left_semi")
+        slices.filter(~F.col("dead"))
         .groupBy(*keys)
-        .agg(F.max("l_extendedprice").alias("max_price"))
+        .agg(F.max("max_price").alias("max_price"))
+        .join(net.filter(F.col("dirty") == 1).select(*keys), keys, "left_semi")
     )
     clean = net.filter(F.col("dirty") == 0).select(
         *keys, "n_rows", "sum_qty", "revenue", "max_price"
@@ -619,12 +718,23 @@ def maintained_quarterly_view(
     |monthly groups|-sized — corpus never re-touched; at 100 TB this
     chain is the nightly view-refresh DAG in one plan.  Reference
     anchor: extension of ``hw2/BDM_hw2_final.py:203-206``."""
-    base = li.filter(~arrival_flag())
-    batch = li.filter(arrival_flag())
-    store = view_store if view_store is not None else agg_partials(base)
-    tagged = store.withColumn("in_batch", F.lit(0)).unionByName(
-        agg_partials(batch).withColumn("in_batch", F.lit(1))
-    )
+    if view_store is not None:
+        tagged = view_store.withColumn("in_batch", F.lit(0)).unionByName(
+            agg_partials(li.filter(arrival_flag())).withColumn(
+                "in_batch", F.lit(1)
+            )
+        )
+    else:
+        # one corpus scan grouped by (keys, arrival) replaces the
+        # base/batch double scan (round 11, guide §1.2)
+        tagged = agg_partials(li, arrival_flag().alias("arr")).select(
+            *VIEW_KEYS,
+            "n_rows",
+            "sum_qty",
+            "revenue",
+            "max_price",
+            F.col("arr").cast("int").alias("in_batch"),
+        )
     monthly = combine_partials(tagged, F.max("in_batch").alias("in_batch"))
     quarter = F.concat(
         F.substring("ship_month", 1, 4),

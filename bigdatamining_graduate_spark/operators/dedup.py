@@ -431,6 +431,7 @@ def incremental_lsh_pairs(
     threshold: float,
     base_sig: DataFrame | None = None,
     carried_pairs: DataFrame | None = None,
+    sig_all: DataFrame | None = None,
 ) -> DataFrame:
     """Incremental near-dup maintenance — the daily-crawl-refresh shape a
     100 TB pipeline hits: an INCOMING batch (deterministic hash slice,
@@ -460,8 +461,14 @@ def incremental_lsh_pairs(
 
     ``base_sig`` / ``carried_pairs`` inject a PERSISTED store (the
     roundtrip test); by default both are derived in-plan from ``docs``.
+    ``sig_all`` injects an already-materialized flagged signature table
+    (doc_id, mh0.., is_delta) so a caller that signed the corpus for its
+    own store derivation (q228) never signs it a second time (round 11,
+    guide §1.2).
     """
-    if base_sig is not None:
+    if sig_all is not None:
+        pass
+    elif base_sig is not None:
         # persisted-store path: sign ONLY the batch; the store is read,
         # never re-signed (and the full-corpus plan is never built —
         # ADVICE r8: the old unconditional construction checkpointed a
@@ -654,15 +661,27 @@ def incremental_components(
     """
     delta = _incr_delta_flag()
     base_docs = docs.filter(~delta)
+    sig_all = None
     if base_labels is None:
-        base_pairs = lsh_candidate_pairs(
-            minhash_signatures(base_docs), threshold
+        # sign the base corpus ONCE (round 11, guide §1.2): the same
+        # checkpointed signature table feeds the base-labels derivation
+        # here AND — flagged and unioned with the batch signatures —
+        # the fresh-pair generation below, instead of each path
+        # re-running the n-gram/minhash pass over the corpus.
+        base_sig = local_checkpoint(
+            minhash_signatures(base_docs), eager=False
         )
+        base_pairs = lsh_candidate_pairs(base_sig, threshold)
         base_labels = neardup_components(base_docs, base_pairs).select(
             "doc_id", "component"
         )
+        sig_all = base_sig.withColumn("is_delta", F.lit(False)).unionByName(
+            local_checkpoint(
+                minhash_signatures(docs.filter(delta)), eager=False
+            ).withColumn("is_delta", F.lit(True))
+        )
     fresh = (
-        incremental_lsh_pairs(docs, threshold)
+        incremental_lsh_pairs(docs, threshold, sig_all=sig_all)
         .filter(F.col("src") == "fresh")
         .select("doc_a", "doc_b")
     )

@@ -38,20 +38,52 @@ TOTAL_MASS = 10**12    # fixed-point scale: initial rank = TOTAL_MASS / N
 N_ITER = 6
 
 
+def _kp(lineitem: DataFrame) -> DataFrame:
+    """(k, p) order/part rows — the pair-generation input projection."""
+    return lineitem.select(
+        F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("p")
+    )
+
+
+def _basket_pairs(kp: DataFrame) -> DataFrame:
+    """Per-order canonical part pairs (pa < pb), ONE ROW PER SUPPORTING
+    ORDER — the shared pair-generation kernel of the whole graph family.
+
+    Round-11 optimization (guide §2.3/§2.4): the original formulation —
+    ``distinct()`` on (k, p) followed by a self-join ON the order key —
+    costs four shuffles (distinct exchange, two join exchanges, pair
+    aggregation) plus a hash-relation build.  Since a basket is small
+    and bounded (TPC-H baskets are ≤ 7 lineitems; the docstring bound
+    any co-purchase model needs anyway — pair fanout is C(basket, 2)),
+    the same pair multiset falls out of ONE groupBy(k) whose map-side
+    partial ``collect_set`` also performs the dedup, followed by
+    row-local array combinations in the JVM: 4 shuffles → 1, and the
+    downstream pair aggregation is unchanged.  Measured at sf0.1 on
+    q110: the pair-gen stage drops ~40% and every caller of the family
+    (q107/q110/q169/q170/q175/q246–q250/q270, stream q248) inherits it.
+    """
+    combos = (
+        "flatten(transform(ps, (x, i) -> "
+        "transform(slice(ps, i + 2, size(ps)), "
+        "y -> named_struct('pa', x, 'pb', y))))"
+    )
+    return (
+        kp.groupBy("k")
+        .agg(F.sort_array(F.collect_set("p")).alias("ps"))
+        .select(F.explode(F.expr(combos)).alias("e"))
+        .select("e.pa", "e.pb")
+    )
+
+
 def copurchase_edges(lineitem: DataFrame) -> DataFrame:
     """Undirected co-purchase edges between parts appearing in the same
-    order, as a directed edge list with per-source out-degree. DISTINCT
-    (order, part) first, pair by order-key equi-join (a < b), then both
-    directions."""
-    op = lineitem.select("l_orderkey", "l_partkey").distinct()
-    a = op.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pa"))
-    b = op.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pb"))
-    pairs = (
-        a.join(b, "k")
-        .filter(F.col("pa") < F.col("pb"))
-        .select("pa", "pb")
-        .distinct()
-    )
+    order, as a directed edge list with per-source out-degree.  Pair
+    generation via the per-basket combination kernel (:func:`_basket_pairs`);
+    ``pairs`` is checkpointed because the edge/degree derivation below
+    references it four times — without the cut the whole pair-gen
+    subtree re-runs per reference (the q110 recomputed-subtree trap,
+    measured in the round-11 plan audit)."""
+    pairs = local_checkpoint(_basket_pairs(_kp(lineitem)).distinct(), eager=False)
     edges = pairs.select(
         F.col("pa").alias("src"), F.col("pb").alias("dst")
     ).unionByName(pairs.select(F.col("pb").alias("src"), F.col("pa").alias("dst")))
@@ -135,12 +167,8 @@ def triangle_counts(lineitem: DataFrame, min_support: int = 1) -> DataFrame:
     Returns (node, deg, tri_cnt) for nodes in >=1 triangle — exact
     integer counts, hash-stable across engines.
     """
-    op = lineitem.select("l_orderkey", "l_partkey").distinct()
-    a = op.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pa"))
-    b = op.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pb"))
     pairs = (
-        a.join(b, "k")
-        .filter(F.col("pa") < F.col("pb"))
+        _basket_pairs(_kp(lineitem))
         .groupBy("pa", "pb")
         .agg(F.count("*").alias("w"))
         .filter(F.col("w") >= min_support)
@@ -154,22 +182,32 @@ def pairs_triangle_counts(pairs: DataFrame) -> DataFrame:
     canonical edge set (pa < pb, deduped) — the store-consuming entry
     point: a lifecycle query that has just written the edge store
     derives the triangle store FROM it instead of re-pairing the corpus
-    (q250, measured: one whole pair-gen shuffle saved)."""
-    deg = (
+    (q250, measured: one whole pair-gen shuffle saved).
+
+    Round-11 checkpoint discipline (guide §2.4/§7.2): ``pairs`` feeds
+    the degree table AND the orientation join, and ``deg`` is consumed
+    three times (two orientation sides + the final per-node join) — the
+    round-10 plan re-ran the WHOLE upstream pair-generation five times
+    (captured in ``plans/r11/q110_part_triangles_before.txt``: the deg
+    subtree alone re-pairs the corpus twice inside the final join).
+    Cutting both with lazy local checkpoints makes every reference a
+    cached-block scan.  The first adjacency join is gone outright:
+    ``adj`` IS the oriented edge set grouped by src, so exploding it
+    back yields each edge WITH its source adjacency already attached —
+    one exchange instead of an E-row join (guide §2.4)."""
+    pairs = local_checkpoint(pairs, eager=False)
+    deg = local_checkpoint(
         pairs.select(F.col("pa").alias("node"))
         .unionByName(pairs.select(F.col("pb").alias("node")))
         .groupBy("node")
-        .agg(F.count("*").alias("deg"))
+        .agg(F.count("*").alias("deg")),
+        eager=False,
     )
     da = deg.select(F.col("node").alias("pa"), F.col("deg").alias("dega"))
     db = deg.select(F.col("node").alias("pb"), F.col("deg").alias("degb"))
     lt = (F.col("dega") < F.col("degb")) | (
         (F.col("dega") == F.col("degb")) & (F.col("pa") < F.col("pb"))
     )
-    # materialize once: the plan references `oriented` on both sides of
-    # the adjacency join and Spark would otherwise re-run the distinct
-    # self-join subtree for each — same checkpoint discipline as the
-    # CC/PageRank loops above
     oriented = (
         pairs.join(da, "pa")
         .join(db, "pb")
@@ -178,21 +216,25 @@ def pairs_triangle_counts(pairs: DataFrame) -> DataFrame:
             F.when(lt, F.col("pb")).otherwise(F.col("pa")).alias("dst"),
         )
     )
-    oriented = local_checkpoint(oriented)
-    # oriented out-adjacency, sorted for a deterministic intersection
-    adj = oriented.groupBy("src").agg(
-        F.sort_array(F.collect_list("dst")).alias("nbrs")
+    # oriented out-adjacency, sorted for a deterministic intersection;
+    # checkpointed — it is consumed twice (explode side + av side)
+    adj = local_checkpoint(
+        oriented.groupBy("src").agg(
+            F.sort_array(F.collect_list("dst")).alias("nbrs")
+        ),
+        eager=False,
     )
-    au = adj.select(F.col("src").alias("u_key"), F.col("nbrs").alias("nu"))
     av = adj.select(F.col("src").alias("v_key"), F.col("nbrs").alias("nv"))
     # per edge (u->v): common oriented neighbors ARE its triangles'
     # third nodes — only true closures get exploded, never open wedges
     # materialized: `per_node` references tris three times in the union
-    # below — without this the adjacency joins + explode subtree would be
-    # recomputed per branch (same discipline as `oriented` above)
+    # below — without this the adjacency join + explode subtree would be
+    # recomputed per branch (same discipline as `adj` above)
     tris = (
-        oriented.join(au, oriented.src == au.u_key)
-        .join(av, oriented.dst == av.v_key)
+        adj.select(
+            "src", F.col("nbrs").alias("nu"), F.explode("nbrs").alias("dst")
+        )
+        .join(av, F.col("dst") == F.col("v_key"))
         .select(
             "src", "dst", F.explode(F.array_intersect("nu", "nv")).alias("w")
         )
@@ -324,15 +366,11 @@ def label_propagation(
     picks highest count then smallest label without a window sort.
     Edges are materialized once; labels re-checkpoint per round to keep
     the plan constant-size (the CC/PageRank loop discipline)."""
-    op = lineitem.select("l_orderkey", "l_partkey").distinct()
-    a = op.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pa"))
-    b = op.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pb"))
     # support-thresholded pairs (the q110 density dial): on the raw
     # catalog-dense graph LPA collapses to one global community; edges
     # that co-occur in >= min_support orders carry actual affinity
     pairs = (
-        a.join(b, "k")
-        .filter(F.col("pa") < F.col("pb"))
+        _basket_pairs(_kp(lineitem))
         .groupBy("pa", "pb")
         .agg(F.count("*").alias("w"))
         .filter(F.col("w") >= min_support)
@@ -428,12 +466,8 @@ def kcore(
     ``max_rounds`` stages, which is the same fixed point because peeling
     rounds after convergence are no-ops. Each round is two hash-aggs +
     one semi-join on a shrinking edge list, checkpointed."""
-    op = lineitem.select("l_orderkey", "l_partkey").distinct()
-    a = op.select(F.col("l_orderkey").alias("kk"), F.col("l_partkey").alias("pa"))
-    b = op.select(F.col("l_orderkey").alias("kk"), F.col("l_partkey").alias("pb"))
     pairs = (
-        a.join(b, "kk")
-        .filter(F.col("pa") < F.col("pb"))
+        _basket_pairs(_kp(lineitem))
         .groupBy("pa", "pb")
         .agg(F.count("*").alias("w"))
         .filter(F.col("w") >= min_support)
@@ -543,12 +577,8 @@ def bfs_hops(
     next to components (q71) / PageRank (q107) / triangles (q110) /
     communities (q169) / cores (q170).
     """
-    op = lineitem.select("l_orderkey", "l_partkey").distinct()
-    a = op.select(F.col("l_orderkey").alias("kk"), F.col("l_partkey").alias("pa"))
-    b = op.select(F.col("l_orderkey").alias("kk"), F.col("l_partkey").alias("pb"))
     pairs = (
-        a.join(b, "kk")
-        .filter(F.col("pa") < F.col("pb"))
+        _basket_pairs(_kp(lineitem))
         .groupBy("pa", "pb")
         .agg(F.count("*").alias("w"))
         .filter(F.col("w") >= min_support)
@@ -659,16 +689,8 @@ def _tri_delta_sql(col: str = "l_orderkey") -> str:
 def _copurchase_pairs(lineitem: DataFrame) -> DataFrame:
     """Canonical (pa < pb) distinct co-purchase edges at support 1 —
     the edge-store row format (mirrors triangle_counts' inline pair
-    derivation)."""
-    op = lineitem.select("l_orderkey", "l_partkey").distinct()
-    a = op.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pa"))
-    b = op.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pb"))
-    return (
-        a.join(b, "k")
-        .filter(F.col("pa") < F.col("pb"))
-        .select("pa", "pb")
-        .distinct()
-    )
+    derivation; per-basket combination kernel, see :func:`_basket_pairs`)."""
+    return _basket_pairs(_kp(lineitem)).distinct()
 
 
 def _attributed_delta_counts(marked_edges, graph_edges, broadcast_marked=True):
@@ -709,11 +731,34 @@ def _attributed_delta_counts(marked_edges, graph_edges, broadcast_marked=True):
     deg = adj.select(
         F.col("s").alias("node"), F.size("nbrs").cast("long").alias("deg")
     )
-    au = adj.select(F.col("s").alias("pa"), F.col("nbrs").alias("nu"))
-    av = adj.select(F.col("s").alias("pb"), F.col("nbrs").alias("nv"))
+    # Round-11 (guide §2.3/§2.4): attach BOTH endpoints' adjacency with
+    # ONE pass over `adj` instead of two chained joins — the round-10
+    # plan shuffled the full adjacency table (the heavy array payload)
+    # twice.  A skinny 2×|marked| endpoint probe joins `adj` once
+    # (broadcast when the marked set is batch-sized, so the adjacency
+    # never shuffles at all), then one |marked|-sized regroup pairs
+    # (nu, nv) back up.  Bytes shuffled: adj×2 + marked-with-arrays →
+    # at most adj×1 (none under broadcast) + marked-with-arrays.
+    probe = marked_edges.select(
+        F.col("pa").alias("s"), "pa", "pb", F.lit(0).alias("side")
+    ).unionByName(
+        marked_edges.select(
+            F.col("pb").alias("s"), "pa", "pb", F.lit(1).alias("side")
+        )
+    )
+    if broadcast_marked:
+        probe = F.broadcast(probe)
     closed = (
-        marked_edges.join(au, "pa")
-        .join(av, "pb")
+        probe.join(adj, "s")
+        .groupBy("pa", "pb")
+        .agg(
+            F.first(
+                F.when(F.col("side") == 0, F.col("nbrs")), ignorenulls=True
+            ).alias("nu"),
+            F.first(
+                F.when(F.col("side") == 1, F.col("nbrs")), ignorenulls=True
+            ).alias("nv"),
+        )
         .select(
             F.col("pa").alias("u"),
             F.col("pb").alias("v"),
@@ -921,12 +966,9 @@ def _tri_deleted_sql(col: str = "l_orderkey") -> str:
 def _weighted_pairs_from_op(op: DataFrame) -> DataFrame:
     """(pa, pb, w) from (k, p) order-part rows — factored so q270 can
     pair REVISED order content (remapped part nodes) with the same
-    plan."""
-    a = op.select("k", F.col("p").alias("pa"))
-    b = op.select("k", F.col("p").alias("pb"))
+    plan (per-basket combination kernel, see :func:`_basket_pairs`)."""
     return (
-        a.join(b, "k")
-        .filter(F.col("pa") < F.col("pb"))
+        _basket_pairs(op)
         .groupBy("pa", "pb")
         .agg(F.count("*").cast("long").alias("w"))
     )
@@ -936,10 +978,7 @@ def _weighted_pairs(lineitem: DataFrame) -> DataFrame:
     """(pa, pb, w): canonical co-purchase edges with their supporting-
     order counts — the WEIGHTED edge-store row format deletion needs
     (an edge dies only when its LAST supporting order does)."""
-    op = lineitem.select(
-        F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("p")
-    ).distinct()
-    return _weighted_pairs_from_op(op)
+    return _weighted_pairs_from_op(_kp(lineitem))
 
 
 def delete_aware_triangles(
@@ -1339,14 +1378,22 @@ def vacuumed_triangle_refresh(
         "node", "tri_cnt"
     ).repartition(8).write.mode("overwrite").parquet(tri_dir)
 
-    # deletion cycle: support decrements against the persisted store
-    cd = _weighted_pairs(base_li.filter(deleted)).select(
-        "pa", "pb", F.col("w").alias("cd")
+    # deletion cycle: support decrements against the persisted store.
+    # cd feeds the kill test AND the weight rewrite; removed feeds the
+    # anti-join and the attribution kernel's four marked-set references
+    # — checkpoint both so the deleted-slice pair-gen runs once, not
+    # six times (round-11 recomputed-subtree sweep, guide §2.4)
+    cd = local_checkpoint(
+        _weighted_pairs(base_li.filter(deleted)).select(
+            "pa", "pb", F.col("w").alias("cd")
+        ),
+        eager=False,
     )
-    removed = (
+    removed = local_checkpoint(
         store.join(cd, ["pa", "pb"])
         .filter(F.col("cd") == F.col("w"))
-        .select("pa", "pb")
+        .select("pa", "pb"),
+        eager=False,
     )
     updated_edges = (
         store.join(cd, ["pa", "pb"], "left")

@@ -65,19 +65,22 @@ def test_driver_window_rotation_structure():
     the _DEFERRED block (which MAY deliberately re-check verified
     queries — round 6 re-confirms the r1/r2-era greens under the
     hardened harness — and may park new queries past slot 50 for the
-    next round's window), then the verified remainder. The invariant
-    that matters: no unverified query may sit in the verified tail —
+    next round's window), then the _ROTATE_R12 park (new queries
+    registered AFTER the window was fixed, leading the NEXT round's
+    rotation), then the verified remainder. The invariant that
+    matters: no unverified query may sit in the verified tail —
     everything not yet driver-checked is either in the head or
-    explicitly placed in _DEFERRED."""
+    explicitly parked in _DEFERRED/_ROTATE_R12."""
     from bigdatamining_graduate_spark.plans.queries import (
         _DEFERRED,
         _DRIVER_VERIFIED,
+        _ROTATE_R12,
         ORACLE,
         QUERIES,
     )
 
     names = list(QUERIES)
-    deferred = set(_DEFERRED)
+    deferred = set(_DEFERRED) | set(_ROTATE_R12)
 
     def verified(n):
         return n.split("_", 1)[0] in _DRIVER_VERIFIED
@@ -85,11 +88,15 @@ def test_driver_window_rotation_structure():
     head_len = sum(1 for n in names if not verified(n) and n not in deferred)
     head = names[:head_len]
     block = names[head_len : head_len + len(_DEFERRED)]
-    tail = names[head_len + len(_DEFERRED) :]
+    park = names[
+        head_len + len(_DEFERRED) : head_len + len(_DEFERRED) + len(_ROTATE_R12)
+    ]
+    tail = names[head_len + len(_DEFERRED) + len(_ROTATE_R12) :]
     assert all(not verified(n) and n not in deferred for n in head)
     assert block == _DEFERRED, "deferred block must sit right after the head"
+    assert park == _ROTATE_R12, "round-12 park must sit right after _DEFERRED"
     assert all(verified(n) for n in tail), (
-        f"unverified query outside head/deferred: "
+        f"unverified query outside head/deferred/park: "
         f"{[n for n in tail if not verified(n)]}"
     )
     # every name still has its callable, and oracles only for registered names
