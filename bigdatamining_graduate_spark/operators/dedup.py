@@ -1826,15 +1826,24 @@ def gc_published_refresh(
 
     root = _publish_deletion_cycle(spark, docs, threshold, root)
     remaining = docs.filter(~_incr_deleted_flag())
+    # sign the arrival batch ONCE (round 11, guide §1.2): the same
+    # checkpointed signature table feeds the refresh (via sig_all) and
+    # the v3 signature-store publish — the old path signed the batch
+    # twice (inside incremental_lsh_pairs and again for sig_v3)
+    sig_batch = local_checkpoint(
+        minhash_signatures(remaining.filter(_incr_delta_flag())),
+        eager=False,
+    )
+    sig_v2 = read_version(spark, root, "sig", 2)
     refreshed = incremental_lsh_pairs(
         remaining,
         threshold,
-        base_sig=read_version(spark, root, "sig", 2),
+        sig_all=sig_v2.withColumn("is_delta", F.lit(False)).unionByName(
+            sig_batch.withColumn("is_delta", F.lit(True))
+        ),
         carried_pairs=read_version(spark, root, "pair", 2),
     )
-    sig_v3 = read_version(spark, root, "sig", 2).unionByName(
-        minhash_signatures(remaining.filter(_incr_delta_flag()))
-    )
+    sig_v3 = sig_v2.unionByName(sig_batch)
     publish_version(root, 3, {"sig": sig_v3, "pairs_result": refreshed})
     audit = gc_versions(root, retain=2)
     assert ("pair", 1) in audit["removed"], audit

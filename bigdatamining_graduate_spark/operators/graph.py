@@ -731,34 +731,19 @@ def _attributed_delta_counts(marked_edges, graph_edges, broadcast_marked=True):
     deg = adj.select(
         F.col("s").alias("node"), F.size("nbrs").cast("long").alias("deg")
     )
-    # Round-11 (guide §2.3/§2.4): attach BOTH endpoints' adjacency with
-    # ONE pass over `adj` instead of two chained joins — the round-10
-    # plan shuffled the full adjacency table (the heavy array payload)
-    # twice.  A skinny 2×|marked| endpoint probe joins `adj` once
-    # (broadcast when the marked set is batch-sized, so the adjacency
-    # never shuffles at all), then one |marked|-sized regroup pairs
-    # (nu, nv) back up.  Bytes shuffled: adj×2 + marked-with-arrays →
-    # at most adj×1 (none under broadcast) + marked-with-arrays.
-    probe = marked_edges.select(
-        F.col("pa").alias("s"), "pa", "pb", F.lit(0).alias("side")
-    ).unionByName(
-        marked_edges.select(
-            F.col("pb").alias("s"), "pa", "pb", F.lit(1).alias("side")
-        )
-    )
-    if broadcast_marked:
-        probe = F.broadcast(probe)
+    # Adjacency attach: two chained equi-joins against `adj`, with the
+    # batch-sized marked set on the probe side so AQE broadcasts it and
+    # the array payload never crosses an exchange.  A round-11 draft
+    # replaced this with a single exploded-probe join + groupBy(pa, pb)
+    # regroup of (nu, nv); the interleaved same-session A/B measured it
+    # 10–24% SLOWER on q246/q247/q248 at sf0.1 — the regroup exchange
+    # carries BOTH adjacency arrays, exactly the bytes the rewrite
+    # claimed to save (guide §1.1: empirical loop beats the paper plan).
+    au = adj.select(F.col("s").alias("pa"), F.col("nbrs").alias("nu"))
+    av = adj.select(F.col("s").alias("pb"), F.col("nbrs").alias("nv"))
     closed = (
-        probe.join(adj, "s")
-        .groupBy("pa", "pb")
-        .agg(
-            F.first(
-                F.when(F.col("side") == 0, F.col("nbrs")), ignorenulls=True
-            ).alias("nu"),
-            F.first(
-                F.when(F.col("side") == 1, F.col("nbrs")), ignorenulls=True
-            ).alias("nv"),
-        )
+        marked_edges.join(au, "pa")
+        .join(av, "pb")
         .select(
             F.col("pa").alias("u"),
             F.col("pb").alias("v"),

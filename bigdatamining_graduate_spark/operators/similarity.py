@@ -1556,7 +1556,10 @@ def retrained_ivf_refresh(
 
     delta = _ivf_delta_flag()
     wave2 = _ivf_wave2_flag()
-    cur = ivf_drifted_embeddings(embeddings)
+    # materialized once (round 11, guide §1.2): base/wave-1/wave-2 and
+    # the trigger audit each filter this corpus — without the cut the
+    # drift transform re-scans the embeddings parquet four times
+    cur = local_checkpoint(ivf_drifted_embeddings(embeddings), eager=False)
     base = cur.filter(~delta)
     wave1 = cur.filter(delta & ~wave2)
     wave2_df = cur.filter(wave2)

@@ -25,6 +25,43 @@ from ..sources.catalog import normalize_events_ts, table_path
 _sink_ids = itertools.count()
 
 
+def _stage_batches(df: DataFrame, bid_col, n: int, indir: str, stage: str) -> None:
+    """Stage ``df``'s ``n`` micro-batch slices as ``indir/batch{i}.parquet``
+    (one file per batch, arrival order pinned by mtime) with ONE pass over
+    ``df`` (round 11, guide §1.2): the old per-slice loop re-scanned the
+    corpus once per batch (``df.filter(bid == i).coalesce(1).write`` × n).
+    ``bid_col`` is an int-valued column giving each row's batch id in
+    [0, n); a hash ``repartition`` on it puts every id's rows in exactly
+    one task, so ``partitionBy`` leaves exactly one file per id (asserted
+    — an empty slice would break the trigger count and must fail loudly).
+    ``partitionBy`` drops the id column from the file contents, so the
+    staged schema is identical to the old per-slice writes."""
+    import glob
+    import os
+    import shutil
+
+    tmp = os.path.join(stage, "slices")
+    (
+        df.withColumn("__b", bid_col.cast("int"))
+        .repartition(n, "__b")
+        .write.partitionBy("__b")
+        .parquet(tmp)
+    )
+    for i in range(n):
+        files = glob.glob(os.path.join(tmp, f"__b={i}", "*.parquet"))
+        dst = os.path.join(indir, f"batch{i}.parquet")
+        if not files:
+            # an empty slice still needs its trigger file (the old
+            # per-slice loop wrote one); partitionBy skips empty values
+            empty_dir = os.path.join(tmp, f"__empty{i}")
+            df.limit(0).coalesce(1).write.parquet(empty_dir)
+            files = glob.glob(os.path.join(empty_dir, "*.parquet"))
+        assert len(files) == 1, f"batch {i}: expected 1 staged file, got {files}"
+        shutil.move(files[0], dst)
+        os.utime(dst, (1_700_000_000 + i * 100, 1_700_000_000 + i * 100))
+    shutil.rmtree(tmp)
+
+
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events.parquet as a stream with proper event-time ``ts``.
 
@@ -204,12 +241,13 @@ def late_data_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         ts < c0,                 # LATE: filtered at max(b0)-delay
         ts >= c2,                # advances max; final no-data batch emits
     ]
-    for i, pred in enumerate(arrival):
-        part_dir = os.path.join(stage, f"part{i}")
-        raw.filter(pred).coalesce(1).write.parquet(part_dir)
-        dst = os.path.join(indir, f"batch{i}.parquet")
-        shutil.move(glob.glob(os.path.join(part_dir, "part-*.parquet"))[0], dst)
-        os.utime(dst, (1_700_000_000 + i * 100, 1_700_000_000 + i * 100))
+    bid = (
+        F.when(arrival[0], 0)
+        .when(arrival[1], 1)
+        .when(arrival[2], 2)
+        .when(arrival[3], 3)
+    )  # no otherwise: a row matching no slice stages nowhere, as before
+    _stage_batches(raw, bid, len(arrival), indir, stage)
     # staged files were written by Spark with ts already TimestampType, so
     # the stream schema is exactly the normalized batch schema
     stream = (
@@ -456,12 +494,15 @@ def stream_stream_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     stage = staging_dir(prefix="bdm_ssleft_")
     indir = os.path.join(stage, "in")
     os.makedirs(indir)
-    for i, pred in enumerate([ts < c0, (ts >= c0) & (ts < c1), ts >= c1]):
-        part_dir = os.path.join(stage, f"part{i}")
-        raw.filter(pred).coalesce(1).write.parquet(part_dir)
-        dst = os.path.join(indir, f"batch{i}.parquet")
-        shutil.move(glob.glob(os.path.join(part_dir, "part-*.parquet"))[0], dst)
-        os.utime(dst, (1_700_000_000 + i * 100, 1_700_000_000 + i * 100))
+    _stage_batches(
+        raw,
+        # no otherwise: a null-ts row staged nowhere under the old
+        # per-predicate loop, and still stages nowhere here
+        F.when(ts < c0, 0).when(ts < c1, 1).when(ts >= c1, 2),
+        3,
+        indir,
+        stage,
+    )
 
     def mkstream():
         return (
@@ -754,14 +795,7 @@ def stream_incremental_lsh_pairs(
     out_dir = os.path.join(stage, "pairs_out")
     os.makedirs(indir)
     bflag = _stream_lsh_batch_flag()
-    for i in range(STREAM_LSH_BATCHES):
-        part_dir = os.path.join(stage, f"part{i}")
-        docs.filter(bflag == i).coalesce(1).write.parquet(part_dir)
-        dst = os.path.join(indir, f"batch{i}.parquet")
-        shutil.move(
-            glob.glob(os.path.join(part_dir, "part-*.parquet"))[0], dst
-        )
-        os.utime(dst, (1_700_000_000 + i * 100, 1_700_000_000 + i * 100))
+    _stage_batches(docs, bflag, STREAM_LSH_BATCHES, indir, stage)
 
     def handle(batch_df: DataFrame, bid: int) -> None:
         # Scoped checkpoint lifetime (ADVICE r8): the handler runs inside
@@ -802,14 +836,20 @@ def stream_incremental_lsh_pairs(
             )
             .distinct()
         )
-        pairs = DD.filter_pairs_by_signature(
-            fresh, all_sig, threshold
-        ).withColumn(
-            "first_seen",
-            F.greatest(
-                _stream_lsh_batch_flag("doc_a"),
-                _stream_lsh_batch_flag("doc_b"),
-            ).cast("bigint"),
+        # materialized once (round 11, guide §1.2): the exactly-once
+        # assert below is an action, and without the cut the sink write
+        # would re-run the whole band join + signature filter
+        pairs = local_checkpoint(
+            DD.filter_pairs_by_signature(
+                fresh, all_sig, threshold
+            ).withColumn(
+                "first_seen",
+                F.greatest(
+                    _stream_lsh_batch_flag("doc_a"),
+                    _stream_lsh_batch_flag("doc_b"),
+                ).cast("bigint"),
+            ),
+            eager=False,
         )
         bad = pairs.filter(F.col("first_seen") != F.lit(int(bid))).count()
         if bad:
@@ -937,14 +977,7 @@ def stream_incremental_ivf_assign(
     out_dir = os.path.join(stage, "assign_out")
     os.makedirs(indir)
     bflag = _stream_ivf_batch_flag()
-    for i in range(STREAM_IVF_BATCHES):
-        part_dir = os.path.join(stage, f"part{i}")
-        emb.filter(bflag == i).coalesce(1).write.parquet(part_dir)
-        dst = os.path.join(indir, f"batch{i}.parquet")
-        shutil.move(
-            glob.glob(os.path.join(part_dir, "part-*.parquet"))[0], dst
-        )
-        os.utime(dst, (1_700_000_000 + i * 100, 1_700_000_000 + i * 100))
+    _stage_batches(emb, bflag, STREAM_IVF_BATCHES, indir, stage)
 
     def handle(batch_df: DataFrame, bid: int) -> None:
         from ..checkpoints import (
@@ -966,11 +999,17 @@ def stream_incremental_ivf_assign(
             )
             stats.write.mode("overwrite").parquet(stats_dir)
             seeds.write.mode("overwrite").parquet(seed_dir)
-        assigned = SIM.ivf_assign(
-            batch_df,
-            spark.read.parquet(stats_dir),
-            spark.read.parquet(seed_dir),
-        ).withColumn("arrived", F.lit(int(bid)).cast("bigint"))
+        # materialized once (round 11, guide §1.2): the assert action
+        # below would otherwise re-run the centroid-assignment join for
+        # the sink write
+        assigned = local_checkpoint(
+            SIM.ivf_assign(
+                batch_df,
+                spark.read.parquet(stats_dir),
+                spark.read.parquet(seed_dir),
+            ).withColumn("arrived", F.lit(int(bid)).cast("bigint")),
+            eager=False,
+        )
         bad = assigned.filter(
             _stream_ivf_batch_flag() != F.lit(int(bid))
         ).count()
@@ -1048,14 +1087,7 @@ def stream_incremental_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     tf_store = os.path.join(stage, "tf_store")
     os.makedirs(indir)
     bflag = _stream_lsh_batch_flag()
-    for i in range(STREAM_LSH_BATCHES):
-        part_dir = os.path.join(stage, f"part{i}")
-        docs.filter(bflag == i).coalesce(1).write.parquet(part_dir)
-        dst = os.path.join(indir, f"batch{i}.parquet")
-        shutil.move(
-            glob.glob(os.path.join(part_dir, "part-*.parquet"))[0], dst
-        )
-        os.utime(dst, (1_700_000_000 + i * 100, 1_700_000_000 + i * 100))
+    _stage_batches(docs, bflag, STREAM_LSH_BATCHES, indir, stage)
 
     def handle(batch_df: DataFrame, bid: int) -> None:
         from ..checkpoints import (
@@ -1066,8 +1098,11 @@ def stream_incremental_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         ledger_before = tracked_ids()
         tok = local_checkpoint(LX._doc_tokens(batch_df), eager=False)
-        dl = LX._dl_from_tokens(tok)
-        tf = LX._tf_from_tokens(tok)
+        # materialized once (round 11, guide §1.2): the slice asserts
+        # below are actions, and the sink writes would otherwise re-run
+        # both token aggregations
+        dl = local_checkpoint(LX._dl_from_tokens(tok), eager=False)
+        tf = local_checkpoint(LX._tf_from_tokens(tok), eager=False)
         bad = (
             dl.filter(_stream_lsh_batch_flag() != F.lit(int(bid))).count()
             + tf.filter(_stream_lsh_batch_flag() != F.lit(int(bid))).count()
@@ -1180,14 +1215,7 @@ def stream_incremental_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     out_dir = os.path.join(stage, "contrib_out")
     os.makedirs(indir)
     bflag = _stream_tri_batch_flag()
-    for i in range(STREAM_TRI_BATCHES):
-        part_dir = os.path.join(stage, f"part{i}")
-        li.filter(bflag == i).coalesce(1).write.parquet(part_dir)
-        dst = os.path.join(indir, f"batch{i}.parquet")
-        shutil.move(
-            glob.glob(os.path.join(part_dir, "part-*.parquet"))[0], dst
-        )
-        os.utime(dst, (1_700_000_000 + i * 100, 1_700_000_000 + i * 100))
+    _stage_batches(li, bflag, STREAM_TRI_BATCHES, indir, stage)
 
     def handle(batch_df: DataFrame, bid: int) -> None:
         from ..checkpoints import (
@@ -1342,14 +1370,7 @@ def stream_incremental_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFram
     out_dir = os.path.join(stage, "pairs_out")
     os.makedirs(indir)
     bflag = _stream_lsh_batch_flag()
-    for i in range(STREAM_LSH_BATCHES):
-        part_dir = os.path.join(stage, f"part{i}")
-        docs.filter(bflag == i).coalesce(1).write.parquet(part_dir)
-        dst = os.path.join(indir, f"batch{i}.parquet")
-        shutil.move(
-            glob.glob(os.path.join(part_dir, "part-*.parquet"))[0], dst
-        )
-        os.utime(dst, (1_700_000_000 + i * 100, 1_700_000_000 + i * 100))
+    _stage_batches(docs, bflag, STREAM_LSH_BATCHES, indir, stage)
 
     def handle(batch_df: DataFrame, bid: int) -> None:
         from ..checkpoints import (
@@ -1396,6 +1417,10 @@ def stream_incremental_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFram
                 ).cast("bigint"),
             )
         )
+        # materialized once (round 11, guide §1.2): the exactly-once
+        # assert is an action, and the sink write would otherwise re-run
+        # the chunk join + hamming filter
+        pairs = local_checkpoint(pairs, eager=False)
         bad = pairs.filter(F.col("first_seen") != F.lit(int(bid))).count()
         if bad:
             raise AssertionError(
@@ -1485,14 +1510,7 @@ def stream_agg_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     store_dir = os.path.join(stage, "view_store")
     os.makedirs(indir)
     bflag = AV.stream_batch_flag()
-    for i in range(AV.STREAM_AGV_BATCHES):
-        part_dir = os.path.join(stage, f"part{i}")
-        li.filter(bflag == i).coalesce(1).write.parquet(part_dir)
-        dst = os.path.join(indir, f"batch{i}.parquet")
-        shutil.move(
-            glob.glob(os.path.join(part_dir, "part-*.parquet"))[0], dst
-        )
-        os.utime(dst, (1_700_000_000 + i * 100, 1_700_000_000 + i * 100))
+    _stage_batches(li, bflag, AV.STREAM_AGV_BATCHES, indir, stage)
     schema = spark.read.parquet(os.path.join(indir, "batch0.parquet")).schema
 
     def handle(batch_df: DataFrame, bid: int) -> None:
@@ -1611,14 +1629,7 @@ def stream_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     stage = staging_dir(prefix="bdm_stream_scd2_")
     indir = os.path.join(stage, "in")
     os.makedirs(indir)
-    for i in range(3):
-        part_dir = os.path.join(stage, f"part{i}")
-        ev.filter(bid_of("ts") == i).coalesce(1).write.parquet(part_dir)
-        dst = os.path.join(indir, f"batch{i}.parquet")
-        shutil.move(
-            glob.glob(os.path.join(part_dir, "part-*.parquet"))[0], dst
-        )
-        os.utime(dst, (1_700_000_000 + i * 100, 1_700_000_000 + i * 100))
+    _stage_batches(ev, bid_of("ts"), 3, indir, stage)
     schema = spark.read.parquet(os.path.join(indir, "batch0.parquet")).schema
 
     def store_dir(v: int) -> str:
@@ -1781,17 +1792,13 @@ def stream_published_store(
     os.makedirs(indir)
     os.makedirs(root)
     bflag = _stream_lsh_batch_flag()
-    counts = []
-    for i in range(STREAM_LSH_BATCHES):
-        part = docs.filter(bflag == i)
-        counts.append(part.count())
-        part_dir = os.path.join(stage, f"part{i}")
-        part.coalesce(1).write.parquet(part_dir)
-        dst = os.path.join(indir, f"batch{i}.parquet")
-        shutil.move(
-            glob.glob(os.path.join(part_dir, "part-*.parquet"))[0], dst
-        )
-        os.utime(dst, (1_700_000_000 + i * 100, 1_700_000_000 + i * 100))
+    _stage_batches(docs, bflag, STREAM_LSH_BATCHES, indir, stage)
+    # arrival counts for the handler's cumulative audit — read from the
+    # staged files' parquet footers (metadata-only), not a corpus re-scan
+    counts = [
+        spark.read.parquet(os.path.join(indir, f"batch{i}.parquet")).count()
+        for i in range(STREAM_LSH_BATCHES)
+    ]
     # v0: the committed EMPTY store — batch 0's functional predecessor
     publish_version(root, 0, {"sig": DD.minhash_signatures(docs.limit(0))})
 
@@ -1909,14 +1916,7 @@ def stream_session_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     stage = staging_dir(prefix="bdm_stream_sessions_")
     indir = os.path.join(stage, "in")
     os.makedirs(indir)
-    for i in range(3):
-        part_dir = os.path.join(stage, f"part{i}")
-        ev.filter(bid_of("ts") == i).coalesce(1).write.parquet(part_dir)
-        dst = os.path.join(indir, f"batch{i}.parquet")
-        shutil.move(
-            glob.glob(os.path.join(part_dir, "part-*.parquet"))[0], dst
-        )
-        os.utime(dst, (1_700_000_000 + i * 100, 1_700_000_000 + i * 100))
+    _stage_batches(ev, bid_of("ts"), 3, indir, stage)
     schema = spark.read.parquet(os.path.join(indir, "batch0.parquet")).schema
 
     def store_dir(v: int) -> str:
