@@ -152,6 +152,14 @@ HEADLINE = [
     "q276_publish_version_gc",    # retention GC over the publish root + pointer serving
     "q277_schema_evolved_store",  # mixed-schema mergeSchema read across store generations
     "q278_manifest_pruned_rollup",  # incremental stats manifest + file-pruned serving read
+    "q279_incremental_join_view",   # join-view delta rule (ΔO⋈C ∪ O⋈ΔC ∪ ΔO⋈ΔC)
+    "q280_join_view_delete_ripple",  # dimension-erasure ripple via store anti-joins
+    "q281_distinct_count_view",     # refcounted distinct-count view maintenance
+    "q282_incremental_sessions",    # session-store merge from final sessions only
+    "q283_delete_aware_sessions",   # bounded per-user re-derivation (bridge splits)
+    "q284_stream_session_merge",    # chained per-trigger session merges
+    "q285_join_view_upsert_ripple",  # re-segmented dimension moves view rows between groups
+    "q286_distinct_view_vacuum",    # refcount store net + rename-swap + refresh
 ]
 
 

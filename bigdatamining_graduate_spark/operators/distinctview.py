@@ -96,24 +96,42 @@ def maintained_distinct_view(
     so most touched users survive with a lower refcount, and only
     users whose every t0 event died AND who have no arriving events
     count as lost).  ``aux_store`` injects the persisted t0 aux
-    (roundtrip test); default derives it in-plan."""
-    t0 = ev.filter(~arrival_flag())
-    batch = ev.filter(arrival_flag())
-    dead = t0.filter(deleted_flag())
-    aux0 = (
-        aux_store
-        if aux_store is not None
-        else refcount_partials(t0, +1)
-    ).withColumn("in_t0", F.lit(1))
-    signed = aux0.unionByName(
-        refcount_partials(batch, +1).withColumn("in_t0", F.lit(0))
-    ).unionByName(
-        refcount_partials(dead, -1).withColumn("in_t0", F.lit(0))
-    )
-    aux1 = signed.groupBy(*KEYS).agg(
-        F.sum("refcount").cast("long").alias("refcount"),
-        F.max("in_t0").alias("in_t0"),
-    )
+    (roundtrip test); default derives it in-plan.
+
+    One-pass maintenance (round 12, guide §1.2/§2.3): with a persisted
+    store, the +batch and −dead partials come from ONE scan of the
+    event corpus (per-row sign, one (type, user) partial aggregation)
+    instead of two; the signed-union-then-net algebra is unchanged.
+    Without a store the t0 partials fold into the same scan — the
+    whole cycle is one groupBy with conditional aggregates (3 scans +
+    3-way union → 1 scan; oracle-verified hash-identical)."""
+    arr = arrival_flag()
+    dead = deleted_flag()
+    if aux_store is None:
+        # per-row refcount contribution: batch +1; surviving t0 +1;
+        # deleted t0 +1 (aux0) − 1 (retraction) = 0.  in_t0 ⇔ the pair
+        # has ANY t0 event (aux0 membership), deleted or not.
+        aux1 = ev.groupBy(*KEYS).agg(
+            F.sum(F.when(arr | ~dead, 1).otherwise(0))
+            .cast("long")
+            .alias("refcount"),
+            F.max(F.when(~arr, 1).otherwise(0)).alias("in_t0"),
+        )
+    else:
+        signed = aux_store.withColumn("in_t0", F.lit(1)).unionByName(
+            ev.filter(arr | dead)
+            .groupBy(*KEYS)
+            .agg(
+                F.sum(F.when(arr, 1).otherwise(-1))
+                .cast("long")
+                .alias("refcount")
+            )
+            .withColumn("in_t0", F.lit(0))
+        )
+        aux1 = signed.groupBy(*KEYS).agg(
+            F.sum("refcount").cast("long").alias("refcount"),
+            F.max("in_t0").alias("in_t0"),
+        )
     return (
         aux1.groupBy("event_type")
         .agg(
@@ -195,31 +213,54 @@ def vacuumed_distinct_view(
 
     Scale: vacuum is one |aux|-sized combine + rewrite on the
     compaction cadence; the refresh stays |batch|-sided.  Reference
-    anchor: extension of ``hw2/BDM_hw2_final.py:203-206``."""
+    anchor: extension of ``hw2/BDM_hw2_final.py:203-206``.
+
+    One-pass accretion (round 12, guide §1.2): the four positive
+    sub-slice partials, the retraction partials AND the refresh batch's
+    partials all derive from ONE corpus scan + one (type, user)
+    aggregation with per-slice conditional counts (the q257
+    ``agg_partials`` discipline); the six file-set writes then filter a
+    checkpointed aux-sized frame instead of re-scanning the corpus
+    (6 corpus scans → 1).  Store layout, net algebra and the
+    rename-swap are unchanged."""
     import os
 
+    from ..checkpoints import local_checkpoint
     from ..staging import staging_dir
     from .dedup import swap_parquet_store
 
     stage = stage_dir or staging_dir(prefix="bdm_dcv_vacuum_")
     store_dir = os.path.join(stage, "aux_store")
-    t0 = ev.filter(~arrival_flag())
-    dead = t0.filter(deleted_flag())
-    batch = ev.filter(arrival_flag())
-    # accretion: four positive partial appends (sub-slices, salt "dcvv")
+    arr = arrival_flag()
+    dead = deleted_flag()
     sub = (
         portable_hash64(F.col("event_id").cast("string"), salt="dcvv") % 4
     )
+    t0_sub = lambda i: (~arr) & (sub == i)  # noqa: E731
+    parts = local_checkpoint(
+        ev.groupBy(*KEYS).agg(
+            *[
+                F.count(F.when(t0_sub(i), 1)).alias(f"s{i}")
+                for i in range(4)
+            ],
+            F.count(F.when((~arr) & dead, 1)).alias("d"),
+            F.count(F.when(arr, 1)).alias("b"),
+        ),
+        eager=False,
+    )
+    # accretion: four positive partial appends (sub-slices, salt "dcvv")
     for i in range(4):
-        refcount_partials(t0.filter(sub == i), +1).write.mode(
-            "append"
-        ).parquet(store_dir)
+        parts.filter(F.col(f"s{i}") > 0).select(
+            *KEYS, F.col(f"s{i}").cast("long").alias("refcount")
+        ).write.mode("append").parquet(store_dir)
     # deletion cycle: one negative retraction file
-    refcount_partials(dead, -1).write.mode("append").parquet(store_dir)
+    parts.filter(F.col("d") > 0).select(
+        *KEYS, (-F.col("d")).cast("long").alias("refcount")
+    ).write.mode("append").parquet(store_dir)
     # vacuum: net combine, drop zero-netted pairs, rename-swap
-    parts = spark.read.parquet(store_dir)
     net = (
-        parts.groupBy(*KEYS)
+        spark.read.parquet(store_dir)
+        .groupBy(*KEYS)
         .agg(F.sum("refcount").cast("long").alias("refcount"))
         .filter(F.col("refcount") > 0)
     )
@@ -230,7 +271,9 @@ def vacuumed_distinct_view(
         F.count("*").alias("n_store_rows")
     )
     signed = aux0.withColumn("in_t0", F.lit(1)).unionByName(
-        refcount_partials(batch, +1).withColumn("in_t0", F.lit(0))
+        parts.filter(F.col("b") > 0)
+        .select(*KEYS, F.col("b").cast("long").alias("refcount"))
+        .withColumn("in_t0", F.lit(0))
     )
     aux1 = signed.groupBy(*KEYS).agg(
         F.sum("refcount").cast("long").alias("refcount"),

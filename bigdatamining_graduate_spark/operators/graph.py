@@ -62,16 +62,32 @@ def _basket_pairs(kp: DataFrame) -> DataFrame:
     q110: the pair-gen stage drops ~40% and every caller of the family
     (q107/q110/q169/q170/q175/q246–q250/q270, stream q248) inherits it.
     """
-    combos = (
-        "flatten(transform(ps, (x, i) -> "
-        "transform(slice(ps, i + 2, size(ps)), "
-        "y -> named_struct('pa', x, 'pb', y))))"
-    )
-    return (
-        kp.groupBy("k")
-        .agg(F.sort_array(F.collect_set("p")).alias("ps"))
-        .select(F.explode(F.expr(combos)).alias("e"))
-        .select("e.pa", "e.pb")
+    return _pairs_from_baskets(_grouped_baskets(kp))
+
+
+def _grouped_baskets(kp: DataFrame) -> DataFrame:
+    """(k, ps): each order's sorted distinct part array — the grouped
+    half of :func:`_basket_pairs`, factored (round 12, guide §1.2/§2.4)
+    so the delta cells (q247/q250/q270) can derive their slice pairs
+    from ONE checkpointed grouping of the corpus instead of re-scanning
+    and re-shuffling the slice: every order-slice flag in the family is
+    a pure function of ``k``, so filter-after-group == group-after-
+    filter, and the slice pair-gen becomes a cached-block read."""
+    return kp.groupBy("k").agg(F.sort_array(F.collect_set("p")).alias("ps"))
+
+
+_COMBOS = (
+    "flatten(transform(ps, (x, i) -> "
+    "transform(slice(ps, i + 2, size(ps)), "
+    "y -> named_struct('pa', x, 'pb', y))))"
+)
+
+
+def _pairs_from_baskets(bk: DataFrame) -> DataFrame:
+    """Row-local sorted-array combinations over (k, ps) baskets — the
+    explode half of :func:`_basket_pairs`."""
+    return bk.select(F.explode(F.expr(_COMBOS)).alias("e")).select(
+        "e.pa", "e.pb"
     )
 
 
@@ -693,7 +709,86 @@ def _copurchase_pairs(lineitem: DataFrame) -> DataFrame:
     return _basket_pairs(_kp(lineitem)).distinct()
 
 
-def _attributed_delta_counts(marked_edges, graph_edges, broadcast_marked=True):
+def _undirected_adj(graph_edges: DataFrame) -> DataFrame:
+    """(s, nbrs): each node's sorted UNDIRECTED neighbor array over a
+    canonical (pa < pb, distinct) edge set — checkpointed, because every
+    consumer (degrees + the two attribution probe sides) re-reads it.
+    Factored from :func:`_attributed_delta_counts` (round 12) so q270
+    can derive its t1 adjacency from the t0 one by per-node array edits
+    instead of re-shuffling the full edge set a second time."""
+    dir_edges = graph_edges.select(
+        F.col("pa").alias("s"), F.col("pb").alias("t")
+    ).unionByName(
+        graph_edges.select(F.col("pb").alias("s"), F.col("pa").alias("t"))
+    )
+    return local_checkpoint(
+        dir_edges.groupBy("s").agg(
+            F.sort_array(F.collect_list("t")).alias("nbrs")
+        ),
+        eager=False,
+    )
+
+
+def _adj_apply_delta(
+    adj0: DataFrame, removed: DataFrame, added: DataFrame
+) -> DataFrame:
+    """The t1 adjacency as per-node ARRAY EDITS of the t0 adjacency
+    (round 12, guide §2.3/§2.4): the removed/added edge sets are delta-
+    sized, so grouping them per endpoint and broadcast-joining against
+    the checkpointed t0 arrays keeps the 2|E| adjacency payload on its
+    side of the exchange — the old plan rebuilt the t1 adjacency from
+    scratch (a second full edge-set shuffle + groupBy).  Exact because
+    canonical edge sets hold each neighbor once: array_except drops
+    exactly the dead neighbors, array_union appends the born ones
+    (disjoint from the survivors by construction), and nodes losing
+    their last edge drop out (empty arrays filtered, matching the
+    from-scratch build)."""
+
+    def per_node(edges: DataFrame, name: str) -> DataFrame:
+        return (
+            edges.select(F.col("pa").alias("s"), F.col("pb").alias("t"))
+            .unionByName(
+                edges.select(F.col("pb").alias("s"), F.col("pa").alias("t"))
+            )
+            .groupBy("s")
+            .agg(F.collect_list("t").alias(name))
+        )
+
+    # untyped empty array: coalesce coerces it to the column's own
+    # element type, so node-id types never widen (bigint vs int drift
+    # would shift the output schema and red the oracle row)
+    arr = lambda c: F.coalesce(F.col(c), F.array())  # noqa: E731
+    per_rm = per_node(removed, "rm")
+    per_ad = per_node(added, "ad")
+    # LEFT joins, not full_outer: full_outer cannot broadcast, so it
+    # would sort-merge-shuffle the adjacency arrays — exactly the bytes
+    # this helper exists to keep in place (first-draft A/B: full_outer
+    # variant measured q270 12.5 → 14.5 s SLOWER).  Removed endpoints
+    # always exist in adj0 (they are t0 edges), so only added edges can
+    # mint nodes adj0 has never seen — unioned in via a broadcast
+    # anti-join on the delta side.
+    edited = (
+        adj0.join(F.broadcast(per_rm), "s", "left")
+        .join(F.broadcast(per_ad), "s", "left")
+        .select(
+            "s",
+            F.sort_array(
+                F.array_union(
+                    F.array_except(F.col("nbrs"), arr("rm")), arr("ad")
+                )
+            ).alias("nbrs"),
+        )
+        .filter(F.size("nbrs") > 0)
+    )
+    new_nodes = per_ad.join(
+        F.broadcast(adj0.select("s")), "s", "left_anti"
+    ).select("s", F.sort_array(F.col("ad")).alias("nbrs"))
+    return local_checkpoint(edited.unionByName(new_nodes), eager=False)
+
+
+def _attributed_delta_counts(
+    marked_edges, graph_edges=None, broadcast_marked=True, adj=None
+):
     """Per-node counts of the triangles in ``graph_edges`` touching ≥ 1
     MARKED edge, each triangle counted exactly once by attribution to
     its lexicographically-smallest marked edge — the shared delta
@@ -716,18 +811,14 @@ def _attributed_delta_counts(marked_edges, graph_edges, broadcast_marked=True):
     set when it is batch-sized (q246/q248 arrivals).  The DELETION
     path (q247) passes False — there marked = every edge killed by
     the erasure, deletion-sized rather than batch-sized, and a dense
-    corpus could blow the broadcast limit; AQE picks the strategy."""
-    dir_edges = graph_edges.select(
-        F.col("pa").alias("s"), F.col("pb").alias("t")
-    ).unionByName(
-        graph_edges.select(F.col("pb").alias("s"), F.col("pa").alias("t"))
-    )
-    adj = local_checkpoint(
-        dir_edges.groupBy("s").agg(
-            F.sort_array(F.collect_list("t")).alias("nbrs")
-        ),
-        eager=False,
-    )
+    corpus could blow the broadcast limit; AQE picks the strategy.
+
+    ``adj`` injects a prebuilt undirected adjacency
+    (:func:`_undirected_adj` / :func:`_adj_apply_delta`) so callers
+    running the kernel twice (q270: t0 destroy + t1 create) share one
+    edge-set shuffle (round 12)."""
+    if adj is None:
+        adj = _undirected_adj(graph_edges)
     deg = adj.select(
         F.col("s").alias("node"), F.size("nbrs").cast("long").alias("deg")
     )
@@ -966,6 +1057,16 @@ def _weighted_pairs(lineitem: DataFrame) -> DataFrame:
     return _weighted_pairs_from_op(_kp(lineitem))
 
 
+def _weighted_pairs_from_baskets(bk: DataFrame) -> DataFrame:
+    """(pa, pb, w) off already-grouped (k, ps) baskets — the shared-
+    grouping entry point of the delta cells (see :func:`_grouped_baskets`)."""
+    return (
+        _pairs_from_baskets(bk)
+        .groupBy("pa", "pb")
+        .agg(F.count("*").cast("long").alias("w"))
+    )
+
+
 def delete_aware_triangles(
     lineitem: DataFrame,
     edge_store: DataFrame | None = None,
@@ -995,11 +1096,18 @@ def delete_aware_triangles(
 
     Scale: O(|deleted-order pairs|) + store-sized joins + per-removed-
     edge intersections; the corpus-sized closure never re-runs."""
-    deleted = _tri_deleted_flag()
-    store = local_checkpoint(
-        edge_store if edge_store is not None else _weighted_pairs(lineitem),
-        eager=False,
-    )
+    if edge_store is None:
+        # ONE corpus grouping serves the weighted store AND the
+        # deleted-slice support counts (round 12, guide §1.2/§2.4: the
+        # deletion flag is a function of the order key, so the deleted
+        # slice's pair-gen is a filter over the checkpointed baskets —
+        # the old plan re-scanned and re-shuffled the 10% slice)
+        bk = local_checkpoint(_grouped_baskets(_kp(lineitem)), eager=False)
+        store = local_checkpoint(_weighted_pairs_from_baskets(bk), eager=False)
+        cd_src = bk.filter(_tri_deleted_flag("k"))
+    else:
+        store = local_checkpoint(edge_store, eager=False)
+        cd_src = _grouped_baskets(_kp(lineitem.filter(_tri_deleted_flag())))
     # carried counts derive from the materialized weighted store (the
     # q250 trick — no second corpus pairing; see incremental_triangles)
     carried = (
@@ -1009,9 +1117,8 @@ def delete_aware_triangles(
             "node", "tri_cnt"
         )
     ).select("node", F.col("tri_cnt").alias("tri_base"))
-    cd = (
-        _weighted_pairs(lineitem.filter(deleted))
-        .select("pa", "pb", F.col("w").alias("cd"))
+    cd = _weighted_pairs_from_baskets(cd_src).select(
+        "pa", "pb", F.col("w").alias("cd")
     )
     removed = local_checkpoint(
         store.join(cd, ["pa", "pb"]).filter(F.col("cd") == F.col("w")).select("pa", "pb"),
@@ -1156,10 +1263,21 @@ def upsert_aware_triangles(
     anchor: extends q110/q246/q247 (Suri & Vassilvitskii WWW'11,
     adapted to bidirectional deltas)."""
     revised = _tri_revised_flag()
-    store = local_checkpoint(
-        edge_store if edge_store is not None else _weighted_pairs(lineitem),
-        eager=False,
-    )
+    if edge_store is None:
+        # ONE corpus grouping serves the weighted store AND both sides
+        # of the revised-slice delta (round 12, guide §1.2/§2.4: the
+        # revision flag is a function of the order key, so the revised
+        # baskets are a filter over the checkpointed grouping — the old
+        # plan re-scanned and re-shuffled the 10% slice twice, once per
+        # content version)
+        bk = local_checkpoint(_grouped_baskets(_kp(lineitem)), eager=False)
+        store = local_checkpoint(_weighted_pairs_from_baskets(bk), eager=False)
+        rev_bk = bk.filter(_tri_revised_flag("k"))
+    else:
+        store = local_checkpoint(edge_store, eager=False)
+        rev_bk = local_checkpoint(
+            _grouped_baskets(_kp(lineitem.filter(revised))), eager=False
+        )
     # carried counts derive from the materialized weighted store (the
     # q250 trick — no second corpus pairing; see incremental_triangles)
     carried = (
@@ -1169,13 +1287,20 @@ def upsert_aware_triangles(
             "node", "tri_cnt"
         )
     ).select("node", F.col("tri_cnt").alias("tri_base"))
-    rev_li = lineitem.filter(revised)
-    c_old = _weighted_pairs(rev_li).select(
+    c_old = _weighted_pairs_from_baskets(rev_bk).select(
         "pa", "pb", F.col("w").alias("co")
     )
-    c_new = _weighted_pairs_from_op(_op_t1(rev_li)).select(
-        "pa", "pb", F.col("w").alias("cn")
+    # t1 content: remap is per (order, part) and injective, so the t1
+    # baskets are a row-local array transform of the SAME grouped rows
+    remapped = F.transform(
+        F.col("ps"),
+        lambda p: F.when(
+            _tri_remap_flag(F.col("k"), p), p + F.lit(_TRI_REMAP_OFFSET)
+        ).otherwise(p),
     )
+    c_new = _weighted_pairs_from_baskets(
+        rev_bk.select("k", F.sort_array(remapped).alias("ps"))
+    ).select("pa", "pb", F.col("w").alias("cn"))
     delta = (
         c_old.join(c_new, ["pa", "pb"], "full_outer")
         .select(
@@ -1206,15 +1331,18 @@ def upsert_aware_triangles(
     added = merged.filter(
         (F.col("w0") == 0) & (F.col("w1") > 0)
     ).select("pa", "pb")
-    t1_edges = local_checkpoint(
-        merged.filter(F.col("w1") > 0).select("pa", "pb"), eager=False
-    )
+    # ONE edge-set shuffle builds the t0 adjacency; the t1 adjacency is
+    # its per-node array edit under the delta-sized removed/added sets
+    # (round 12 — the old plan re-shuffled the full t1 edge set into a
+    # second groupBy; see _adj_apply_delta)
+    adj0 = _undirected_adj(store.select("pa", "pb"))
     destroyed, _t0_deg = _attributed_delta_counts(
-        removed, store.select("pa", "pb"), broadcast_marked=False
+        removed, broadcast_marked=False, adj=adj0
     )
     destroyed = destroyed.select("node", F.col("td").alias("tdst"))
+    adj1 = _adj_apply_delta(adj0, removed, added)
     created, deg = _attributed_delta_counts(
-        added, t1_edges, broadcast_marked=False
+        added, broadcast_marked=False, adj=adj1
     )
     created = created.select("node", F.col("td").alias("tcr"))
     out = (
@@ -1354,10 +1482,14 @@ def vacuumed_triangle_refresh(
     # t0 stores, written as refresh-loop accretion (8 small files each);
     # the triangle store derives FROM the persisted edge store — one
     # pair-gen shuffle instead of two (A/B of the build step at sf0.1:
-    # 12.4-20.5 s -> 7.1-7.4 s; counts bit-identical)
-    _weighted_pairs(base_li).repartition(8).write.mode("overwrite").parquet(
-        edge_dir
-    )
+    # 12.4-20.5 s -> 7.1-7.4 s; counts bit-identical).  The grouping is
+    # checkpointed so the deletion cycle's support counts below derive
+    # from the SAME baskets instead of re-scanning the 10% slice
+    # (round 12, see _grouped_baskets)
+    bk = local_checkpoint(_grouped_baskets(_kp(base_li)), eager=False)
+    _weighted_pairs_from_baskets(bk).repartition(8).write.mode(
+        "overwrite"
+    ).parquet(edge_dir)
     store = spark.read.parquet(edge_dir)
     pairs_triangle_counts(store.select("pa", "pb")).select(
         "node", "tri_cnt"
@@ -1369,9 +1501,9 @@ def vacuumed_triangle_refresh(
     # — checkpoint both so the deleted-slice pair-gen runs once, not
     # six times (round-11 recomputed-subtree sweep, guide §2.4)
     cd = local_checkpoint(
-        _weighted_pairs(base_li.filter(deleted)).select(
-            "pa", "pb", F.col("w").alias("cd")
-        ),
+        _weighted_pairs_from_baskets(
+            bk.filter(_tri_deleted_flag("k"))
+        ).select("pa", "pb", F.col("w").alias("cd")),
         eager=False,
     )
     removed = local_checkpoint(

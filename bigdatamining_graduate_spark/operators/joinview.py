@@ -31,7 +31,11 @@ join directly from surviving base rows.
 Scale: every maintenance term shuffles (or broadcasts) a delta slice;
 the stored view moves verbatim.  At 100 TB the t0 view is the persisted
 store (``view_store`` injects it for the roundtrip test; the in-plan
-default derives it as the driver-contract stand-in).
+default derives it as the driver-contract stand-in).  Round-12 note:
+with NO injected store the four slice-joins are the same physical join
+cut four ways, so the in-plan paths collapse them into ONE flagged
+join (guide §1.2/§2.4; the roundtrip tests pin derived == injected, so
+the delta-sided store paths stay exercised and equivalent).
 
 Reference anchor: extension of the J-family star joins
 (``hw2/BDM_hw2_final.py:176-199`` — the reference re-joins from scratch
@@ -131,6 +135,28 @@ def _rollup(view: DataFrame) -> DataFrame:
     )
 
 
+def _flagged_join(orders: DataFrame, customer: DataFrame) -> DataFrame:
+    """The full ``orders ⋈ customer`` join with both arrival flags
+    attached — ONE physical join whose (ao, ac) cross-product exactly
+    partitions the four delta-rule terms (each term is the same equi-
+    join restricted to one flag combination, so term-union == flagged
+    join; the DuckDB oracle derives its provenance the same way)."""
+    return orders.withColumn("__ao", order_arrival_flag()).join(
+        customer.withColumn("__ac", cust_arrival_flag()),
+        orders["o_custkey"] == customer["c_custkey"],
+    )
+
+
+def _src_case():
+    # built lazily: Column construction needs an active SparkContext
+    return (
+        F.when(F.col("__ao") & F.col("__ac"), "d_both")
+        .when(F.col("__ao"), "d_orders")
+        .when(F.col("__ac"), "d_cust")
+        .otherwise("base")
+    )
+
+
 def incremental_join_view(
     orders: DataFrame,
     customer: DataFrame,
@@ -140,19 +166,25 @@ def incremental_join_view(
     the three delta-rule terms, each tagged with its term name so the
     oracle's per-row provenance proves the partition is exact.
 
-    ``view_store`` injects the persisted t0 view (roundtrip test);
-    default derives it in-plan."""
+    ``view_store`` injects the persisted t0 view (roundtrip test) and
+    keeps the maintenance delta-sided: the store moves verbatim and the
+    three delta terms join arrival slices only.  The in-plan default
+    has no persisted store — its "base" term is itself the o0 ⋈ c0
+    join, so the four slice-joins are the SAME physical join cut four
+    ways; round 12 collapses them into one flagged join (guide §1.2
+    one-pass / §2.4 shared exchange: 4 joins + 16 scans → 1 join +
+    2 scans, oracle-verified hash-identical)."""
+    if view_store is None:
+        view = _flagged_join(orders, customer).select(
+            *_VIEW_COLS, "o_totalprice", _src_case().alias("src")
+        )
+        return _rollup(view)
     o0 = orders.filter(~order_arrival_flag())
     do = orders.filter(order_arrival_flag())
     c0 = customer.filter(~cust_arrival_flag())
     dc = customer.filter(cust_arrival_flag())
-    store = (
-        view_store
-        if view_store is not None
-        else join_view_rows(o0, c0)
-    )
     terms = [
-        store.withColumn("src", F.lit("base")),
+        view_store.withColumn("src", F.lit("base")),
         join_view_rows(do, c0).withColumn("src", F.lit("d_orders")),
         join_view_rows(o0, dc).withColumn("src", F.lit("d_cust")),
         join_view_rows(do, dc).withColumn("src", F.lit("d_both")),
@@ -200,21 +232,51 @@ def delete_ripple_join_view(
 
     The oracle recomputes the rollup from surviving base rows with the
     same bool_or provenance, so the hash-match proves
-    anti-join-on-keys == row-level re-filter."""
+    anti-join-on-keys == row-level re-filter.
+
+    With a persisted ``view_store`` the retractions are key anti-joins
+    against it (the deletion feed is a key set).  The in-plan default
+    derives the store from the base tables, where the dead-key sets are
+    pure functions of the store's OWN key columns — so the anti/semi-
+    joins reduce to flag filters on one materialized store scan (round
+    12, guide §1.2/§2.4: 5 joins + 8 scans → 1 join + 2 scans; the
+    q253 anti-filters-ARE-the-maintenance discipline, oracle-verified
+    hash-identical)."""
     from ..checkpoints import local_checkpoint
 
+    if view_store is None:
+        # dead flags evaluated on the store's own keys: every store
+        # o_orderkey/c_custkey comes from orders/customer, so the key
+        # anti-join == the flag filter, row for row
+        store = local_checkpoint(
+            join_view_rows(orders, customer).withColumn(
+                "__dead", order_dead_flag() | cust_dead_flag()
+            ),
+            eager=False,
+        )
+        surviving = store.filter(~F.col("__dead")).drop("__dead")
+        retracted = (
+            store.filter(F.col("__dead"))
+            .select("c_mktsegment", "o_orderstatus")
+            .distinct()
+            .withColumn("touched", F.lit(1))
+        )
+        out = _rollup(surviving.withColumn("src", F.lit("x"))).drop("src")
+        return out.join(
+            retracted, ["c_mktsegment", "o_orderstatus"], "left"
+        ).select(
+            "c_mktsegment",
+            "o_orderstatus",
+            F.when(F.col("touched") == 1, "adjusted")
+            .otherwise("carried")
+            .alias("src"),
+            "n_orders",
+            "n_customers",
+            "sum_totalprice",
+        )
     # consumed three times (surviving + two retraction semi-joins):
-    # materialize the in-plan stand-in once (q258 discipline)
-    store = local_checkpoint(
-        (
-            view_store
-            if view_store is not None
-            else join_view_rows(orders, customer).withColumn(
-                "src", F.lit("stored")
-            )
-        ).drop("src"),
-        eager=False,
-    )
+    # materialize the injected store once (q258 discipline)
+    store = local_checkpoint(view_store.drop("src"), eager=False)
     dead_o = orders.filter(order_dead_flag()).select("o_orderkey")
     dead_c = customer.filter(cust_dead_flag()).select("c_custkey")
     surviving = store.join(dead_o, "o_orderkey", "left_anti").join(
@@ -317,11 +379,76 @@ def upsert_ripple_join_view(
     provenance from the same flags, so the driver hash-match proves
     retract + two-sided re-derivation == recompute, group moves
     included.  Scale: O(|store| anti-join + |revised slices| joins);
-    the view is never rebuilt."""
+    the view is never rebuilt.
+
+    With a persisted ``view_store`` the maintenance is the delta-sided
+    retract + two-sided re-derivation above.  The in-plan default has
+    no persisted store — there surviving ∪ readded is algebraically the
+    full t1 join (surviving = t1 rows of unrevised pairs; r1 ∪ r2 = t1
+    rows of revised pairs, disjoint by construction), and touched is
+    the revised rows' (seg0 ∪ seg1, status) set — so round 12 computes
+    ONE flagged t1 join consumed by both (guide §1.2/§2.4: 6 joins +
+    24 scans → 2 joins + 2 scans, oracle-verified hash-identical)."""
     from ..checkpoints import local_checkpoint
 
     o_rev = order_rev_flag()
     c_rev = cust_rev_flag()
+    if view_store is None:
+        j = local_checkpoint(
+            orders.withColumn("__ro", o_rev)
+            .withColumn(
+                "o_totalprice",
+                F.when(
+                    F.col("__ro"),
+                    F.col("o_totalprice") + F.lit(UPD_PRICE_DELTA),
+                ).otherwise(F.col("o_totalprice")),
+            )
+            .join(
+                customer.withColumn("__rc", c_rev)
+                .withColumn("__seg0", F.col("c_mktsegment"))
+                .withColumn(
+                    "c_mktsegment",
+                    F.when(
+                        F.col("__rc"),
+                        F.concat(F.lit("R_"), F.col("c_mktsegment")),
+                    ).otherwise(F.col("c_mktsegment")),
+                ),
+                orders["o_custkey"] == customer["c_custkey"],
+            )
+            .select(
+                "c_custkey",
+                "c_mktsegment",
+                "__seg0",
+                "o_orderstatus",
+                "o_totalprice",
+                (F.col("__ro") | F.col("__rc")).alias("__rev"),
+            ),
+            eager=False,
+        )
+        touched = (
+            j.filter("__rev")
+            .select("c_mktsegment", "o_orderstatus")
+            .unionByName(
+                j.filter("__rev").select(
+                    F.col("__seg0").alias("c_mktsegment"), "o_orderstatus"
+                )
+            )
+            .distinct()
+            .withColumn("touched", F.lit(1))
+        )
+        out = _rollup(j.withColumn("src", F.lit("x"))).drop("src")
+        return out.join(
+            touched, ["c_mktsegment", "o_orderstatus"], "left"
+        ).select(
+            "c_mktsegment",
+            "o_orderstatus",
+            F.when(F.col("touched") == 1, "adjusted")
+            .otherwise("carried")
+            .alias("src"),
+            "n_orders",
+            "n_customers",
+            "sum_totalprice",
+        )
     t1_o = orders.withColumn(
         "o_totalprice",
         F.when(
@@ -334,12 +461,7 @@ def upsert_ripple_join_view(
             c_rev, F.concat(F.lit("R_"), F.col("c_mktsegment"))
         ).otherwise(F.col("c_mktsegment")),
     )
-    store = local_checkpoint(
-        view_store
-        if view_store is not None
-        else join_view_rows(orders, customer),
-        eager=False,
-    )
+    store = local_checkpoint(view_store, eager=False)
     rev_o_keys = orders.filter(o_rev).select("o_orderkey")
     rev_c_keys = customer.filter(c_rev).select("c_custkey")
     surviving = store.join(rev_o_keys, "o_orderkey", "left_anti").join(

@@ -88,15 +88,13 @@ def full_sessions(ev: DataFrame) -> DataFrame:
     )
 
 
-def full_sessions_derived(ev: DataFrame) -> DataFrame:
-    """The stored session view via the explicit gaps-and-islands pass —
-    bit-identical to :func:`full_sessions` (q190 pins both against the
-    oracle) but safe to COMPOSE under joins/aggregates on the session
-    keys: the island id is a plain computed column, so Catalyst cannot
-    push operators below the session merge (see module docstring)."""
-    tus = F.unix_micros("ts")
+def _sessions_from_rows(rows: DataFrame) -> DataFrame:
+    """The gaps-and-islands pass over pre-projected (user_id, tus,
+    event_id) rows — factored from :func:`full_sessions_derived` so the
+    incremental cells can feed it from ONE shared projected scan of the
+    corpus (round 12, guide §1.2/§2.3) instead of re-scanning per
+    consumer."""
     w = Window.partitionBy("user_id").orderBy("tus", "event_id")
-    rows = ev.select("user_id", tus.alias("tus"), "event_id")
     lag = F.lag("tus").over(w)
     new_s = F.when(
         lag.isNull() | (F.col("tus") - lag >= GAP_US), 1
@@ -105,7 +103,8 @@ def full_sessions_derived(ev: DataFrame) -> DataFrame:
         w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return (
-        rows.withColumn("sid", sid)
+        rows.select("user_id", "tus", "event_id")
+        .withColumn("sid", sid)
         .groupBy("user_id", "sid")
         .agg(
             F.min("tus").alias("session_start_us"),
@@ -113,6 +112,18 @@ def full_sessions_derived(ev: DataFrame) -> DataFrame:
             F.count("*").alias("n_events"),
         )
         .drop("sid")
+    )
+
+
+def full_sessions_derived(ev: DataFrame) -> DataFrame:
+    """The stored session view via the explicit gaps-and-islands pass —
+    bit-identical to :func:`full_sessions` (q190 pins both against the
+    oracle) but safe to COMPOSE under joins/aggregates on the session
+    keys: the island id is a plain computed column, so Catalyst cannot
+    push operators below the session merge (see module docstring)."""
+    tus = F.unix_micros("ts")
+    return _sessions_from_rows(
+        ev.select("user_id", tus.alias("tus"), "event_id")
     )
 
 
@@ -195,13 +206,23 @@ def merge_incremental_sessions(
     derives it in-plan (via the compose-safe island pass — NOT the
     native ``session_window``; see the optimizer hazard in the module
     docstring)."""
-    tus = F.unix_micros("ts")
-    fr = ev.agg((F.max(tus) - F.lit(LOOKBACK_US)).alias("frontier"))
-    evf = ev.crossJoin(F.broadcast(fr))
-    hist = evf.filter(tus < F.col("frontier"))
-    batch = evf.filter(tus >= F.col("frontier"))
     from ..checkpoints import local_checkpoint
 
+    tus = F.unix_micros("ts")
+    fr = ev.agg((F.max(tus) - F.lit(LOOKBACK_US)).alias("frontier"))
+    # ONE projected pass over the corpus serves both sides of the
+    # frontier split (round 12, guide §1.2/§2.3: the old plan re-scanned
+    # events per consumer — hist under the store derivation, batch twice
+    # inside the merge step — 12 scans → 2, the second being the 1-row
+    # frontier aggregate)
+    rows = local_checkpoint(
+        ev.select("user_id", tus.alias("tus"), "event_id").crossJoin(
+            F.broadcast(fr)
+        ),
+        eager=False,
+    )
+    hist = rows.filter(F.col("tus") < F.col("frontier"))
+    batch = rows.filter(F.col("tus") >= F.col("frontier"))
     # the stored view is consumed twice (finals + carried): materialize
     # the in-plan stand-in once instead of re-sessionizing per consumer
     # (the q258 recomputed-subtree discipline, pinned by the scan
@@ -209,11 +230,11 @@ def merge_incremental_sessions(
     s0 = local_checkpoint(
         session_store
         if session_store is not None
-        else full_sessions_derived(hist),
+        else _sessions_from_rows(hist),
         eager=False,
     )
     return merge_sessions_step(
-        s0, batch.select("user_id", tus.alias("tus"), "event_id")
+        s0, batch.select("user_id", "tus", "event_id")
     )
 
 
@@ -302,23 +323,42 @@ def delete_aware_sessions(
 
     Scale: O(|store| anti-join + |affected users' events|) per deletion
     cycle; unaffected users never re-sessionize.  ``session_store``
-    injects the persisted t0 view (roundtrip test)."""
+    injects the persisted t0 view (roundtrip test).
+
+    One projected pass over the corpus (round 12, guide §1.2/§2.3)
+    carries the deletion flag as a column and serves the affected-user
+    derivation, the in-plan store stand-in, and the surviving-rows
+    re-derivation (6 scans → 1)."""
     from ..checkpoints import local_checkpoint
 
-    affected = ev.filter(deleted_flag()).select("user_id").distinct()
+    tus = F.unix_micros("ts")
+    rows = local_checkpoint(
+        ev.select(
+            "user_id",
+            tus.alias("tus"),
+            "event_id",
+            deleted_flag().alias("__d"),
+        ),
+        eager=False,
+    )
+    # consumed twice (carried anti-join + surviving semi-join)
+    affected = local_checkpoint(
+        rows.filter(F.col("__d")).select("user_id").distinct(),
+        eager=False,
+    )
     s0 = local_checkpoint(
         session_store
         if session_store is not None
-        else full_sessions_derived(ev),
+        else _sessions_from_rows(rows),
         eager=False,
     )
     carried = s0.join(affected, "user_id", "left_anti").withColumn(
         "src", F.lit("carried")
     )
-    surviving = ev.filter(~deleted_flag()).join(
+    surviving = rows.filter(~F.col("__d")).join(
         affected, "user_id", "left_semi"
     )
-    rederived = full_sessions_derived(surviving).withColumn(
+    rederived = _sessions_from_rows(surviving).withColumn(
         "src", F.lit("rederived")
     )
     cols = [*_SESSION_COLS, "src"]

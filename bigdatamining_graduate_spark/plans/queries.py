@@ -14478,90 +14478,88 @@ _DRIVER_VERIFIED = frozenset(
     # ADVICE r10 #2), so it rotates back for re-verification.
     + [f"q{i}" for i in range(249, 266)]
     + ["q267"]
+    # CORRECTNESS_r11: 45/50 hash-green, zero red — q266's fire_bp schema
+    # change re-verified, the eleven new lifecycle queries (q268-q278),
+    # and 33 staleness re-checks already listed above.  The 5 non-green
+    # rows (q54/q91/q139/q162/q163) are `no_oracle` BY DESIGN (ε/recall-
+    # gated sketches/classifiers; value-oracled portable twins q191/q193/
+    # q196 carry the value checks) — they stay driver-checked and, per
+    # VERDICT r11 #4, are never again rotated into the 50-row window.
+    + ["q266"]
+    + [f"q{i}" for i in range(268, 279)]
 )  # matched on the qNN prefix
 
-# Round-11 window (first 50 registry entries), per VERDICT r10
-# next-round #1.  Accounting note (ADVICE r10 #1): round 10's window
-# actually held 19 new queries (q249-q267) + 31 stale re-checks (the
-# q70-q157 band), NOT the 15+35 the previous comment claimed —
-# q158-q161 and q164 were displaced past position 50 and stayed
-# r4-stale; they rotate NOW.
-#
-# Unverified bucket (sorts first automatically): the eleven new
-# round-11 lifecycle queries (q268-q278) + q266 (fire_bp schema
-# change) = 12.  _DEFERRED fills the remaining 38: the three MANDATORY
-# rows whose sink paths were rewritten by the r10 staging sweep
-# (q165/q166/q167), every remaining ≤r5-stale row — including the
-# rows-only set the verdict explicitly rotated this time
-# (q91/q54/q139/q162/q163 refresh their rows-only checks; q55 re-runs
-# with its NEW value oracle and flips to hash-green) — then the
-# stalest r6-era rows as filler (q182-q185, q217;
-# q186-q189/q216/q218-q221 rotate round 12).  12 + 38 = exactly the
-# 50-row window: nothing listed here can be displaced.
+# Round-12 window (first 50 registry entries), per VERDICT r11
+# next-round #2 and #4.  Unverified bucket (sorts first automatically):
+# the eight round-11-build IVM queries (q279-q286) that spent round 11
+# parked in _ROTATE_R12 and have never seen the driver's oracle.
+# _DEFERRED fills the remaining 42 with the STALEST value-checkable
+# rows (every one hash-green when last checked):
+#   * the nine r6-era rows the round-11 comment promised would rotate
+#     now (q186-q189, q216, q218-q221),
+#   * the rest of the r6-era band (q24-q31, q36-q40, q47-q49),
+#   * the 17 stalest r7-era rows (q50-q87 band) as filler.
+# Deliberately EXCLUDED (VERDICT r11 #4 — spend the window on
+# value-checkable rows only): the ε/recall-gated no-oracle set
+# q32-q35 (MLlib, gated by tests/test_ml_quality.py), q222 (ALS
+# surfaces, same gate), and q54/q91/q139/q162/q163 (sketches/
+# classifier, refreshed r11; their value-oracled portable twins
+# q191/q193/q196 ARE in this window).  8 + 42 = exactly the 50-row
+# window: nothing listed here can be displaced.
 _DEFERRED = [
-    # -- MANDATORY (VERDICT r10 #1): sink paths rewritten in r10's
-    #    staging-root sweep; green rows predate five rounds of motion --
-    "q165_zorder_roundtrip",
-    "q166_datasource_roundtrip",
-    "q167_bucketed_join_roundtrip",
-    # -- oldest rows: r3/r4-era, incl. the rows-only set the verdict
-    #    rotated (q55 now carries a full value oracle) --
-    "q91_lang_classifier",
-    "q54_approx_distinct_users",
-    "q55_ivf_knn",
-    "q139_hll_weekly_rollup",
-    "q162_kll_price_quantiles",
-    "q163_theta_segment_overlap",
-    "q158_disjunctive_discounts",
-    "q159_supplier_part_variety",
-    "q160_waiting_supplier",
-    "q161_top_revenue_suppliers",
-    "q164_best_order_no_window",
-    # -- r5-era (last driver check: CORRECTNESS_r05) --
-    "q83_table_profile",
-    "q130_source_temperature_mix",
-    "q133_mad_outliers",
-    "q134_last_touch_attribution",
-    "q148_activity_streaks",
-    "q168_cmsketch_heavy_hitters",
-    "q169_part_communities",
-    "q170_part_kcore",
-    "q171_mincost_supplier",
-    "q172_important_stock",
-    "q173_excess_stock_suppliers",
-    "q174_profit_by_nation_year",
-    "q175_part_bfs_hops",
-    "q176_shipmode_priority",
-    "q177_context_packing",
-    "q178_phrase_search",
-    "q179_scd2_user_tiers",
-    "q180_vocab_broadcast_antijoin",
-    "q181_token_stats_hof",
-    # -- r6-era filler (stalest after r5) --
-    "q182_segment_nation_crosstab",
-    "q183_position_attribution",
-    "q184_source_quality_gate",
-    "q185_bigram_lm_quality",
-    "q217_scd2_point_in_time_join",
+    # -- r6-era rows the round-11 rotation explicitly queued for now --
+    "q186_event_type_psi",
+    "q187_token_entropy",
+    "q188_containment_pairs",
+    "q189_snapshot_diff",
+    "q216_cogroup_asof_attribution",
+    "q218_pareto_coverage",
+    "q219_range_split_points",
+    "q220_stream_cmsketch_heavy_users",
+    "q221_event_disorder_audit",
+    # -- rest of the r6-era band (last driver check: CORRECTNESS_r06) --
+    "q24_exact_dedup",
+    "q25_ngram_jaccard_pairs",
+    "q26_minhash_lsh_pairs",
+    "q27_simhash_near_dups",
+    "q28_text_quality",
+    "q29_knn_bruteforce",
+    "q30_ann_lsh_pairs",
+    "q31_tfidf_top_terms",
+    "q36_stream_hourly_counts",
+    "q37_stream_sliding_avg",
+    "q38_stream_dedup_counts",
+    "q39_binary_features",
+    "q40_word_cooccurrence",
+    "q47_stream_session_windows",
+    "q48_stateful_user_totals",
+    "q49_supplier_region_revenue",
+    # -- r7-era filler (stalest after r6; all hash-green in r7) --
+    "q50_brand_sales",
+    "q52_embedding_neardup_docs",
+    "q60_price_percentiles",
+    "q62_clicks_before_error",
+    "q63_curated_corpus",
+    "q66_ngram_langid",
+    "q71_neardup_components",
+    "q74_ann_recall",
+    "q76_stream_late_data",
+    "q77_incremental_dedup",
+    "q78_shard_packing",
+    "q79_context_chunks",
+    "q80_benchmark_decontaminate",
+    "q81_balanced_mixture",
+    "q84_stream_stream_join",
+    "q86_boilerplate_lines",
+    "q87_zorder_layout",
 ]
 
 
-# New queries registered AFTER the round-11 window was fixed (the
-# continuation session's IVM family).  They must NOT displace the
-# committed 50-row window above (the ADVICE r10 displacement bug), so
-# they sort just past position 50 and lead the ROUND-12 rotation —
-# when round 12 rebuilds the window, fold these into the unverified
-# bucket and empty this list.
-_ROTATE_R12 = [
-    "q279_incremental_join_view",
-    "q280_join_view_delete_ripple",
-    "q281_distinct_count_view",
-    "q282_incremental_sessions",
-    "q283_delete_aware_sessions",
-    "q284_stream_session_merge",
-    "q285_join_view_upsert_ripple",
-    "q286_distinct_view_vacuum",
-]
+# Round-11's park block, folded into the round-12 window above (the
+# eight IVM queries lead it as the unverified bucket).  Kept as an
+# empty list so the rotation structure — head, deferred block, park,
+# verified tail — stays uniform for the structural test.
+_ROTATE_R12: list[str] = []
 
 
 def _rotate_registry() -> None:

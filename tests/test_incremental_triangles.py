@@ -306,3 +306,37 @@ def test_upsert_aware_equals_full_recompute(spark):
     }
     got = {(r.node, r.deg, r.tri_cnt) for r in out.collect()}
     assert got == expected
+
+
+def test_adj_apply_delta_equals_rebuild(spark):
+    """Round-12 internals pin: the per-node array-edit t1 adjacency
+    (G._adj_apply_delta) must equal the from-scratch t1 build
+    (G._undirected_adj over the edited edge set) — including a node
+    minted by an added edge, a node killed by losing its last edge,
+    and untouched nodes carrying verbatim."""
+    from bigdatamining_graduate_spark.checkpoints import release_checkpoints
+
+    edges0 = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (3, 4), (4, 5)], "pa long, pb long"
+    )
+    # remove (4,5): node 5 loses its last edge and must die;
+    # add (2,9) and (5, 9)? no — 5 must die, so add edges that mint a
+    # NEW node 9 on an existing endpoint instead
+    removed = spark.createDataFrame([(4, 5)], "pa long, pb long")
+    added = spark.createDataFrame([(2, 9), (1, 9)], "pa long, pb long")
+    t1_edges = (
+        edges0.join(removed, ["pa", "pb"], "left_anti").unionByName(added)
+    )
+    edited = {
+        r.s: list(r.nbrs)
+        for r in G._adj_apply_delta(
+            G._undirected_adj(edges0), removed, added
+        ).collect()
+    }
+    rebuilt = {
+        r.s: list(r.nbrs) for r in G._undirected_adj(t1_edges).collect()
+    }
+    release_checkpoints()
+    assert edited == rebuilt
+    assert 5 not in edited  # lost its last edge
+    assert edited[9] == [1, 2]  # minted by added edges, sorted

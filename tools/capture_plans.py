@@ -1,10 +1,11 @@
 #!/usr/bin/env python
-"""Capture ``explain("formatted")`` for named queries into plans/r11/.
+"""Capture ``explain("formatted")`` for named queries into
+plans/$PLANS_ROUND/ (default r12).
 
 Usage:
     python tools/capture_plans.py <suffix> <qname> [<qname> ...]
 
-Writes ``plans/r11/<qname>_<suffix>.txt`` for each query (suffix is
+Writes ``plans/<round>/<qname>_<suffix>.txt`` for each query (suffix is
 "before" / "after").  Composite lifecycle queries (store builds, stream
 drains, checkpointed loops) EXECUTE their setup work when the query
 callable runs; the captured plan is the final consuming stage — the part
@@ -31,7 +32,7 @@ def main() -> None:
     suffix = sys.argv[1]
     names = sys.argv[2:]
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
-    out_dir = REPO / "plans" / "r11"
+    out_dir = REPO / "plans" / os.environ.get("PLANS_ROUND", "r12")
     out_dir.mkdir(parents=True, exist_ok=True)
     spark = get_spark(app_name="capture-plans")
     spark.sparkContext.setLogLevel("ERROR")
